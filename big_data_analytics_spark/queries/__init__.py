@@ -1,0 +1,48 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named entry pairing a Spark DataFrame implementation with (where
+SQL-expressible) an equivalent DuckDB oracle SQL string.
+
+The driver harness (__spark_entry__.py) exposes this registry through
+``queries()`` / ``oracle_sql()``; tests/test_queries_vs_duckdb.py runs
+the same comparison locally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None for non-SQL-expressible ops
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules so REGISTRY is fully populated."""
+    from big_data_analytics_spark.queries import (  # noqa: F401
+        relational,
+        windows,
+        scalar_funcs,
+        text,
+        similarity,
+    )
+    return REGISTRY
