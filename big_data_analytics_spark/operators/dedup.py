@@ -1,0 +1,267 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+These are the scale path for "remove (near-)duplicate documents from a
+100 TB crawl". Design rules:
+
+- **No pairwise O(n²) stage ever touches the full corpus.** LSH
+  banding turns near-dup detection into equality joins on band keys:
+  only documents sharing a band bucket are ever compared.
+- **Everything before the band join is a narrow map** (tokenize →
+  shingle → hash → min/sign fold), pure JVM column expressions, no
+  Python UDFs, no shuffle.
+- **Verification is exact but candidate-only**: estimated-similar
+  pairs are re-scored (true Jaccard / Hamming) after the join, so the
+  expensive check runs on the (tiny) candidate set.
+
+The brute-force ``ngram_jaccard_pairs`` is the correctness oracle for
+the LSH paths in tests/, and the right tool below ~10⁵ docs.
+
+Hash-based, seed-free: signatures are deterministic functions of
+content, so incremental re-runs and cross-corpus joins are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text (k=1 → token set)."""
+    toks = F.split(normalize_text(col), " ")
+    return F.array_distinct(
+        F.when(F.size(toks) < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized content.
+
+    One shuffle on a 32-char fingerprint; at 100 TB hash first, never
+    groupBy the raw text (shuffle payload shrinks by ~1000×).
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+def minhash_signature(col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature of a shingle array: for each of ``num_hashes``
+    salted hash functions, the minimum hash over the shingle set.
+    Broder's estimator: P[sig_i(A)==sig_i(B)] = Jaccard(A, B).
+    Pure column expressions — one pass over the array per hash."""
+    def salted(j: int):
+        # NB: must be a 1-param lambda built per j — a 2-param lambda
+        # (`lambda s, j=j`) is interpreted by Spark as (element, index)
+        return lambda s: F.xxhash64(F.lit(j), s)
+
+    return F.array(*[
+        F.array_min(F.transform(col, salted(j))) for j in range(num_hashes)
+    ])
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 128,
+                       shingle_k: int = 3) -> DataFrame:
+    """(id, signature) per document; empty documents are dropped."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    return (
+        df.withColumn("__sh", sh)
+        .filter(F.size("__sh") > 0)
+        .select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 128,
+                      shingle_k: int = 3, bands: int = 16,
+                      threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with estimated Jaccard.
+
+    banding: signature split into ``bands`` bands of r = num_hashes /
+    bands rows; documents colliding on any band's hash become
+    candidates (P[candidate] = 1-(1-j^r)^b — an S-curve around
+    (1/b)^(1/r)). Candidates are then scored by full-signature
+    agreement and filtered at ``threshold``.
+
+    Plan shape: map (signatures) → explode ×bands → shuffle on
+    (band, band_hash) → within-bucket pairs → dedup pairs → score.
+    The only quadratic work is inside a bucket; a salt-sized bucket cap
+    would bound the worst case at extreme scale (boilerplate docs).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        id_col, "signature",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.lit("band"), F.concat_ws(
+                    ",", *[F.element_at("signature", b * r + i + 1) for i in range(r)]
+                )).alias("band_hash"),
+            ) for b in range(bands)
+        ])).alias("bh"),
+    ).select(id_col, "signature", "bh.band", "bh.band_hash")
+
+    left = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    right = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)).cast("double")
+        / F.size("sig_a")
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              **lsh_kwargs) -> DataFrame:
+    """Drop near-duplicates: every doc that matches a lower-id doc goes.
+
+    Single-pass min-root approximation of connected components —
+    removes every non-minimal member of each duplicate *pair* set
+    (chains A~B~C with A≁C keep only A, which is the standard
+    aggressive dedup choice for training corpora).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash of a token array: per bit, the sign of Σ_tokens (±1),
+    packed into a BIGINT. Near-identical token multisets land within a
+    few bits of Hamming distance (Charikar's rounding)."""
+    tok_hash = F.transform(col, lambda t: F.xxhash64(F.lit("simhash"), t))
+
+    def vote_fn(b: int):
+        # 2-param lambda built per bit (a 3-param lambda with `b=b`
+        # default confuses Spark's lambda-arity introspection)
+        return lambda acc, h: acc + F.when(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(tok_hash, F.lit(0).cast("long"), vote_fn(b))
+        bit_cols.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                        .otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return df.select(id_col, simhash(toks).alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, via 4-block LSH: two hashes
+    within Hamming distance ≤3 of 64 bits must agree exactly on at
+    least one of 4 16-bit blocks (pigeonhole), so exact-match joins on
+    blocks find all such pairs; candidates are verified with
+    bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("block"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("block_val"))
+            for i in range(4)
+        ])).alias("bl"),
+    ).select(id_col, "simhash", "bl.block", "bl.block_val")
+    left = blocks.select("block", "block_val", F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"))
+    right = blocks.select("block", "block_val", F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sim_b"))
+    return (
+        left.join(right, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------
+# exact n-gram Jaccard (brute force / oracle / verifier)
+# ---------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted-index join on
+    shingles: |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
+    Exact but shuffles every (doc, shingle) pair — the oracle for the
+    LSH estimators and the small-corpus tool."""
+    sh = (
+        df.select(id_col, F.explode(word_shingles(F.col(text_col), shingle_k))
+                  .alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

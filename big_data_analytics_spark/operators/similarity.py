@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- ``cosine_topk`` — exact brute force: broadcast the query set,
+  JVM-side array-fold dot products, per-query top-k. Correct at any
+  corpus size but scans everything; right when queries ≪ corpus and
+  a full scan per batch is acceptable.
+- ``lsh_topk`` — random-hyperplane LSH: bucket corpus and queries by
+  sign patterns, rerank only same-bucket candidates. Sub-linear probe
+  cost at 100 TB; recall tunable via (n_planes, n_tables) — measured
+  against the brute-force oracle in tests/.
+
+Also ``embedding_near_dup_pairs`` — corpus self-join at a cosine
+threshold via the same bucketing (embedding-space near-duplicate
+detection for training corpora).
+
+Vectors are cast to double before arithmetic; dot products are
+sequential JVM folds (F.aggregate), no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    Plan: corpus stays partitioned; queries broadcast; the rank window
+    is per-query so Catalyst's WindowGroupLimit prunes to local top-k
+    per partition before the (tiny) final shuffle."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplane(salt: str, table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components.
+
+    Components are derived from a splitmix-style integer hash — fixed
+    at plan-build time so every executor sees the same planes without
+    any broadcast of state."""
+    import hashlib
+    import math
+
+    comps = []
+    for d in range(dim):
+        # md5-derived, NOT Python hash() — hash() is salted per process
+        # (PYTHONHASHSEED) and would give every executor run different planes
+        raw = hashlib.md5(f"{salt}|{table}|{plane}|{d}".encode()).digest()
+        x = int.from_bytes(raw[:4], "little")
+        # Box–Muller-ish: two uniform halves → roughly normal is
+        # unnecessary; signs+magnitudes uniform in [-1,1] suffice for
+        # sign-LSH (only the direction matters)
+        comps.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(c * c for c in comps)) or 1.0
+    return [c / n for c in comps]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for one LSH table."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array([F.lit(c) for c in p]), lambda x, y: x * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        acc = acc.bitwiseOR(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i))
+                            .otherwise(F.lit(0).cast("long")))
+    return acc
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", dim: int = 64,
+             n_planes: int = 8, n_tables: int = 8,
+             salt: str = "rhp") -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each of ``n_tables`` tables buckets vectors by the sign pattern of
+    ``n_planes`` projections (collision prob per plane = 1−θ/π). A
+    query only scores candidates sharing a bucket in ≥1 table. Probe
+    cost ~ corpus/2^n_planes per table; recall grows with n_tables.
+    """
+    planes = [
+        [_hyperplane(salt, t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def bucketed(df, idc, alias_vec):
+        v = as_double(F.col(vec_col))
+        return df.select(
+            F.col(idc), v.alias(alias_vec),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("table"),
+                         _bucket_expr(v, planes[t]).alias("bucket"))
+                for t in range(n_tables)
+            ])).alias("tb"),
+        ).select(idc, alias_vec, "tb.table", "tb.bucket")
+
+    c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                 "neighbor_id", "cv")
+    q = bucketed(queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+                 "query_id", "qv")
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, n_planes: int = 10,
+                             n_tables: int = 6) -> DataFrame:
+    """Corpus self-join: pairs with cosine ≥ threshold, LSH-bucketed.
+
+    High thresholds collide on most planes, so modest n_tables reaches
+    high recall; candidates are exactly re-scored."""
+    planes = [
+        [_hyperplane("neardup", t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    v = as_double(F.col(vec_col))
+    b = corpus.select(
+        F.col(id_col).alias("id"), v.alias("v"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     _bucket_expr(v, planes[t]).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("id", "v", "tb.table", "tb.bucket")
+    left = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 8))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -44,5 +44,6 @@ def load_all() -> dict[str, Query]:
         scalar_funcs,
         text,
         similarity,
+        ecommerce_shaped,
     )
     return REGISTRY

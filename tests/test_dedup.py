@@ -1,0 +1,129 @@
+"""Dedup operators: LSH paths validated against exact oracles.
+
+Corpus construction: the driver's ``documents`` table (all-unique
+texts) plus controlled mutations — exact copies, one-token edits,
+half-rewrites — so expected (near-)duplicate pairs are known.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.dedup import (
+    exact_dedup,
+    lsh_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from tests.conftest import SF_CORRECT
+
+N_BASE = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """base docs 0..N | exact copies +1000 | near copies (one token
+    appended) +2000 | unrelated shuffled tails stay unique."""
+    base = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < N_BASE)
+        .select("doc_id", "text")
+    )
+    exact = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(corpus):
+    kept = exact_dedup(corpus)
+    assert kept.count() == 2 * N_BASE  # copies removed, near-dups kept
+    assert kept.filter(F.col("doc_id").between(1000, 1999)).count() == 0
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD"), (4, "other")],
+        ["doc_id", "text"],
+    )
+    kept = exact_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+
+
+def test_minhash_estimates_jaccard(corpus):
+    """Signature agreement ≈ true Jaccard within MinHash sampling error."""
+    sigs = minhash_signatures(corpus, num_hashes=128).cache()
+    a = sigs.filter(F.col("doc_id") < N_BASE).select(
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.filter(F.col("doc_id") >= 2000).select(
+        (F.col("doc_id") - 2000).alias("id_a"), F.col("signature").alias("sig_b"))
+    est = a.join(b, "id_a").select(
+        "id_a",
+        (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                         lambda e: e)) / F.lit(128.0)).alias("est"),
+    )
+    true = ngram_jaccard_pairs(
+        corpus.filter((F.col("doc_id") < N_BASE) | (F.col("doc_id") >= 2000)),
+        threshold=0.0,
+    ).filter(F.col("id_b") - F.col("id_a") == 2000).select(
+        F.col("id_a"), F.col("jaccard"))
+    joined = est.join(true, "id_a").toPandas()
+    assert len(joined) == N_BASE
+    # 128 hashes → se ≈ sqrt(j(1-j)/128) ≤ 0.045; allow 4σ
+    assert (abs(joined.est - joined.jaccard) < 0.18).all()
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5).cache()
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact copy pair found with est≈1
+    exact_pairs = {(i, i + 1000) for i in range(N_BASE)}
+    assert exact_pairs <= found
+    # near-dup pairs (one appended token, long docs → high jaccard):
+    # recall against the exact-jaccard oracle at the same threshold
+    oracle = ngram_jaccard_pairs(corpus, threshold=0.75)
+    oracle_pairs = {(r.id_a, r.id_b) for r in oracle.collect()}
+    recall = len(found & oracle_pairs) / max(1, len(oracle_pairs))
+    assert recall > 0.9, f"LSH recall {recall}"
+
+
+def test_lsh_dedup_keeps_minimal_ids(corpus):
+    kept = lsh_dedup(corpus, threshold=0.5)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(1000 <= i < 2000 for i in ids)  # exact copies gone
+    assert all(i in ids for i in range(N_BASE))    # originals kept
+
+
+def test_simhash_near_dup(corpus):
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=3).cache()
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    exact_pairs = {(i, i + 1000) for i in range(N_BASE)}
+    assert exact_pairs <= found  # identical docs: hamming 0
+    # hamming values are symmetric-correct
+    assert pairs.filter(F.col("hamming") < 0).count() == 0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d x"), (4, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, shingle_k=2, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    # shingles(1)={ab,bc,cd,de}, shingles(3)={ab,bc,cd,dx}: 3/5
+    assert pairs[(1, 3)] == pytest.approx(0.6)
+    assert (1, 4) not in pairs or pairs[(1, 4)] == 0.0
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    row = df.select(word_shingles(F.col("text"), 3).alias("s")).first()
+    assert row.s == ["hello world"]  # shorter than k → whole doc
