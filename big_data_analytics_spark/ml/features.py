@@ -1,0 +1,73 @@
+"""Feature engineering: assembly, scaling, encoding, splits, polynomial
+terms (SURVEY.md §2.9 M2, M15-M17; §2.2 P14, P19).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    MinMaxScaler,
+    OneHotEncoder,
+    StandardScaler,
+    StringIndexer,
+    VectorAssembler,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble(df: DataFrame, cols: list[str], out: str = "features") -> DataFrame:
+    """Numeric columns → MLlib vector (the notebooks' np.column_stack)."""
+    return VectorAssembler(inputCols=cols, outputCol=out).transform(df)
+
+
+def standard_scale(df: DataFrame, cols: list[str], out: str = "scaled") -> DataFrame:
+    """Z-score scaling (reference: sklearn StandardScaler,
+    codes_in_book_of_statisct.ipynb:7293)."""
+    assembled = assemble(df, cols, "__raw")
+    model = StandardScaler(inputCol="__raw", outputCol=out,
+                           withMean=True, withStd=True).fit(assembled)
+    return model.transform(assembled).drop("__raw")
+
+
+def min_max_scale(df: DataFrame, cols: list[str], out: str = "scaled") -> DataFrame:
+    assembled = assemble(df, cols, "__raw")
+    model = MinMaxScaler(inputCol="__raw", outputCol=out).fit(assembled)
+    return model.transform(assembled).drop("__raw")
+
+
+def one_hot(df: DataFrame, col: str, out_prefix: str | None = None,
+            drop_last: bool = True) -> DataFrame:
+    """pd.get_dummies(drop_first=True) analogue (reference:
+    codes_in_book_of_statisct.ipynb:7911)."""
+    p = out_prefix or col
+    idx = StringIndexer(inputCol=col, outputCol=f"{p}_idx",
+                        stringOrderType="alphabetAsc").fit(df)
+    enc = OneHotEncoder(inputCols=[f"{p}_idx"], outputCols=[f"{p}_onehot"],
+                        dropLast=drop_last)
+    indexed = idx.transform(df)
+    return enc.fit(indexed).transform(indexed)
+
+
+def polynomial_terms(df: DataFrame, col: str, degree: int) -> DataFrame:
+    """Power columns col^1..col^degree (reference poly() design
+    matrices, codes_in_book_of_statisct.ipynb:8221) as plain
+    expressions — no vector round-trip needed for named terms."""
+    out = df
+    for d in range(2, degree + 1):
+        out = out.withColumn(f"{col}_pow{d}", F.pow(F.col(col), d))
+    return out
+
+
+def train_test_split(df: DataFrame, test_frac: float = 0.5,
+                     seed: int = 0) -> tuple[DataFrame, DataFrame]:
+    """randomSplit wrapper (reference: sklearn train_test_split,
+    BasicsDecisionTree.ipynb:775). Fractions are expected, not exact —
+    exact-count splits don't parallelize."""
+    train, test = df.randomSplit([1.0 - test_frac, test_frac], seed=seed)
+    return train, test
+
+
+def temporal_split(df: DataFrame, ts_col: str, cutoff) -> tuple[DataFrame, DataFrame]:
+    """Train = before cutoff, test = from cutoff (reference: Smarket
+    Year<2005 split, data_mining_Assignment1.ipynb:1561)."""
+    return df.filter(F.col(ts_col) < cutoff), df.filter(F.col(ts_col) >= cutoff)
