@@ -1,0 +1,86 @@
+"""Structured Streaming surface over the event stream (SURVEY.md §2.10).
+
+The reference is batch-only; its closest analogues define this
+extension surface:
+
+- 500-row HBase micro-batches with cross-batch accumulator state
+  (/root/reference/load_hbase.py:191-211) → stateful streaming
+  aggregation in update mode (and idempotent, unlike the reference:
+  re-running the loader double-counts its counters);
+- daily ProductMetrics counters (load_hbase.py:127-134) → tumbling
+  event-time window with a watermark (the reference recomputes from
+  full files — effectively watermark = ∞);
+- generated sessions with start/end/duration
+  (dataset_generator.py:263-321) → ``session_window`` gap sessions.
+
+Every transformation takes a DataFrame (batch or streaming) and returns
+one, so the exact same plan runs in both modes — tests exercise the
+streaming path with a file source + ``trigger(availableNow)`` and
+check equivalence against the batch run, which is the Structured
+Streaming correctness model (incrementalized batch query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_event_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day window per event_type: count + value sum.
+
+    Streaming form of queries.relational.a12_event_daily_metrics. The
+    watermark bounds state: late events beyond it are dropped (the
+    batch reference has no such bound because it rereads everything).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)).cast("double")
+             / 10000.0).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type", "n_events", "value_sum",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessions per user (session_window) — the streaming
+    twin of queries.windows.w7_sessionize_events.
+
+    State per (user, open session); sessions close when the watermark
+    passes start+gap, so state is bounded by active users × gap.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Cross-batch accumulator state (the load_hbase.py:191-211
+    pattern): per-user lifetime event count and value total, updated
+    every micro-batch. Run with outputMode('update') or 'complete'."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)).cast("double")
+         / 10000.0).alias("value_total"),
+    )
+
+
+def stream_from_parquet(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a parquet directory (the test harness's
+    replayable source; production swaps in Kafka with the same plan)."""
+    return spark.readStream.schema(schema).parquet(path)

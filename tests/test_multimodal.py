@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, Arrow batching, partitioning, and the
+stub contract (real decode raises NotImplementedError; fake decode is
+deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.multimodal.binary_ops import (
+    DECODED_SCHEMA,
+    decode_image,
+    frame_sample_plan,
+    media_stats,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, 120).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    assert media.count() == 120
+    assert media.filter(F.col("meta.byte_size") != F.length("content")).count() == 0
+
+
+def test_fake_decode_deterministic(media):
+    a = decode_image(media, fake=True)
+    assert a.schema == DECODED_SCHEMA
+    rows1 = sorted(tuple(r) for r in a.collect())
+    rows2 = sorted(tuple(r) for r in decode_image(media, fake=True).collect())
+    assert rows1 == rows2
+    assert len(rows1) == media.filter(F.col("media_type") == "image").count()
+    feat = a.first().features
+    assert len(feat) == 8 and all(0 <= x <= 1 for x in feat)
+
+
+def test_real_decode_is_stubbed(media):
+    """Without a codec the decode stage must fail loudly, not silently
+    fake data."""
+    with pytest.raises(Exception) as ei:
+        decode_image(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_frame_sampling_fanout(media):
+    plan = frame_sample_plan(media, every_n=30)
+    pdf = plan.toPandas()
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert pdf.media_id.nunique() == n_videos
+    # every sampled index is a multiple of the stride and in range
+    assert ((pdf.frame_idx % 30) == 0).all()
+    assert (pdf.frame_idx < pdf.n_frames).all()
+
+
+def test_media_stats_prunes_payload(media):
+    stats = media_stats(media)
+    got = stats.agg(F.sum("n_items")).first()[0]
+    assert got == 120
+    # payload column must be pruned from the scan plan
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "content" not in plan or "byte_size" in plan

@@ -1,0 +1,106 @@
+"""Streaming surface: each streaming query must produce exactly the
+batch result on the same data (Structured Streaming's incrementalized-
+batch correctness model), exercised with a file source replayed in
+multiple micro-batches via maxFilesPerTrigger + availableNow."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.streaming.events import (
+    daily_event_counts,
+    running_user_totals,
+    session_windows,
+    stream_from_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    """events table re-written as 4 parquet files (4 micro-batches),
+    with the nanos ts already normalized to TimestampType."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, event_dir, transform, output_mode):
+    batch_df = spark.read.parquet(event_dir)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)   # force multiple micro-batches
+        .parquet(event_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(f"q_{transform.__name__}")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM q_{transform.__name__}"), batch_df
+
+
+def _canon(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_daily_counts_stream_equals_batch(spark, event_dir):
+    got, batch = _run_stream(spark, event_dir, daily_event_counts, "complete")
+    expected = daily_event_counts(batch)
+    cols = ["day", "event_type", "n_events", "value_sum"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert len(_canon(got, cols)) > 0
+
+
+def test_session_windows_stream_equals_batch(spark, event_dir):
+    """Watermark wider than the data span → no late drops → stream
+    must equal batch exactly. (Files replay in arbitrary event-time
+    order, so a narrow watermark legitimately drops data — covered by
+    test_narrow_watermark_drops_late_events.)"""
+
+    def wide(ev):
+        return session_windows(ev, gap="30 minutes", watermark="60 days")
+
+    got, batch = _run_stream(spark, event_dir, wide, "complete")
+    expected = wide(batch)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_narrow_watermark_drops_late_events(spark, event_dir):
+    """With unordered replay and a 1-hour watermark, events arriving
+    behind the watermark are dropped — state stays bounded at the cost
+    of completeness. This is the documented semantic difference from
+    the reference's recompute-everything batch loader."""
+    got, batch = _run_stream(spark, event_dir, session_windows, "complete")
+    assert 0 < got.count() < session_windows(batch).count()
+
+
+def test_running_totals_update_mode(spark, event_dir):
+    got, batch = _run_stream(spark, event_dir, running_user_totals, "complete")
+    expected = running_user_totals(batch)
+    cols = ["user_id", "n_events", "value_total"]
+    assert _canon(got, cols) == _canon(expected, cols)
+
+
+def test_watermark_bounds_state(spark, event_dir):
+    """The windowed agg carries an event-time watermark (state is
+    bounded); verify the plan is streaming and uses a watermark node."""
+    batch_df = spark.read.parquet(event_dir)
+    stream = spark.readStream.schema(batch_df.schema).parquet(event_dir)
+    out = daily_event_counts(stream)
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
