@@ -40,6 +40,7 @@ def load_all() -> dict[str, Query]:
     """Import all query modules so REGISTRY is fully populated."""
     from big_data_analytics_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         windows,
         scalar_funcs,
         text,
