@@ -42,9 +42,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM/codegen paths so per-query numbers measure the
-    # queries, not session startup
+    # warm up the JVM/codegen/parquet-reader paths so per-query numbers
+    # measure the queries, not session startup (region = 5 rows; does
+    # not pre-cache any fact-table data)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     registry = load_all()
     timings: dict[str, float] = {}

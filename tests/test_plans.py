@@ -1,0 +1,107 @@
+"""Physical-plan regression tests — the 100 TB guardrails.
+
+Correctness tests prove the queries compute the right rows; these
+prove they compute them with the right *plan*: filters pushed into the
+Parquet scan, projections pruned, dims broadcast (no fact-side
+shuffle), top-k via TakeOrderedAndProject (no global sort), and no
+Python evaluation anywhere in the hot path. A regression here is a
+performance bug that sf0.01 timings would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analytics_spark.queries import load_all
+from tests.conftest import SF_CORRECT
+
+REGISTRY = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """a1's shipdate filter must appear as a pushed Parquet filter."""
+    plan = _plan(spark, "a1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning(spark):
+    """a1 touches 7 of 11 lineitem columns; ReadSchema must not include
+    the unused ones (l_partkey/l_suppkey/l_orderkey/l_linenumber)."""
+    plan = _plan(spark, "a1_pricing_summary")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read
+
+
+def test_dim_joins_broadcast(spark):
+    """j1: both dim joins must be broadcast — a shuffled/sort-merge
+    join on nation or customer means the fact table shuffles for
+    nothing."""
+    plan = _plan(spark, "j1_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_five_way_join_broadcasts_dims(spark):
+    plan = _plan(spark, "j7_regional_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_avoids_global_sort(spark):
+    """o1: ORDER BY + LIMIT must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, "o1_top_orders_by_revenue")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_present(spark):
+    """Grouped aggregates must be partial+final (map-side combine) —
+    two HashAggregate nodes around the exchange."""
+    plan = _plan(spark, "a1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_hot_paths(spark):
+    """Every oracle-backed query must stay JVM-side: no Python row/
+    Arrow evaluation nodes in any executed plan."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        if not q.oracle:
+            continue
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval in: {offenders}"
+
+
+def test_semi_join_planned(spark):
+    plan = _plan(spark, "j5_customers_with_urgent_orders")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """d1 groups by the md5 fingerprint, never the raw text: the
+    optimized plan's exchange key must be the fingerprint."""
+    plan = _optimized(spark, "d1_exact_dedup")
+    assert "md5" in plan.lower()
+
+
+def test_whole_stage_codegen_active(spark):
+    """Inspect the AQE *final* plan (pre-execution it's unresolved):
+    run the query, then check codegen stages span the aggregate."""
+    df = REGISTRY["a1_pricing_summary"].spark_fn(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen stages render as "*(n) " prefixes in the tree string
+    assert "*(1) " in plan and "*(2) " in plan
