@@ -12,7 +12,7 @@ callers bind them to Parquet tables or the datagen fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,4 +193,57 @@ def products_enriched(products: DataFrame, categories: DataFrame) -> DataFrame:
             ),
         )
         .drop("c_category_id", "c_name", "c_subcategories")
+    )
+
+
+def inventory_levels(transactions: DataFrame,
+                     initial_stock: DataFrame) -> DataFrame:
+    """Stock level after each purchase, floored at zero (A17).
+
+    Reference: the thread-locked sequential fold
+    ``current_stock = max(0, current_stock - quantity)``
+    (/root/reference/dataset_generator.py:83-107). The sequential clamp
+    is order-dependent state, but it has a closed form over ordered
+    prefixes (Lindley's recursion):
+
+        stock_t = max(0, s0 - C_t + max(0, max_{i<=t}(C_i - s0)))
+
+    where C_t is the running quantity sum in (timestamp,
+    transaction_id, product_id) order — the ordering key IS part of the
+    semantics (SURVEY.md §7). Two window functions per product replace
+    the lock: a cumulative sum and a running max, both over the same
+    per-product window.
+
+    ``initial_stock``: (product_id, current_stock) — the dimension's
+    starting level. Output: one row per purchase event with the stock
+    level after it, plus ``units_lost`` (demand absorbed by the floor).
+    """
+    events = (
+        transactions.select(
+            "transaction_id", "timestamp", F.explode("items").alias("i"))
+        .select(
+            F.col("i.product_id").alias("product_id"),
+            "timestamp", "transaction_id",
+            F.col("i.quantity").alias("quantity"),
+        )
+    )
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy("timestamp", "transaction_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_stock = (
+        events.join(F.broadcast(initial_stock.select(
+            "product_id", F.col("current_stock").alias("s0"))), "product_id")
+        .withColumn("cum_qty", F.sum("quantity").over(w))
+        .withColumn("overdraft",
+                    F.greatest(F.lit(0), F.max(F.col("cum_qty") - F.col("s0")).over(w)))
+        .withColumn("stock_after",
+                    F.greatest(F.lit(0),
+                               F.col("s0") - F.col("cum_qty") + F.col("overdraft")))
+    )
+    return with_stock.select(
+        "product_id", "timestamp", "transaction_id", "quantity",
+        "stock_after",
+        (F.col("overdraft")).alias("units_lost"),
     )

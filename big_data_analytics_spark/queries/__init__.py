@@ -46,5 +46,6 @@ def load_all() -> dict[str, Query]:
         text,
         similarity,
         ecommerce_shaped,
+        dedup_queries,
     )
     return REGISTRY

@@ -234,3 +234,36 @@ def test_products_enriched(data):
     orphan = data["products"].withColumn("category_id", F.lit("cat_999"))
     got2 = products_enriched(orphan, data["categories"])
     assert got2.filter(F.col("category.name") == "Unknown Category").count() == 50
+
+
+def test_inventory_levels_matches_sequential_fold(data):
+    """Lindley-recursion window form == the reference's sequential
+    max(0, stock - qty) fold, replayed in Python per product."""
+    from big_data_analytics_spark.pipelines.ecommerce import inventory_levels
+
+    got = inventory_levels(
+        data["transactions"],
+        data["products"].select("product_id", "current_stock"),
+    ).toPandas()
+
+    events = (
+        data["transactions"]
+        .select("transaction_id", "timestamp", F.explode("items").alias("i"))
+        .select("transaction_id", "timestamp",
+                F.col("i.product_id").alias("product_id"),
+                F.col("i.quantity").alias("quantity"))
+        .toPandas()
+    )
+    stock0 = {r.product_id: r.current_stock
+              for r in data["products"].select("product_id", "current_stock").collect()}
+    # sequential replay (the reference's InventoryManager semantics)
+    expected = {}
+    for pid, grp in events.groupby("product_id"):
+        s = stock0[pid]
+        for row in grp.sort_values(["timestamp", "transaction_id"]).itertuples():
+            s = max(0, s - row.quantity)
+            expected[(pid, row.transaction_id)] = s
+    assert len(got) == len(expected)
+    for r in got.itertuples():
+        assert expected[(r.product_id, r.transaction_id)] == r.stock_after, \
+            (r.product_id, r.transaction_id)

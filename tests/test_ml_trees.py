@@ -1,0 +1,105 @@
+"""Tree ensembles, TF-IDF pipeline, CV grid search (M7-M9, M14, M17)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.ml import evaluate
+from big_data_analytics_spark.ml.trees import (
+    decision_tree_classifier,
+    gbt_regressor,
+    grid_search_cv,
+    random_forest_regressor,
+    tfidf_sentiment_pipeline,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def carseats_like(spark):
+    """Nonlinear regression target with one dominant feature (the
+    Carseats/Boston role)."""
+    rng = np.random.default_rng(12)
+    n = 800
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(0, 10, n)
+    x3 = rng.normal(0, 1, n)          # noise feature
+    y = np.where(x1 > 5, 10 + 2 * x2, 2 + 0.5 * x2) + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t))
+         for a, b, c, t in zip(x1, x2, x3, y)],
+        ["x1", "x2", "x3", "y"])
+    return df.cache()
+
+
+def test_decision_tree_classifier_splits_signal(spark):
+    rng = np.random.default_rng(5)
+    n = 600
+    x = rng.uniform(-1, 1, (n, 2))
+    y = (x[:, 0] > 0.1).astype(int)   # axis-aligned split: tree-perfect
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(t)) for (a, b), t in zip(x, y)],
+        ["f1", "f2", "label"])
+    model, predict = decision_tree_classifier(df, ["f1", "f2"], "label",
+                                              max_depth=3)
+    pred = predict(df)
+    acc = pred.filter(F.col("label") == F.col("prediction")).count() / n
+    assert acc > 0.97
+    assert model.depth <= 3
+
+
+def test_random_forest_feature_importance(carseats_like):
+    model, predict = random_forest_regressor(
+        carseats_like, ["x1", "x2", "x3"], "y", num_trees=60,
+        feature_subset="all")  # featureSubsetStrategy='all' == bagging
+    imp = list(model.featureImportances.toArray())
+    # x1 (the split driver) must dominate the noise feature x3
+    assert imp[0] > imp[2]
+    m = evaluate.regression_metrics(predict(carseats_like), label="y")
+    assert m["rmse"] < 3.0
+
+
+def test_gbt_beats_single_tree(carseats_like):
+    from big_data_analytics_spark.ml.trees import decision_tree_regressor
+    _, dt_pred = decision_tree_regressor(carseats_like, ["x1", "x2", "x3"],
+                                         "y", max_depth=2)
+    _, gbt_pred = gbt_regressor(carseats_like, ["x1", "x2", "x3"], "y",
+                                max_iter=30, max_depth=3)
+    dt_rmse = evaluate.regression_metrics(dt_pred(carseats_like), label="y")["rmse"]
+    gbt_rmse = evaluate.regression_metrics(gbt_pred(carseats_like), label="y")["rmse"]
+    assert gbt_rmse < dt_rmse
+
+
+def test_tfidf_pipeline_on_documents(spark):
+    """Synthetic sentiment: label = contains a planted token; the
+    TF-IDF + logistic pipeline must learn it."""
+    docs = load_table(spark, SF_CORRECT, "documents").limit(300)
+    labeled = docs.withColumn(
+        "label",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit(1)).otherwise(F.lit(0)))
+    # plant the signal token into positive docs
+    labeled = labeled.withColumn(
+        "text",
+        F.when(F.col("label") == 1,
+               F.concat(F.col("text"), F.lit(" excellent excellent")))
+        .otherwise(F.col("text")))
+    model = tfidf_sentiment_pipeline().fit(labeled)
+    pred = model.transform(labeled)
+    acc = pred.filter(F.col("label") == F.col("prediction")).count() / 300
+    assert acc > 0.95
+    # vocabulary is bounded as configured
+    cv_model = model.stages[2]
+    assert len(cv_model.vocabulary) <= 500
+
+
+def test_grid_search_cv_picks_capacity(carseats_like):
+    best_model, best_depth, metrics = grid_search_cv(
+        carseats_like, ["x1", "x2", "x3"], "y",
+        max_depths=(1, 3, 6), num_folds=3)
+    # depth-1 underfits a two-regime target; CV must not pick it
+    assert best_depth > 1
+    assert metrics[1] > metrics[best_depth]  # rmse: lower is better
