@@ -84,3 +84,62 @@ def ecom_products_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded category struct with Unknown-Category fallback."""
     d = _fixture(spark, sf_dir)
     return products_enriched(d["products"], d["categories"])
+
+
+@query("ecom_dwell_times")
+def ecom_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — derive per-view dwell time from raw ordered view timestamps
+    with lead(): the reference computes view_duration at generation
+    time as consecutive slot diffs (dataset_generator.py:273-274); this
+    recovers it at query time and cross-checks against the stored
+    value. Returns per-session match stats (all rows must match)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = _fixture(spark, sf_dir)
+    views = (
+        d["sessions"]
+        .select("session_id", "duration_seconds",
+                F.to_timestamp("end_time").alias("end_ts"),
+                F.posexplode("page_views").alias("pos", "pv"))
+        .select("session_id", "duration_seconds", "end_ts", "pos",
+                F.to_timestamp(F.col("pv.timestamp")).alias("view_ts"),
+                F.col("pv.view_duration").alias("stored_duration"))
+    )
+    w = Window.partitionBy("session_id").orderBy("pos")
+    derived = views.withColumn(
+        "derived_duration",
+        (F.unix_timestamp(F.coalesce(F.lead("view_ts").over(w), F.col("end_ts")))
+         - F.unix_timestamp("view_ts")).cast("int"),
+    )
+    return derived.agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum((F.col("derived_duration") == F.col("stored_duration"))
+              .cast("long")).alias("n_matching"),
+        F.sum((F.col("derived_duration") != F.col("stored_duration"))
+              .cast("long")).alias("n_mismatching"),
+    )
+
+
+@query("ecom_page_transitions")
+def ecom_page_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — Markov page-transition matrix: lag(page_type) over the
+    in-session view order, then count (prev → curr) pairs. The
+    reference *generates* pages from a transition table
+    (dataset_generator.py:110-127); this is the inverse analysis."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = _fixture(spark, sf_dir)
+    views = (
+        d["sessions"]
+        .select("session_id", F.posexplode("page_views").alias("pos", "pv"))
+        .select("session_id", "pos", F.col("pv.page_type").alias("page_type"))
+    )
+    w = Window.partitionBy("session_id").orderBy("pos")
+    trans = views.withColumn(
+        "prev_page", F.coalesce(F.lag("page_type").over(w), F.lit("<start>")))
+    return (
+        trans.groupBy("prev_page", F.col("page_type").alias("next_page"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

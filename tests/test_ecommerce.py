@@ -267,3 +267,13 @@ def test_inventory_levels_matches_sequential_fold(data):
     for r in got.itertuples():
         assert expected[(r.product_id, r.transaction_id)] == r.stock_after, \
             (r.product_id, r.transaction_id)
+
+
+def test_dwell_time_derivation_matches_stored(spark):
+    """W2: lead()-derived dwell times must equal the generated
+    view_duration for every page view."""
+    from big_data_analytics_spark.queries.ecommerce_shaped import ecom_dwell_times
+    row = ecom_dwell_times(spark, "/root/testdata/sf0.01").first()
+    assert row.n_views > 0
+    assert row.n_mismatching == 0
+    assert row.n_matching == row.n_views
