@@ -422,3 +422,87 @@ def f19_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lambda acc, x: acc + x) * 100.0 + 0.5)
          / 100.0).alias("qty_total"),
     )
+
+
+# --------------------------------------------------------------------
+# P5/P6/P17 — membership, regex-match, label-based selection.
+# --------------------------------------------------------------------
+@query(
+    "p6_membership_and_regex",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND regexp_matches(c_name, '[05]$')
+      AND NOT c_mktsegment IN ('AUTOMOBILE')
+    """,
+)
+def p6_membership_and_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin + rlike + negated membership (the pandas
+    str.contains / .loc label-select family, SURVEY §2.2 P5-P6, P17)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_name").rlike("[05]$")
+            & ~F.col("c_mktsegment").isin("AUTOMOBILE")
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------
+# U3/U4 — INTERSECT / EXCEPT (SURVEY §2.7: absent in the reference,
+# free built-ins on the extension surface).
+# --------------------------------------------------------------------
+@query(
+    "u3_intersect_except",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS which, nk FROM (
+        SELECT nk FROM cust_nations INTERSECT SELECT nk FROM supp_nations)
+    UNION ALL
+    SELECT 'cust_only' AS which, nk FROM (
+        SELECT nk FROM cust_nations EXCEPT SELECT nk FROM supp_nations)
+    """,
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection and difference on key sets."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")).distinct()
+    both = cust.intersect(supp).select(F.lit("both").alias("which"), "nk")
+    only = cust.exceptAll(supp).select(F.lit("cust_only").alias("which"), "nk")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------
+# F11 — sequence generation (date ranges; pd.date_range analogue,
+# visualizations.py:78).
+# --------------------------------------------------------------------
+@query(
+    "f11_date_sequence",
+    oracle="""
+    SELECT o_orderkey,
+           len(generate_series(date_trunc('month', o_orderdate),
+                               date_trunc('month', o_orderdate) + INTERVAL 11 MONTH,
+                               INTERVAL 1 MONTH)) AS n_months,
+           CAST(date_trunc('month', o_orderdate) + INTERVAL 11 MONTH AS TIMESTAMP)
+               AS horizon_end
+    FROM orders
+    WHERE o_orderkey % 500 = 0
+    """,
+)
+def f11_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence(start, stop, interval 1 month) — forecast-horizon
+    generation per row."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    start = F.date_trunc("month", F.col("o_orderdate"))
+    end = start + F.expr("INTERVAL 11 MONTHS")
+    return o.select(
+        "o_orderkey",
+        F.size(F.sequence(start, end, F.expr("INTERVAL 1 MONTH"))).alias("n_months"),
+        end.alias("horizon_end"),
+    )

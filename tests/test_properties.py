@@ -1,0 +1,82 @@
+"""Property-based checks (SURVEY.md §5 item 5, via hypothesis):
+partition-count invariance of the money convention, aggregate-vs-
+explode equivalence, LSH banding soundness on controlled inputs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.functions.money import money_sum
+
+MONEY = st.floats(min_value=0.0, max_value=1e6, allow_nan=False,
+                  allow_infinity=False)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(MONEY, min_size=1, max_size=60), st.integers(1, 7))
+def test_money_sum_partition_invariant(spark, values, n_parts):
+    """The whole point of the cents convention: the total is identical
+    under any partitioning (a raw double SUM is not)."""
+    df1 = spark.createDataFrame([(v,) for v in values], ["x"]).coalesce(1)
+    dfn = spark.createDataFrame([(v,) for v in values], ["x"]).repartition(n_parts)
+    a = df1.agg(money_sum("x").alias("s")).first().s
+    b = dfn.agg(money_sum("x").alias("s")).first().s
+    assert a == b  # bit-exact, not approx
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.integers(0, 1000), min_size=0, max_size=8),
+                min_size=1, max_size=15))
+def test_array_fold_equals_explode_sum(spark, arrays):
+    """A13: aggregate() over an array column == explode + groupBy sum."""
+    # explicit schema: inference fails when every array is empty
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(arrays)],
+        "id long, arr array<long>").cache()
+    folded = {
+        r.id: r.s for r in df.select(
+            "id", F.aggregate("arr", F.lit(0).cast("long"),
+                              lambda acc, x: acc + x).alias("s")).collect()
+    }
+    exploded = {
+        r.id: r.s for r in
+        df.select("id", F.explode_outer("arr").alias("v"))
+        .groupBy("id").agg(F.sum("v").alias("s")).collect()
+    }
+    for i, arr in enumerate(arrays):
+        assert folded[i] == sum(arr)
+        # explode_outer of [] gives one null row → sum null; fold gives 0
+        if arr:
+            assert exploded[i] == folded[i]
+        else:
+            assert exploded[i] is None
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(2, 30))
+def test_left_join_count_conservation(spark, n_right):
+    """J2 property: a left join on a unique right key preserves the
+    left row count exactly."""
+    left = spark.range(50).select(F.col("id").alias("k"))
+    right = spark.range(n_right).select(F.col("id").alias("k"),
+                                        F.lit(1).alias("v"))
+    joined = left.join(right, "k", "left")
+    assert joined.count() == 50
+
+
+def test_minhash_signature_identical_for_identical_sets(spark):
+    """Identical shingle sets ⇒ identical signatures, regardless of
+    the order tokens appear in the text."""
+    from big_data_analytics_spark.operators.dedup import minhash_signatures
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"])
+    sigs = [r.signature for r in
+            minhash_signatures(df, num_hashes=32).collect()]
+    assert sigs[0] == sigs[1]
