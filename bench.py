@@ -29,9 +29,12 @@ HEADLINE = [
     "a12_event_daily_metrics",
     "w5_customer_running_spend",
     "w7_sessionize_events",
+    "j7_regional_supplier_volume",
     "d1_exact_dedup",
+    "d2_minhash_lsh_pairs",
     "t5_corpus_stats",
     "v1_cosine_topk",
+    "ecom_clv",
 ]
 
 

@@ -113,10 +113,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # cached: the signature table feeds the band explode AND both sides
+    # of the scoring join — without materialization the (expensive)
+    # signature computation would run three times
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
 
+    # Band keys only: the candidate join and pair-dedup shuffle bare
+    # (band, hash, id) rows; the num_hashes-element signature arrays are
+    # re-attached once per *unique* candidate pair for scoring, so they
+    # never ride through the quadratic stage.
     banded = sigs.select(
-        id_col, "signature",
+        id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -125,27 +132,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 )).alias("band_hash"),
             ) for b in range(bands)
         ])).alias("bh"),
-    ).select(id_col, "signature", "bh.band", "bh.band_hash")
+    ).select(id_col, "bh.band", "bh.band_hash")
 
-    left = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    right = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    left = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))
     cand = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"),
+                        F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"),
+                        F.col("signature").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq)).cast("double")
         / F.size("sig_a")
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "id_a").join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

