@@ -299,7 +299,7 @@ def p11_part_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a5_monthly_revenue",
     oracle="""
-    SELECT date_trunc('month', o_orderdate) AS month,
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month,
            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_revenue,
            COUNT(*) AS order_count
     FROM orders
@@ -310,7 +310,9 @@ def a5_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_trunc('month') grouping — the monthly-sales-trend rollup."""
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                          "yyyy-MM-dd HH:mm:ss").alias("month"))
         .agg(
             money_sum("o_totalprice").alias("total_revenue"),
             F.count(F.lit(1)).alias("order_count"),
@@ -408,7 +410,7 @@ def a10_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a12_event_daily_metrics",
     oracle="""
-    SELECT date_trunc('day', ts) AS day,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
@@ -429,7 +431,8 @@ def a12_event_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(t):  # conditional counter
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
     return (
-        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        ev.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                 "yyyy-MM-dd HH:mm:ss").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),

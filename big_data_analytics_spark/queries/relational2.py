@@ -126,7 +126,7 @@ def a18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
-           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp,
+           CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS BIGINT) AS grp,
            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
            COUNT(*) AS n
     FROM orders
@@ -140,7 +140,7 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             (F.grouping("o_orderstatus")
-             + 2 * F.grouping("o_orderpriority")).alias("grp"),
+             + 2 * F.grouping("o_orderpriority")).cast("long").alias("grp"),
             money_sum("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -311,12 +311,12 @@ def p13_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           len(linenums) AS n_lines,
+           CAST(len(linenums) AS BIGINT) AS n_lines,
            linenums[1] AS first_line,
            linenums[-1] AS last_line,
            CAST(list_sum(linenums) AS BIGINT) AS line_sum,
            list_contains(flags, 'R') AS has_return,
-           len(flags) AS n_flags,
+           CAST(len(flags) AS BIGINT) AS n_flags,
            array_to_string(flags, ',') AS flags_csv
     FROM per_order
     """,
@@ -332,13 +332,13 @@ def f18_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.select(
         "l_orderkey",
-        F.size("linenums").alias("n_lines"),
+        F.size("linenums").cast("long").alias("n_lines"),
         F.element_at("linenums", 1).alias("first_line"),
         F.element_at("linenums", -1).alias("last_line"),
         F.aggregate("linenums", F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("line_sum"),
         F.array_contains("flags", "R").alias("has_return"),
-        F.size("flags").alias("n_flags"),
+        F.size("flags").cast("long").alias("n_flags"),
         F.array_join("flags", ",").alias("flags_csv"),
     )
 
@@ -394,7 +394,7 @@ def a15_exists_over_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           cardinality(qty_map) AS n_entries,
+           CAST(cardinality(qty_map) AS BIGINT) AS n_entries,
            array_to_string(list_sort(map_keys(qty_map)), ',') AS keys_csv,
            CAST(FLOOR(list_sum(map_values(qty_map)) * 100.0 + 0.5) AS BIGINT) / 100.0 AS qty_total
     FROM per_order
@@ -416,7 +416,7 @@ def f19_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.select(
         "l_orderkey",
-        F.size("qty_map").alias("n_entries"),
+        F.size("qty_map").cast("long").alias("n_entries"),
         F.array_join(F.array_sort(F.map_keys("qty_map")), ",").alias("keys_csv"),
         (F.floor(F.aggregate(F.map_values("qty_map"), F.lit(0.0),
                              lambda acc, x: acc + x) * 100.0 + 0.5)
@@ -486,11 +486,11 @@ def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f11_date_sequence",
     oracle="""
     SELECT o_orderkey,
-           len(generate_series(date_trunc('month', o_orderdate),
+           CAST(len(generate_series(date_trunc('month', o_orderdate),
                                date_trunc('month', o_orderdate) + INTERVAL 11 MONTH,
-                               INTERVAL 1 MONTH)) AS n_months,
-           CAST(date_trunc('month', o_orderdate) + INTERVAL 11 MONTH AS TIMESTAMP)
-               AS horizon_end
+                               INTERVAL 1 MONTH)) AS BIGINT) AS n_months,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL 11 MONTH,
+                    '%Y-%m-%d %H:%M:%S') AS horizon_end
     FROM orders
     WHERE o_orderkey % 500 = 0
     """,
@@ -503,6 +503,50 @@ def f11_date_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     end = start + F.expr("INTERVAL 11 MONTHS")
     return o.select(
         "o_orderkey",
-        F.size(F.sequence(start, end, F.expr("INTERVAL 1 MONTH"))).alias("n_months"),
-        end.alias("horizon_end"),
+        F.size(F.sequence(start, end, F.expr("INTERVAL 1 MONTH")))
+        .cast("long").alias("n_months"),
+        F.date_format(end, "yyyy-MM-dd HH:mm:ss").alias("horizon_end"),
+    )
+
+
+# --------------------------------------------------------------------
+# P19/P20/F16/F17 — sampling, bootstrap resample, random columns, ids.
+# Engine RNGs are not cross-engine comparable, so these are rows-only
+# checks for the driver; determinism-under-seed is tested in
+# tests/test_sampling.py.
+# --------------------------------------------------------------------
+@query("p19_sample_and_split")
+def p19_sample_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + randomSplit accounting: fraction
+    sampled, per-split counts (sum == total), and a bootstrap
+    (with-replacement) resample size — the P19/P20 surface."""
+    o = load_table(spark, sf_dir, "orders")
+    total = o.count()
+    sampled = o.sample(fraction=0.1, seed=42).count()
+    boot = o.sample(withReplacement=True, fraction=1.0, seed=7).count()
+    train, test = o.randomSplit([0.8, 0.2], seed=42)
+    n_train, n_test = train.count(), test.count()
+    return spark.createDataFrame(
+        [(total, sampled, boot, n_train, n_test, n_train + n_test)],
+        "total long, sampled long, bootstrap long, train long, test long, split_sum long",
+    )
+
+
+@query("f17_id_generation")
+def f17_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — id generation tiers: deterministic hash ids (test-stable,
+    the engine's default), uuid() and monotonically_increasing_id()
+    (run-unique). Returns uniqueness accounting over customers."""
+    c = load_table(spark, sf_dir, "customer")
+    with_ids = c.select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", F.lit("cust"), F.col("c_custkey")), 256).alias("hash_id"),
+        F.expr("uuid()").alias("uuid_id"),
+        F.monotonically_increasing_id().alias("mono_id"),
+    )
+    return with_ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("hash_id").alias("n_hash_ids"),
+        F.countDistinct("uuid_id").alias("n_uuid_ids"),
+        F.countDistinct("mono_id").alias("n_mono_ids"),
     )

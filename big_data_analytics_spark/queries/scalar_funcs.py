@@ -31,7 +31,7 @@ from big_data_analytics_spark.queries import query
            upper(c_mktsegment) AS seg_upper,
            lower(c_name) AS name_lower,
            substr(c_name, 1, 8) AS name_prefix,
-           length(c_name) AS name_len,
+           CAST(length(c_name) AS BIGINT) AS name_len,
            regexp_replace(c_name, '[0-9]', '', 'g') AS name_no_digits,
            replace(c_name, '#', '-') AS name_dash,
            lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
@@ -52,7 +52,7 @@ def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_mktsegment").alias("seg_upper"),
         F.lower("c_name").alias("name_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.regexp_replace("c_name", "[0-9]", "").alias("name_no_digits"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
         F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
@@ -70,13 +70,13 @@ def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f8_date_functions",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS order_year,
-           quarter(o_orderdate) AS order_quarter,
-           month(o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
            strftime(o_orderdate, '%Y%m%d') AS yyyymmdd,
            strftime(o_orderdate, '%Y-%m') AS year_month,
-           date_trunc('month', o_orderdate) AS month_start,
-           o_orderdate + INTERVAL 30 DAY AS due_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS due_date,
            CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch0
     FROM orders
     """,
@@ -88,13 +88,13 @@ def f8_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("order_year"),
-        F.quarter(d).alias("order_quarter"),
-        F.month(d).alias("order_month"),
+        F.year(d).cast("long").alias("order_year"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.month(d).cast("long").alias("order_month"),
         F.date_format(d, "yyyyMMdd").alias("yyyymmdd"),
         F.date_format(d, "yyyy-MM").alias("year_month"),
-        F.date_trunc("month", d).alias("month_start"),
-        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd HH:mm:ss").alias("month_start"),
+        F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd HH:mm:ss").alias("due_date"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long")
         .alias("days_since_epoch0"),
     )

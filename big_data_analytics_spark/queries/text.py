@@ -75,9 +75,9 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t1_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len({_ORACLE_TOKENS}) END AS n_tokens,
-           length(text) AS n_chars_measured,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_ORACLE_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
            n_chars
     FROM documents
     """,
@@ -88,8 +88,9 @@ def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(F.length(F.trim(F.col("text"))) == 0, 0)
-        .otherwise(F.size(_tokens(F.col("text")))).alias("n_tokens"),
-        F.length("text").alias("n_chars_measured"),
+        .otherwise(F.size(_tokens(F.col("text"))))
+        .cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         "n_chars",
     )
 
@@ -101,8 +102,8 @@ def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_quality_scores",
     oracle=f"""
     SELECT doc_id,
-           length(text) AS n_chars_m,
-           len({_ORACLE_TOKENS}) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len({_ORACLE_TOKENS}) AS BIGINT) AS n_tokens,
            CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n]', '', 'g')) AS DOUBLE)
                / length(text) AS punct_ratio,
            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
@@ -129,8 +130,8 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        n.alias("n_chars_m"),
-        F.size(toks).alias("n_tokens"),
+        n.cast("long").alias("n_chars_m"),
+        F.size(toks).cast("long").alias("n_tokens"),
         # "punctuation" = anything outside alnum/whitespace (POSIX
         # [[:punct:]] parses differently in Java regex vs RE2)
         removed(r"[^a-zA-Z0-9 \t\n]").alias("punct_ratio"),
@@ -150,14 +151,16 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
         SELECT doc_id, lang,
                len(list_intersect({_ORACLE_TOKENS},
-                   ['the','a','and','of','to','in','is','on','for','with'])) AS en_hits,
+                   ['the','a','and','of','to','in','is','on','for','with'])) AS en_raw,
                len(list_intersect({_ORACLE_TOKENS},
-                   ['el','la','de','en','y','que','los','por','con','una'])) AS es_hits
+                   ['el','la','de','en','y','que','los','por','con','una'])) AS es_raw
         FROM documents
     )
-    SELECT doc_id, lang AS labeled_lang, en_hits, es_hits,
-           CASE WHEN en_hits >= es_hits AND en_hits > 0 THEN 'en'
-                WHEN es_hits > en_hits THEN 'es'
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(en_raw AS BIGINT) AS en_hits,
+           CAST(es_raw AS BIGINT) AS es_hits,
+           CASE WHEN en_raw >= es_raw AND en_raw > 0 THEN 'en'
+                WHEN es_raw > en_raw THEN 'es'
                 ELSE 'unknown' END AS predicted_lang
     FROM feat
     """,
@@ -172,7 +175,8 @@ def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     es = F.size(F.array_intersect(toks, F.array([F.lit(s) for s in ES_STOP])))
     return (
         docs.select("doc_id", F.col("lang").alias("labeled_lang"),
-                    en.alias("en_hits"), es.alias("es_hits"))
+                    en.cast("long").alias("en_hits"),
+                    es.cast("long").alias("es_hits"))
         .withColumn(
             "predicted_lang",
             F.when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") > 0), "en")

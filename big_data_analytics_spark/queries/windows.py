@@ -85,7 +85,8 @@ def w5_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w4_latest_order_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey AS latest_orderkey,
-           o_orderdate AS latest_orderdate, o_totalprice AS latest_total
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate,
+           o_totalprice AS latest_total
     FROM (
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -106,7 +107,8 @@ def w4_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("latest_orderkey"),
-            F.col("o_orderdate").alias("latest_orderdate"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            .alias("latest_orderdate"),
             F.col("o_totalprice").alias("latest_total"),
         )
     )
@@ -137,8 +139,8 @@ def w4_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
     FROM numbered
     GROUP BY user_id, session_seq
@@ -161,8 +163,44 @@ def w7_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
             (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Ranking functions (SURVEY §2.5: absent in the reference, free
+# built-ins for the extension surface): rank / dense_rank / ntile.
+# --------------------------------------------------------------------
+@query(
+    "wr_rank_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def wr_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/row_number over a deterministic
+    (price desc, key) order."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        # cast to long: Spark rank functions return int, DuckDB BIGINT
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
     )
