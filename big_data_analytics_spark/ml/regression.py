@@ -160,3 +160,51 @@ def bootstrap_se(df: DataFrame, statistic, B: int = 100,
         vals.append(statistic(rep))
     mean = sum(vals) / B
     return math.sqrt(sum((v - mean) ** 2 for v in vals) / (B - 1))
+
+
+def ols_prediction_intervals(df_train: DataFrame, fit: OLSResult,
+                             df_new: DataFrame,
+                             alpha: float = 0.05) -> DataFrame:
+    """Prediction intervals for new observations (reference:
+    get_prediction().summary_frame() / conf_int(obs=True),
+    codes_in_book_of_statisct.ipynb:6997-7042 — SURVEY §2.9 M1 "not
+    built-in → closed-form via summary stats").
+
+    Closed form: ŷ ± z·σ̂·sqrt(1 + h(x)), h(x) = x̃ᵀ(XᵀX)⁻¹x̃ with
+    x̃ = [features..., 1]. (XᵀX) is accumulated as one distributed
+    aggregate over the *training* frame; the (p+1)² inverse is
+    driver-side; the interval is then a pure column expression over
+    ``df_new`` — nothing collects. Normal z in place of t (exact-t
+    needs scipy; negligible at notebook n).
+    """
+    feats = fit.features
+    p = len(feats)
+    cols = feats + ["__one"]
+    df1 = df_train.withColumn("__one", F.lit(1.0))
+    aggs = []
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            aggs.append(F.sum(F.col(cols[i]) * F.col(cols[j]))
+                        .alias(f"xx_{i}_{j}"))
+    r = df1.agg(*aggs).first()
+    xtx = [[0.0] * (p + 1) for _ in range(p + 1)]
+    for i in range(p + 1):
+        for j in range(i, p + 1):
+            xtx[i][j] = xtx[j][i] = r[f"xx_{i}_{j}"]
+    from big_data_analytics_spark.ml.classify import _inv
+    xtx_inv = _inv(xtx)
+
+    sigma2 = fit.rss / (fit.n - p - 1)
+    z = _z_crit(alpha)
+
+    pred = fit.predict(df_new)
+    xs = [F.col(f) for f in feats] + [F.lit(1.0)]
+    h = F.lit(0.0)
+    for i in range(p + 1):
+        for j in range(p + 1):
+            h = h + F.lit(xtx_inv[i][j]) * xs[i] * xs[j]
+    half = F.lit(z) * F.sqrt(F.lit(sigma2) * (F.lit(1.0) + h))
+    return (
+        pred.withColumn("pi_lower", F.col("prediction") - half)
+        .withColumn("pi_upper", F.col("prediction") + half)
+    )

@@ -208,3 +208,29 @@ def test_feature_helpers(spark):
     assert poly.filter(F.col("x_pow3") != F.pow("x", 3)).count() == 0
     tr, te = features.train_test_split(df, 0.5, seed=1)
     assert tr.count() + te.count() == 4
+
+
+def test_prediction_intervals_closed_form(spark, reg_data):
+    """PI bounds match the numpy closed form and achieve ~95% coverage
+    on the training data."""
+    df, x1, x2, y = reg_data
+    fit = regression.ols_fit(df, ["x1", "x2"], "y")
+    got = regression.ols_prediction_intervals(df, fit, df).toPandas()
+    X = np.column_stack([x1, x2, np.ones(len(y))])
+    xtx_inv = np.linalg.inv(X.T @ X)
+    beta, _, rss = _numpy_ols(np.column_stack([x1, x2]), y)
+    sigma2 = rss / (len(y) - 3)
+    z = 1.959963984540054
+    # closed-form check on each row
+    pred_map = {(round(r.x1, 9), round(r.x2, 9)): r for r in got.itertuples()}
+    for i in range(0, len(y), 97):
+        xt = np.array([x1[i], x2[i], 1.0])
+        h = float(xt @ xtx_inv @ xt)
+        half = z * math.sqrt(sigma2 * (1 + h))
+        center = float(xt @ beta)
+        r = pred_map[(round(x1[i], 9), round(x2[i], 9))]
+        assert r.pi_lower == pytest.approx(center - half, abs=1e-6)
+        assert r.pi_upper == pytest.approx(center + half, abs=1e-6)
+    # empirical coverage ≈ 95%
+    covered = ((got.pi_lower <= got.y) & (got.y <= got.pi_upper)).mean()
+    assert covered > 0.92
