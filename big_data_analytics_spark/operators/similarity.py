@@ -182,3 +182,70 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cell probing
+# ---------------------------------------------------------------------
+
+def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_cells: int = 16,
+              seed: int = 7):
+    """Partition the corpus into ``n_cells`` Voronoi cells via MLlib
+    KMeans (the FAISS IVF coarse quantizer). Returns (assignments df
+    with a ``cell`` column, centroid list). At 100 TB: fit the
+    quantizer on a sample, assign in one narrow map, and store the
+    corpus partitioned/bucketed by cell so a probe reads only
+    nprobe/n_cells of the data (partition pruning does the rest)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        id_col, vec_col,
+        array_to_vector(as_double(F.col(vec_col))).alias("__v"),
+    )
+    km = KMeans(featuresCol="__v", k=n_cells, seed=seed).fit(vecs)
+    assigned = km.transform(vecs).select(
+        id_col, vec_col, F.col("prediction").alias("cell"))
+    centroids = [list(c) for c in km.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
+             queries: DataFrame, k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, exact-rerank the
+    candidates. Driver computes query→cell distances (tiny: |queries| ×
+    n_cells); the candidate scan covers only the probed cells."""
+    import math
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        dists = [
+            (ci, math.dist(qv, c)) for ci, c in enumerate(centroids)
+        ]
+        dists.sort(key=lambda t: t[1])
+        for ci, _ in dists[:nprobe]:
+            probe_pairs.append((r[query_id_col], ci, qv))
+    probes = assigned.sparkSession.createDataFrame(
+        probe_pairs, f"{query_id_col} long, cell int, qv array<double>")
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        "qv",
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = cand.select(
+        query_id_col, "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", "cosine")
+    )

@@ -41,6 +41,7 @@ def load_all() -> dict[str, Query]:
     from big_data_analytics_spark.queries import (  # noqa: F401
         relational,
         relational2,
+        tpch_extra,
         windows,
         scalar_funcs,
         text,

@@ -84,3 +84,42 @@ def stream_from_parquet(spark, path: str, schema) -> DataFrame:
     """File-source stream over a parquet directory (the test harness's
     replayable source; production swaps in Kafka with the same plan)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def start_upsert_metrics_sink(spark, source: DataFrame, target_dir: str,
+                              checkpoint_dir: str):
+    """foreachBatch upsert of the daily-metrics rollup into a Parquet
+    target — the streaming restatement of the reference's batched
+    HBase loader (/root/reference/load_hbase.py:191-217), with the two
+    properties that loader lacks:
+
+    - **idempotence**: each micro-batch *overwrites* the day-partition
+      keys it touches (dynamic partition overwrite) instead of
+      incrementing counters, so replays don't double-count;
+    - **resumability**: progress lives in the checkpoint, not in a
+      Python loop's local state.
+
+    Semantics are last-writer-wins per day-partition: correct when a
+    micro-batch carries complete days (e.g. daily file drops). For
+    finer-grained batches, compute the rollup with the stateful
+    ``daily_event_counts`` aggregation in update mode instead, or
+    merge-read the target inside the batch function — this sink
+    demonstrates the idempotent-overwrite mechanism.
+
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        rollup = daily_event_counts(batch_df)
+        (rollup.withColumn("day_key", F.date_format("day", "yyyyMMdd"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("day_key")
+         .parquet(target_dir))
+
+    return (
+        source.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -127,3 +127,38 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     row = df.select(word_shingles(F.col("text"), 3).alias("s")).first()
     assert row.s == ["hello world"]  # shorter than k → whole doc
+
+
+def test_clean_corpus_pipeline(spark):
+    """The composed cleanup chain: every stage removes exactly what its
+    predicate says, and the report accounts for every document."""
+    from pyspark.sql import functions as F
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.operators.corpus import clean_corpus
+
+    base = load_table(spark, SF_CORRECT, "documents").filter(
+        F.col("doc_id") < 100)
+    # plant: one exact copy, one junk doc (all digits), one short doc
+    extra = spark.createDataFrame(
+        [(5000, base.filter(F.col("doc_id") == 0).first().text, "en", "x", 1),
+         (5001, "1234567890 " * 20, "en", "x", 1),
+         (5002, "too short", "en", "x", 1),
+         (5003, "ein deutscher text " * 20, "de", "x", 1)],
+        base.schema.names)
+    corpus = base.unionByName(extra)
+    cleaned, report = clean_corpus(corpus, languages=("en", "es", "zh", "fr"))
+    # independently recompute each stage's expectation
+    from big_data_analytics_spark.operators.corpus import quality_predicate
+    langs = ("en", "es", "zh", "fr")
+    exp_quality = corpus.filter(quality_predicate(F.col("text"))).count()
+    exp_lang = corpus.filter(
+        quality_predicate(F.col("text")) & F.col("lang").isin(*langs)).count()
+    assert report.n_input == 104
+    assert report.n_after_quality == exp_quality
+    assert exp_quality <= 102                   # junk + short dropped at least
+    assert report.n_after_language == exp_lang  # fixture 'de'/other + planted de
+    assert report.n_after_exact_dedup == exp_lang - 1  # planted copy dropped
+    assert report.n_after_near_dedup <= report.n_after_exact_dedup
+    ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    assert 5000 not in ids and 5001 not in ids and 5002 not in ids and 5003 not in ids
+    assert 0 in ids

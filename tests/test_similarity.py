@@ -88,3 +88,26 @@ def test_embedding_near_dup(spark, emb):
     assert recall >= 0.9, f"near-dup recall {recall}"
     # no false positives at the 0.999 bar among random 64-dim vectors
     assert all(c >= 0.999 for c in pairs.cosine)
+
+
+def test_ivf_topk_recall(spark, emb, corpus, queries):
+    """IVF coarse-quantizer ANN: nprobe=6 of 12 cells must recover most
+    of the exact top-10 (random 64-dim data is a worst case — real
+    clustered embeddings do far better at lower nprobe)."""
+    from big_data_analytics_spark.operators.similarity import ivf_build, ivf_topk
+
+    assigned, centroids = ivf_build(corpus, n_cells=12, seed=7)
+    exact = cosine_topk(corpus, queries, k=10).toPandas()
+    approx = ivf_topk(assigned, centroids, queries, k=10, nprobe=6).toPandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall > 0.5, recalls
+    # probing ALL cells must give exact results
+    full = ivf_topk(assigned, centroids, queries, k=10, nprobe=12).toPandas()
+    for qid in exact.query_id.unique():
+        assert (set(full[full.query_id == qid].neighbor_id)
+                == set(exact[exact.query_id == qid].neighbor_id))

@@ -104,3 +104,36 @@ def test_watermark_bounds_state(spark, event_dir):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_foreach_batch_upsert_idempotent(spark, event_dir):
+    """foreachBatch + dynamic partition overwrite: running the stream
+    twice over the same source must NOT double-count (the reference's
+    HBase counter loader does — load_hbase.py:146-152)."""
+    import tempfile
+
+    from big_data_analytics_spark.streaming.events import (
+        start_upsert_metrics_sink,
+    )
+
+    batch_df = spark.read.parquet(event_dir)
+    target = tempfile.mkdtemp(prefix="upsert_target_")
+    ckpt1 = tempfile.mkdtemp(prefix="upsert_ckpt1_")
+    src = (spark.readStream.schema(batch_df.schema)
+           .option("maxFilesPerTrigger", 2).parquet(event_dir))
+    q = start_upsert_metrics_sink(spark, src, target, ckpt1)
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).agg(F.sum("n_events")).first()[0]
+
+    # fresh checkpoint → full replay → same target: counts unchanged
+    ckpt2 = tempfile.mkdtemp(prefix="upsert_ckpt2_")
+    src2 = (spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 2).parquet(event_dir))
+    q2 = start_upsert_metrics_sink(spark, src2, target, ckpt2)
+    q2.awaitTermination(120)
+    second = spark.read.parquet(target).agg(F.sum("n_events")).first()[0]
+    assert first == second
+
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt1, ignore_errors=True)
+    shutil.rmtree(ckpt2, ignore_errors=True)
