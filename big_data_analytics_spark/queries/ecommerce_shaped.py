@@ -33,8 +33,11 @@ def _fixture(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     n_sessions = 500 if "0.001" in sf_dir else 2000
     key = (id(spark), n_sessions)
     if key not in _CACHE:
-        _CACHE[key] = gen_all(spark, n_users=100, n_products=50,
-                              n_categories=5, n_sessions=n_sessions)
+        d = gen_all(spark, n_users=100, n_products=50,
+                    n_categories=5, n_sessions=n_sessions)
+        # persist: several registered queries share the same fixture —
+        # without caching each one regenerates the nested sessions
+        _CACHE[key] = {k: v.cache() for k, v in d.items()}
     return _CACHE[key]
 
 
