@@ -53,3 +53,58 @@ def roc_auc(pred: DataFrame, label: str = "label", score: str = "p1") -> float:
     if not row.npos or not row.nneg:
         return float("nan")
     return (row.rpos - row.npos * (row.npos + 1) / 2) / (row.npos * row.nneg)
+
+
+def describe_exact(pred: DataFrame, cols: list[str]) -> DataFrame:
+    """pandas describe() with EXACT quartiles (Spark's summary() uses
+    approx percentiles — SURVEY §2.4 A8 pin). One aggregate pass; rows:
+    count/mean/std/min/25%/50%/75%/max, one column per input."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__count"),
+            F.avg(col).alias(f"{c}__mean"),
+            F.stddev_samp(col).alias(f"{c}__std"),
+            F.min(col).alias(f"{c}__min"),
+            F.percentile(col, F.lit(0.25)).alias(f"{c}__25%"),
+            F.percentile(col, F.lit(0.5)).alias(f"{c}__50%"),
+            F.percentile(col, F.lit(0.75)).alias(f"{c}__75%"),
+            F.max(col).alias(f"{c}__max"),
+        ]
+    row = pred.agg(*aggs).first()
+    stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+    data = [tuple([s] + [float(row[f"{c}__{s}"]) for c in cols]) for s in stats]
+    spark = pred.sparkSession
+    return spark.createDataFrame(data, ["summary"] + list(cols))
+
+
+def multiclass_metrics(pred: DataFrame, label: str = "label",
+                       prediction: str = "prediction") -> dict[str, float]:
+    """Accuracy + macro precision/recall/F1 from the confusion counts —
+    one groupBy, driver-side O(K²) arithmetic."""
+    counts = pred.groupBy(label, prediction).count().collect()
+    classes = sorted({r[label] for r in counts} | {r[prediction] for r in counts})
+    tp = {k: 0 for k in classes}
+    fp = {k: 0 for k in classes}
+    fn = {k: 0 for k in classes}
+    total = correct = 0
+    for r in counts:
+        total += r["count"]
+        if r[label] == r[prediction]:
+            tp[r[label]] += r["count"]
+            correct += r["count"]
+        else:
+            fn[r[label]] += r["count"]
+            fp[r[prediction]] += r["count"]
+    precs, recs, f1s = [], [], []
+    for k in classes:
+        p = tp[k] / (tp[k] + fp[k]) if tp[k] + fp[k] else 0.0
+        r_ = tp[k] / (tp[k] + fn[k]) if tp[k] + fn[k] else 0.0
+        precs.append(p); recs.append(r_)
+        f1s.append(2 * p * r_ / (p + r_) if p + r_ else 0.0)
+    n = len(classes)
+    return {"accuracy": correct / total,
+            "macro_precision": sum(precs) / n,
+            "macro_recall": sum(recs) / n,
+            "macro_f1": sum(f1s) / n}

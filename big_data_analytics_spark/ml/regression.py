@@ -208,3 +208,39 @@ def ols_prediction_intervals(df_train: DataFrame, fit: OLSResult,
         pred.withColumn("pi_lower", F.col("prediction") - half)
         .withColumn("pi_upper", F.col("prediction") + half)
     )
+
+
+def mallows_cp(fit: OLSResult, sigma2_full: float) -> float:
+    """Mallows Cp = RSS/σ²_full − n + 2(p+1) (reference: nCp,
+    explained_codes.ipynb:519-543)."""
+    p = len(fit.features)
+    return fit.rss / sigma2_full - fit.n + 2 * (p + 1)
+
+
+def forward_stepwise(df: DataFrame, candidates: list[str], label: str,
+                     max_features: int | None = None) -> list[dict]:
+    """Forward stepwise selection (reference: Stepwise.first_peak,
+    explained_codes.ipynb:519-670): greedily add the feature that most
+    reduces RSS; report RSS/R²/Cp per step. Driver loop over MLlib
+    fits — each fit is distributed; the loop is O(k·p) fits."""
+    full = ols_fit(df, candidates, label)
+    sigma2_full = full.rss / (full.n - len(candidates) - 1)
+    selected: list[str] = []
+    path: list[dict] = []
+    while candidates and (max_features is None or len(selected) < max_features):
+        best = None
+        for c in candidates:
+            fit = ols_fit(df, selected + [c], label)
+            if best is None or fit.rss < best[1].rss:
+                best = (c, fit)
+        c, fit = best
+        selected.append(c)
+        candidates = [x for x in candidates if x != c]
+        path.append({
+            "added": c,
+            "features": list(selected),
+            "rss": fit.rss,
+            "r2": fit.r2,
+            "cp": mallows_cp(fit, sigma2_full),
+        })
+    return path

@@ -118,3 +118,34 @@ def grid_search_cv(df: DataFrame, features: list[str], label: str,
     metrics = dict(zip(max_depths, model.avgMetrics))
     best_depth = model.bestModel.getMaxDepth()
     return model.bestModel, best_depth, metrics
+
+
+def staged_gbt_error(df: DataFrame, features: list[str], label: str,
+                     max_iter: int = 30, step_size: float = 0.2,
+                     max_depth: int = 3, seed: int = 0) -> list[float]:
+    """Per-iteration training error of a GBT fit (reference: the staged
+    test-error curve, BasicsDecisionTree.ipynb:2744-2806) via
+    ``evaluateEachIteration`` — one distributed pass per iteration over
+    the ensemble prefix."""
+    assembler = VectorAssembler(inputCols=features, outputCol="__features")
+    assembled = assembler.transform(df)
+    gbt = GBTRegressor(featuresCol="__features", labelCol=label,
+                       maxIter=max_iter, stepSize=step_size,
+                       maxDepth=max_depth, seed=seed)
+    model = gbt.fit(assembled)
+    return list(model.evaluateEachIteration(assembled, "squared"))
+
+
+def one_vs_rest_classifier(df: DataFrame, features: list[str], label: str,
+                           max_iter: int = 50):
+    """Multiclass via one-vs-rest logistic models (reference: SVC
+    decision_function_shape='ovo', SVM.ipynb:3337 — OVR is the
+    documented MLlib substitute, SURVEY §2.9 M10)."""
+    from pyspark.ml.classification import OneVsRest
+
+    assembler = VectorAssembler(inputCols=features, outputCol="__features")
+    base = LogisticRegression(featuresCol="__features", labelCol=label,
+                              maxIter=max_iter)
+    ovr = OneVsRest(classifier=base, featuresCol="__features", labelCol=label)
+    model = ovr.fit(assembler.transform(df))
+    return model, lambda d: model.transform(assembler.transform(d))

@@ -103,3 +103,63 @@ def test_grid_search_cv_picks_capacity(carseats_like):
     # depth-1 underfits a two-regime target; CV must not pick it
     assert best_depth > 1
     assert metrics[1] > metrics[best_depth]  # rmse: lower is better
+
+
+def test_staged_gbt_error_decreases(carseats_like):
+    from big_data_analytics_spark.ml.trees import staged_gbt_error
+    errors = staged_gbt_error(carseats_like, ["x1", "x2", "x3"], "y",
+                              max_iter=15)
+    assert len(errors) == 15
+    assert errors[-1] < errors[0]          # boosting reduces training MSE
+    assert errors[-1] < 0.6 * errors[0]
+
+
+def test_one_vs_rest_multiclass(spark):
+    import numpy as np
+    from big_data_analytics_spark.ml.trees import one_vs_rest_classifier
+    from big_data_analytics_spark.ml.evaluate import multiclass_metrics
+
+    rng = np.random.default_rng(31)
+    centers = [(-4, 0), (4, 0), (0, 5)]
+    rows = []
+    for lbl, (cx, cy) in enumerate(centers):
+        pts = rng.normal([cx, cy], 0.8, (150, 2))
+        rows += [(float(a), float(b), lbl) for a, b in pts]
+    df = spark.createDataFrame(rows, ["f1", "f2", "label"]).cache()
+    model, predict = one_vs_rest_classifier(df, ["f1", "f2"], "label")
+    m = multiclass_metrics(predict(df))
+    assert m["accuracy"] > 0.95
+    assert m["macro_f1"] > 0.95
+
+
+def test_forward_stepwise_cp(spark):
+    import numpy as np
+    from big_data_analytics_spark.ml.regression import forward_stepwise
+
+    rng = np.random.default_rng(33)
+    n = 400
+    x1 = rng.normal(0, 1, n)          # strong signal
+    x2 = rng.normal(0, 1, n)          # weak signal
+    x3 = rng.normal(0, 1, n)          # pure noise
+    y = 4 * x1 + 1 * x2 + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t))
+         for a, b, c, t in zip(x1, x2, x3, y)],
+        ["x1", "x2", "x3", "y"])
+    path = forward_stepwise(df, ["x1", "x2", "x3"], "y")
+    assert [s["added"] for s in path[:2]] == ["x1", "x2"]  # signal first
+    assert path[0]["rss"] > path[1]["rss"] >= path[2]["rss"]
+    # Cp is minimized at the true model size (2), not the full model
+    cps = [s["cp"] for s in path]
+    assert cps[1] <= cps[0] and cps[1] <= cps[2] + 2.0
+
+
+def test_describe_exact_matches_pandas(spark, carseats_like):
+    from big_data_analytics_spark.ml.evaluate import describe_exact
+    got = describe_exact(carseats_like, ["x1", "y"]).toPandas().set_index("summary")
+    pdf = carseats_like.select("x1", "y").toPandas()
+    exp = pdf.describe()
+    for stat in ("mean", "std", "min", "25%", "50%", "75%", "max"):
+        assert got.loc[stat, "x1"] == pytest.approx(exp.loc[stat, "x1"], rel=1e-9)
+        assert got.loc[stat, "y"] == pytest.approx(exp.loc[stat, "y"], rel=1e-9)
+    assert got.loc["count", "x1"] == len(pdf)
