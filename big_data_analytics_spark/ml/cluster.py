@@ -89,3 +89,29 @@ def cumulative_explained_variance(ratios: list[float]) -> list[float]:
         acc += r
         out.append(acc)
     return out
+
+
+def calinski_harabasz(preds: DataFrame, features: list[str]) -> float:
+    """Calinski–Harabasz index = (B/(k−1)) / (W/(n−k)) from the same
+    per-cluster aggregates as Davies–Bouldin (reference:
+    calinski_harabasz_score — SURVEY §2.9 M11)."""
+    stats = (
+        preds.groupBy("prediction")
+        .agg(*[F.avg(f).alias(f"c_{f}") for f in features],
+             F.count(F.lit(1)).alias("n"),
+             *[F.sum(F.pow(F.col(f), 2)).alias(f"ss_{f}") for f in features])
+        .collect()
+    )
+    n_total = sum(r.n for r in stats)
+    k = len(stats)
+    grand = [sum(r[f"c_{f}"] * r.n for r in stats) / n_total for f in features]
+    between = sum(
+        r.n * sum((r[f"c_{f}"] - g) ** 2 for f, g in zip(features, grand))
+        for r in stats
+    )
+    # within-SS per cluster: Σx² − n·c² (per feature)
+    within = sum(
+        sum(r[f"ss_{f}"] - r.n * r[f"c_{f}"] ** 2 for f in features)
+        for r in stats
+    )
+    return (between / (k - 1)) / (within / (n_total - k))

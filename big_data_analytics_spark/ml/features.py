@@ -71,3 +71,18 @@ def temporal_split(df: DataFrame, ts_col: str, cutoff) -> tuple[DataFrame, DataF
     """Train = before cutoff, test = from cutoff (reference: Smarket
     Year<2005 split, data_mining_Assignment1.ipynb:1561)."""
     return df.filter(F.col(ts_col) < cutoff), df.filter(F.col(ts_col) >= cutoff)
+
+
+def impute_mean(df: DataFrame, cols: list[str], strategy: str = "mean") -> DataFrame:
+    """Null imputation (reference: SimpleImputer(strategy='mean'),
+    data_mining_Assignment1.ipynb — SURVEY §2.9 M16) via MLlib Imputer;
+    imputed values replace the originals in place."""
+    from pyspark.ml.feature import Imputer
+
+    out_cols = [f"__imp_{c}" for c in cols]
+    model = Imputer(inputCols=cols, outputCols=out_cols,
+                    strategy=strategy).fit(df)
+    imputed = model.transform(df)
+    for c, o in zip(cols, out_cols):
+        imputed = imputed.drop(c).withColumnRenamed(o, c)
+    return imputed

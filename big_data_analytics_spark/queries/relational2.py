@@ -550,3 +550,57 @@ def f17_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("uuid_id").alias("n_uuid_ids"),
         F.countDistinct("mono_id").alias("n_mono_ids"),
     )
+
+
+# --------------------------------------------------------------------
+# J5 — key-decomposition join: composite row keys split back to join
+# keys (the reference's HBase row-key parse, load_hbase.py:116-117 +
+# clv_integration.py:27).
+# --------------------------------------------------------------------
+@query(
+    "j5b_rowkey_decompose_join",
+    oracle="""
+    WITH keyed AS (
+        SELECT concat(CAST(o_custkey AS VARCHAR), '#',
+                      strftime(o_orderdate, '%Y%m%d'), '#',
+                      CAST(o_orderkey AS VARCHAR)) AS row_key,
+               o_totalprice
+        FROM orders
+    ), decomposed AS (
+        SELECT CAST(split_part(row_key, '#', 1) AS BIGINT) AS custkey,
+               split_part(row_key, '#', 2) AS day_key,
+               o_totalprice
+        FROM keyed
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(d.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM decomposed d JOIN customer c ON d.custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j5b_rowkey_decompose_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build HBase-style composite row keys (custkey#yyyymmdd#orderkey),
+    split the key back out, and join on the decomposed component — the
+    pattern the reference runs in driver-side Python. In the native
+    design the key never leaves relational form; this query proves the
+    round-trip is lossless."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.concat_ws("#", F.col("o_custkey").cast("string"),
+                    F.date_format("o_orderdate", "yyyyMMdd"),
+                    F.col("o_orderkey").cast("string")).alias("row_key"),
+        "o_totalprice",
+    )
+    decomposed = keyed.select(
+        F.split("row_key", "#").getItem(0).cast("long").alias("custkey"),
+        F.split("row_key", "#").getItem(1).alias("day_key"),
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        decomposed.join(c, decomposed.custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money_sum("o_totalprice").alias("revenue"))
+    )

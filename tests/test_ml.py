@@ -234,3 +234,26 @@ def test_prediction_intervals_closed_form(spark, reg_data):
     # empirical coverage ≈ 95%
     covered = ((got.pi_lower <= got.y) & (got.y <= got.pi_upper)).mean()
     assert covered > 0.92
+
+
+def test_imputer_fills_nulls(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0), (None, 20.0)],
+        "a double, b double")
+    out = features.impute_mean(df, ["a", "b"])
+    rows = out.collect()
+    assert all(r.a is not None and r.b is not None for r in rows)
+    vals_a = sorted(r.a for r in rows)
+    assert vals_a == [1.0, 2.0, 2.0, 3.0]  # null -> mean(1,2,3)=2
+
+
+def test_calinski_harabasz(spark):
+    import numpy as np
+    rng = np.random.default_rng(44)
+    tight = []
+    for cx, cy in [(-5, -5), (5, 5)]:
+        tight += [(float(a), float(b)) for a, b in rng.normal([cx, cy], 0.3, (80, 2))]
+    df = spark.createDataFrame(tight, ["f1", "f2"])
+    _, preds, _ = cluster.kmeans_fit(df, ["f1", "f2"], k=2, seed=3)
+    ch = cluster.calinski_harabasz(preds, ["f1", "f2"])
+    assert ch > 1000  # far-separated tight clusters → huge CH
