@@ -46,6 +46,18 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Signature computation is CPU-bound; a small-file corpus read as
+    1-2 partitions would leave every other core idle. Repartition up to
+    the cluster's default parallelism when the input is under it — a
+    cheap shuffle of raw text locally, and a no-op at real scale where
+    inputs already carry many partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized content.
@@ -88,7 +100,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """(id, signature) per document; empty documents are dropped."""
     sh = word_shingles(F.col(text_col), shingle_k)
     return (
-        df.withColumn("__sh", sh)
+        _ensure_parallelism(df).withColumn("__sh", sh)
         .filter(F.size("__sh") > 0)
         .select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("signature"))
     )
@@ -203,7 +215,7 @@ def simhash(col: Column, bits: int = 64) -> Column:
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    return df.select(id_col, simhash(toks).alias("simhash"))
+    return _ensure_parallelism(df).select(id_col, simhash(toks).alias("simhash"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

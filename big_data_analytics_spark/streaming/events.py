@@ -123,3 +123,52 @@ def start_upsert_metrics_sink(spark, source: DataFrame, target_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: Output / state schemas for the custom stateful operator below.
+_USER_STATE_SCHEMA = "n_events BIGINT, value_sum DOUBLE"
+_USER_OUT_SCHEMA = ("user_id BIGINT, n_events BIGINT, value_sum DOUBLE, "
+                    "batch_events INT")
+
+
+def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user accumulator via applyInPandasWithState
+    (SURVEY.md §2.10: the reference's cross-batch Python accumulator
+    dicts, load_hbase.py:178-180, as managed streaming state).
+
+    State per user: lifetime (n_events, value_sum in exact 1e-4 fixed
+    point). Each micro-batch emits the user's updated lifetime totals
+    plus how many events this batch contributed. Unlike the built-in
+    aggregation (running_user_totals) this shape can hold *arbitrary*
+    Python state — the escape hatch for operators Spark's aggregates
+    can't express.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, vsum = state.get
+        else:
+            n, vsum = 0, 0.0
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            # fixed-point accumulate (portable exactness, money.py)
+            vsum += float((pdf["value"] * 10000.0 + 0.5).astype("int64").sum()) / 10000.0
+        state.update((n, vsum))
+        yield pd.DataFrame([{
+            "user_id": key[0], "n_events": n,
+            "value_sum": vsum, "batch_events": batch_n,
+        }])
+
+    return (
+        events.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=_USER_OUT_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -137,3 +137,30 @@ def test_foreach_batch_upsert_idempotent(spark, event_dir):
     shutil.rmtree(target, ignore_errors=True)
     shutil.rmtree(ckpt1, ignore_errors=True)
     shutil.rmtree(ckpt2, ignore_errors=True)
+
+
+def test_apply_in_pandas_with_state(spark, event_dir):
+    """Custom stateful operator: the final per-user lifetime counts
+    (max over emitted updates — counts are monotone) must equal the
+    batch groupBy, and per-batch contributions must sum to the total."""
+    from big_data_analytics_spark.streaming.events import (
+        user_lifetime_stats_stateful,
+    )
+
+    batch_df = spark.read.parquet(event_dir)
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(event_dir))
+    q = (user_lifetime_stats_stateful(stream)
+         .writeStream.format("memory").queryName("q_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM q_state")
+    final = updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.sum("batch_events").alias("total_batch_events"))
+    expected = batch_df.groupBy("user_id").agg(F.count("*").alias("n"))
+    joined = final.join(expected, "user_id").collect()
+    assert len(joined) == expected.count()
+    for r in joined:
+        assert r.n_events == r.n, r
+        assert r.total_batch_events == r.n, r
