@@ -115,3 +115,28 @@ def calinski_harabasz(preds: DataFrame, features: list[str]) -> float:
         for r in stats
     )
     return (between / (k - 1)) / (within / (n_total - k))
+
+
+def pca_reconstruction_error(df: DataFrame, features: list[str],
+                             n_components: int) -> float:
+    """Mean squared reconstruction error of a k-component PCA
+    (reference: inverse_transform MSE, data_mining_Assignment1.ipynb
+    dimensionality section — SURVEY §2.9 M12).
+
+    For mean-centered data, MSE = total variance − variance captured
+    by the k components; computed from the PCA model's explained
+    variance without materializing reconstructions. The identity holds
+    exactly for the optimal linear projection, so no per-row
+    pc @ loadingsᵀ pass is needed."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Summarizer
+
+    assembled = VectorAssembler(inputCols=features, outputCol="__features").transform(df)
+    model = PCA(inputCol="__features", outputCol="pca",
+                k=n_components).fit(assembled)
+    variances = assembled.select(
+        Summarizer.variance(F.col("__features")).alias("v")).first().v
+    total_var = float(sum(variances))
+    captured = total_var * float(sum(model.explainedVariance))
+    # per-feature mean squared error = residual variance / n_features
+    return (total_var - captured) / len(features)

@@ -180,7 +180,30 @@ def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     (chains A~B~C with A≁C keep only A, which is the standard
     aggressive dedup choice for training corpora).
     """
+    verify = lsh_kwargs.pop("verify", False)
+    verify_threshold = lsh_kwargs.pop("verify_threshold", None)
+    shingle_k = lsh_kwargs.get("shingle_k", 3)
     pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    if verify:
+        # exact-Jaccard re-check on the candidate pairs only: join the
+        # (tiny) pair set back to the docs and score with the true
+        # shingle-set Jaccard, so LSH estimation error can only cause
+        # missed pairs, never false removals
+        thr = verify_threshold if verify_threshold is not None \
+            else lsh_kwargs.get("threshold", 0.7)
+        sh = df.select(F.col(id_col),
+                       word_shingles(F.col(text_col), shingle_k).alias("__sh"))
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")
+                 - F.size(F.array_intersect("sh_a", "sh_b")))
+        pairs = (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("true_jaccard", inter / union)
+            .filter(F.col("true_jaccard") >= thr)
+            .select("id_a", "id_b", "est_jaccard")
+        )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -162,3 +162,17 @@ def test_clean_corpus_pipeline(spark):
     ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
     assert 5000 not in ids and 5001 not in ids and 5002 not in ids and 5003 not in ids
     assert 0 in ids
+
+
+def test_lsh_dedup_with_exact_verify(corpus):
+    """verify=True re-scores candidates with true Jaccard: exact copies
+    still removed, and no document is removed for a pair whose true
+    Jaccard is below the verify threshold."""
+    kept = lsh_dedup(corpus, threshold=0.5, verify=True, verify_threshold=0.9)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(1000 <= i < 2000 for i in ids)   # exact copies (j=1.0) gone
+    assert all(i in ids for i in range(N_BASE))     # originals kept
+    # stricter than plain LSH: pairs with true jaccard in [0.5, 0.9)
+    # survive the verified dedup
+    plain = lsh_dedup(corpus, threshold=0.5)
+    assert kept.count() >= plain.count()

@@ -257,3 +257,25 @@ def test_calinski_harabasz(spark):
     _, preds, _ = cluster.kmeans_fit(df, ["f1", "f2"], k=2, seed=3)
     ch = cluster.calinski_harabasz(preds, ["f1", "f2"])
     assert ch > 1000  # far-separated tight clusters → huge CH
+
+
+def test_pca_reconstruction_error(spark):
+    """Rank-1 data + tiny noise: 1 component reconstructs almost
+    perfectly; the identity-based MSE matches an explicit numpy
+    reconstruction."""
+    rng = np.random.default_rng(55)
+    t = rng.normal(0, 2, 400)
+    X = np.column_stack([t, 2 * t, -0.5 * t]) + rng.normal(0, 0.05, (400, 3))
+    df = spark.createDataFrame([tuple(map(float, r)) for r in X],
+                               ["f1", "f2", "f3"])
+    mse1 = cluster.pca_reconstruction_error(df, ["f1", "f2", "f3"], 1)
+    mse3 = cluster.pca_reconstruction_error(df, ["f1", "f2", "f3"], 3)
+    # numpy oracle: project onto top-1 PC of centered data
+    Xc = X - X.mean(axis=0)
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    recon = (Xc @ Vt[0]).reshape(-1, 1) @ Vt[0].reshape(1, -1)
+    # sample-variance convention (ddof=1) to match Summarizer.variance
+    exp_mse = float(((Xc - recon) ** 2).sum() / (len(X) - 1) / 3)
+    assert mse1 == pytest.approx(exp_mse, rel=1e-6)
+    assert mse3 == pytest.approx(0.0, abs=1e-9)
+    assert mse1 < 0.01  # tiny residual noise

@@ -136,3 +136,30 @@ def test_infer_then_assert_detects_drift(data, spark, tmp):
         T.StructField("not_there", T.StringType())])
     with pytest.raises(ValueError, match="schema drift"):
         infer_then_assert(spark, path, bad_schema)
+
+
+def test_report_collect_bound(spark, data):
+    """Plot sinks only accept small aggregates — unbounded collect is
+    refused (S11 contract)."""
+    import pytest as _pytest
+    from big_data_analytics_spark.pipelines.reports import (
+        collect_for_report, save_line_chart)
+    from big_data_analytics_spark.pipelines import monthly_sales
+
+    small = monthly_sales(data["transactions"])
+    pdf = collect_for_report(small)
+    assert len(pdf) <= 12
+    big = spark.range(20_001)
+    with _pytest.raises(ValueError, match="aggregate it first"):
+        collect_for_report(big, max_rows=20_000)
+    # matplotlib absent in this container → clean gated error; if it
+    # ever appears, the chart must render
+    try:
+        import matplotlib  # noqa: F401
+        import tempfile, os
+        out = save_line_chart(small, "month", "total",
+                              tempfile.mktemp(suffix=".png"))
+        assert os.path.exists(out)
+    except ImportError:
+        with _pytest.raises(ImportError, match="matplotlib"):
+            save_line_chart(small, "month", "total", "/tmp/x.png")
