@@ -186,3 +186,113 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Q17-shaped: correlated scalar-aggregate subquery (below-average
+# quantity per part), decorrelated into an aggregate join.
+# --------------------------------------------------------------------
+@query(
+    "q17_below_avg_quantity",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 / 7.0 AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.4 * pa.avg_qty
+    """,
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated `l_quantity < 0.4 * (SELECT avg(...) WHERE same
+    part)` pattern, decorrelated: per-part averages once, joined back.
+    Catalyst performs this rewrite for correlated subqueries too; the
+    explicit form keeps the plan obvious."""
+    l = load_table(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(part_avg, l.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5))
+             .cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q15-shaped: aggregate view + filter on the global max of the view.
+# --------------------------------------------------------------------
+@query(
+    "q15_top_suppliers",
+    oracle="""
+    WITH revenue_view AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100.0+0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM revenue_view r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue_view)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing aggregate view: revenue per supplier, keep the
+    max. Exact cents revenue makes the max deterministic (a double max
+    could tie-break differently across engines)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    rev = l.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("total_rev"))
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.m)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# --------------------------------------------------------------------
+# Q22-shaped: filter on a global scalar aggregate + NOT EXISTS.
+# --------------------------------------------------------------------
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS cntry, COUNT(*) AS numcust,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar filter (above-average balance) + anti-join (never
+    ordered), grouped. The scalar aggregate broadcasts as a 1-row
+    cross join — no collect to the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             money_sum("c_acctbal").alias("totacctbal"))
+    )
