@@ -86,3 +86,13 @@ def impute_mean(df: DataFrame, cols: list[str], strategy: str = "mean") -> DataF
     for c, o in zip(cols, out_cols):
         imputed = imputed.drop(c).withColumnRenamed(o, c)
     return imputed
+
+
+def interaction_terms(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Pairwise interaction columns a_x_b = a*b (reference: the manual
+    lstat*age term, codes_in_book_of_statisct.ipynb:7636 — SURVEY §2.9
+    M2) as plain expressions."""
+    out = df
+    for a, b in pairs:
+        out = out.withColumn(f"{a}_x_{b}", F.col(a) * F.col(b))
+    return out

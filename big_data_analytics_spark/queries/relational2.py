@@ -604,3 +604,29 @@ def j5b_rowkey_decompose_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              money_sum("o_totalprice").alias("revenue"))
     )
+
+
+# --------------------------------------------------------------------
+# A19 — median / mode as first-class aggregates (SURVEY §2.4 notes
+# them absent in the reference, built-in here).
+# --------------------------------------------------------------------
+@query(
+    "a19_median_mode",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6) AS median_qty,
+           CAST(mode(l_linenumber) AS BIGINT) AS mode_linenumber,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a19_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated) and modal value per group. Mode
+    tie-breaking differs across engines in general; l_linenumber's
+    frequency ordering is strict in this data (and the test pins it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.mode("l_linenumber").cast("long").alias("mode_linenumber"),
+        F.count(F.lit(1)).alias("n"),
+    )

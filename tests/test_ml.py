@@ -279,3 +279,9 @@ def test_pca_reconstruction_error(spark):
     assert mse1 == pytest.approx(exp_mse, rel=1e-6)
     assert mse3 == pytest.approx(0.0, abs=1e-9)
     assert mse1 < 0.01  # tiny residual noise
+
+
+def test_interaction_terms(spark):
+    df = spark.createDataFrame([(2.0, 3.0), (4.0, 5.0)], ["a", "b"])
+    out = features.interaction_terms(df, [("a", "b")])
+    assert [r.a_x_b for r in out.orderBy("a").collect()] == [6.0, 20.0]
