@@ -479,6 +479,37 @@ def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# U3b — INTERSECT ALL: multiset intersection (each common value kept
+# min(count_left, count_right) times), then re-aggregated so the
+# result stays small and order-free.
+# --------------------------------------------------------------------
+@query(
+    "u3b_intersect_all",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n
+    FROM (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    GROUP BY l_suppkey
+    """,
+)
+def u3b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection of the supplier-key bags of returned ('R')
+    vs accepted ('A') lineitems: per key, multiplicity is
+    min(count_A, count_R). ``intersectAll`` compiles to a partial-count
+    aggregate + generate — one shuffle on the key, no row explosion
+    beyond the min-count, so it scales like a groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return (
+        a.intersectAll(r)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
 # F11 — sequence generation (date ranges; pd.date_range analogue,
 # visualizations.py:78).
 # --------------------------------------------------------------------

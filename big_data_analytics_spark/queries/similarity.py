@@ -136,3 +136,132 @@ def v2_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "n", "centroid_norm")
     )
+
+
+def _cos6(a, b):
+    """Cosine rounded to 6 dp (engine-portable ranking key)."""
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+#: deterministic coarse quantizer: centroids are the corpus vectors with
+#: vec_id % CELL_STRIDE == CELL_PHASE (≈ n/31 cells, grows with data).
+CELL_STRIDE = 31
+CELL_PHASE = 7
+N_PROBE = 4
+
+_IVF_COS = (
+    "ROUND(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+# --------------------------------------------------------------------
+# V3 — IVF (inverted-file) ANN with a deterministic coarse quantizer,
+# so the whole index build + probe is oracle-checkable in SQL.
+# --------------------------------------------------------------------
+@query(
+    "v3_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % {CELL_STRIDE} = {CELL_PHASE}
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT corpus.vec_id, corpus.v, cent.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY corpus.vec_id
+                       ORDER BY {_IVF_COS.format(a="corpus.v", b="cent.cv")}
+                                DESC, cent.cell_id
+                   ) AS rn
+            FROM corpus, cent) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id, qv FROM (
+            SELECT q.query_id, cent.cell_id, q.qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_IVF_COS.format(a="q.qv", b="cent.cv")}
+                                DESC, cent.cell_id
+                   ) AS rn
+            FROM q, cent) WHERE rn <= {N_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_IVF_COS.format(a="a.v", b="p.qv")} AS cosine
+        FROM probes p JOIN assigned a USING (cell_id)
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    """,
+)
+def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fully oracle-checked: centroids are a deterministic id
+    slice of the corpus (stride {CELL_STRIDE}), each corpus vector is
+    assigned to its max-cosine cell via a broadcast of the tiny
+    centroid set + map-side ``max_by`` (no window shuffle over the
+    corpus), queries probe their {N_PROBE} best cells, and only those
+    cells' vectors are exactly reranked. At 100 TB the assigned table
+    is written partitioned by ``cell`` so a probe's scan prunes to
+    nprobe/n_cells of the data; the probe plan here shows the same
+    shape (broadcast joins, corpus never shuffled for ranking —
+    WindowGroupLimit prunes top-k per partition)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") % CELL_STRIDE == CELL_PHASE).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # index build: nearest cell per corpus vector; max_by over a struct
+    # (cosine, -cell_id) == "highest cosine, then lowest cell_id" —
+    # a map-side-combinable aggregate, not a window over the corpus.
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos6(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell_id"),
+                F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("neg")),
+            ).alias("cell_id"),
+            F.first("v").alias("v"),
+        )
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos6(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("cos_c"), F.asc("cell_id"))
+            ),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell_id", "qv")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos6(F.col("v"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
