@@ -48,5 +48,6 @@ def load_all() -> dict[str, Query]:
         similarity,
         ecommerce_shaped,
         dedup_queries,
+        temporal,
     )
     return REGISTRY

@@ -1,0 +1,100 @@
+"""Temporal-join queries: as-of (point-in-time) join and banded range
+join over the events table (SURVEY §2.3 extension surface — operators
+the reference computes with per-row Python loops, e.g. the
+price_history lookup dataset_generator.py:208-215).
+
+Both have full DuckDB oracles (ASOF JOIN is native DuckDB; the band
+join is a plain inequality join), so the distributed implementations
+are hash-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.functions.money import money_sum
+from big_data_analytics_spark.operators.temporal import asof_join, range_band_join
+from big_data_analytics_spark.queries import query
+
+
+# --------------------------------------------------------------------
+# AJ1 — as-of join: for each purchase event, the user's most recent
+# view event at-or-before it (attribution: "which page view led to
+# this purchase").
+# --------------------------------------------------------------------
+@query(
+    "aj1_asof_purchase_view",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COALESCE(v.event_id, -1) AS view_event_id,
+           COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def aj1_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution via the distributed as-of join: one
+    shuffle on user_id, a running last-non-null over the merged event
+    stream — never the quadratic join-then-argmax. Purchases with no
+    prior view keep -1 sentinels (left semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    joined = asof_join(purchases, views, on="ts", by="user_id",
+                       right_cols=["event_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("event_id_right"), F.lit(-1)).alias("view_event_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------
+# RJ1 — banded range join: classify event values into irregular,
+# hand-authored bands via a broadcast inequality join.
+# --------------------------------------------------------------------
+_BANDS = [  # (band, lo, hi) — irregular on purpose (not bucketizable)
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 25.0),
+    ("mid", 25.0, 150.0),
+    ("large", 150.0, 1000.0),
+]
+
+_BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@query(
+    "rj1_value_band_join",
+    oracle=f"""
+    SELECT COALESCE(b.band, 'none') AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events e
+    LEFT JOIN (VALUES {_BANDS_SQL}) AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY COALESCE(b.band, 'none')
+    """,
+)
+def rj1_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join against a tiny band table: explicit broadcast →
+    BroadcastNestedLoopJoin, linear in the fact side, zero shuffle
+    before the final 4-group aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        range_band_join(ev, bands, "value")
+        .groupBy(F.coalesce(F.col("band"), F.lit("none")).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value").alias("total_value"),
+        )
+    )
