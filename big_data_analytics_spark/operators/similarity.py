@@ -216,36 +216,53 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id") -> DataFrame:
     """Probe the ``nprobe`` nearest cells per query, exact-rerank the
-    candidates. Driver computes query→cell distances (tiny: |queries| ×
-    n_cells); the candidate scan covers only the probed cells."""
-    import math
+    candidates.
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    probe_pairs = []
-    for r in q_rows:
-        qv = [float(x) for x in r[vec_col]]
-        dists = [
-            (ci, math.dist(qv, c)) for ci, c in enumerate(centroids)
-        ]
-        dists.sort(key=lambda t: t[1])
-        for ci, _ in dists[:nprobe]:
-            probe_pairs.append((r[query_id_col], ci, qv))
-    probes = assigned.sparkSession.createDataFrame(
-        probe_pairs, f"{query_id_col} long, cell int, qv array<double>")
+    Cell selection is fully in-plan: queries cross-join the broadcast
+    centroid table (``n_cells`` rows — model parameters, not data),
+    and a per-query window keeps the ``nprobe`` nearest cells. No
+    query vector ever comes back to the driver, so the probe stage
+    scales with |queries| like any other DataFrame op, and the query
+    id keeps whatever type the caller's column has. The probe frame
+    (|queries|×nprobe rows carrying the query vector) is broadcast
+    into the cell-pruned candidate join; for query batches too large
+    to broadcast, Spark falls back to a shuffle join on ``cell`` —
+    still touching only nprobe/n_cells of the corpus."""
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    # squared euclidean — monotone with distance, so the top-nprobe
+    # ordering is identical and the sqrt is unnecessary
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("__qid").orderBy(F.asc("sq_dist"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("sq_dist", sq_dist)
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("__qid", "cell", "qv")
+    )
     cand = assigned.join(F.broadcast(probes), "cell").select(
-        query_id_col,
+        "__qid",
         F.col(id_col).alias("neighbor_id"),
         "qv",
         as_double(F.col(vec_col)).alias("cv"),
     )
     scored = cand.select(
-        query_id_col, "neighbor_id",
+        "__qid", "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
-    ).dropDuplicates([query_id_col, "neighbor_id"])
-    w = Window.partitionBy(query_id_col).orderBy(
+    ).dropDuplicates(["__qid", "neighbor_id"])
+    w = Window.partitionBy("__qid").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(query_id_col, "neighbor_id", "cosine")
+        .select(F.col("__qid").alias(query_id_col), "neighbor_id", "cosine")
     )
