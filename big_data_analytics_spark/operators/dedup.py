@@ -48,14 +48,16 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Signature computation is CPU-bound; a small-file corpus read as
-    1-2 partitions would leave every other core idle. Repartition up to
-    the cluster's default parallelism when the input is under it — a
-    cheap shuffle of raw text locally, and a no-op at real scale where
-    inputs already carry many partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    1-2 partitions would leave every other core idle. In local mode,
+    repartition to the session's default parallelism — a cheap shuffle
+    of raw text at test scale. On a real cluster the scan already
+    carries many partitions (sized by files.maxPartitionBytes), so
+    this is a no-op there; checking via ``df.rdd.getNumPartitions``
+    would force RDD-lineage materialization just to decide."""
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -109,7 +111,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 128,
                       shingle_k: int = 3, bands: int = 16,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with estimated Jaccard.
 
     banding: signature split into ``bands`` bands of r = num_hashes /
@@ -120,8 +123,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Plan shape: map (signatures) → explode ×bands → shuffle on
     (band, band_hash) → within-bucket pairs → dedup pairs → score.
-    The only quadratic work is inside a bucket; a salt-sized bucket cap
-    would bound the worst case at extreme scale (boilerplate docs).
+    The only quadratic work is inside a bucket, and ``max_bucket_size``
+    bounds it: buckets larger than the cap (boilerplate/empty-ish docs
+    colliding on a band hash — the classic crawl-corpus degenerate
+    case) are dropped *for that band only*, so a capped bucket costs
+    one band's vote, not the pair. Documents that are genuinely
+    similar still collide in their other bands. Exactly-identical
+    mega-clusters (all bands degenerate) belong to ``exact_dedup``,
+    which should run first in any cleaning pipeline. ``None`` disables
+    the cap. The bucket count rides the same (band, band_hash) shuffle
+    the candidate join needs — no extra exchange.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -145,6 +156,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ) for b in range(bands)
         ])).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+
+    if max_bucket_size is not None:
+        bucket_w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(bucket_w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
 
     left = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
     right = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))

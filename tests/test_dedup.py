@@ -164,6 +164,38 @@ def test_clean_corpus_pipeline(spark):
     assert 0 in ids
 
 
+def test_minhash_lsh_bucket_cap_bounds_mega_bucket(spark):
+    """A planted boilerplate mega-bucket (300 identical docs → every
+    band bucket holds all 300) stays bounded under max_bucket_size:
+    the capped run produces zero within-boilerplate pairs while normal
+    near-dup pairs are found identically to the uncapped run."""
+    base = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    copies = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    boiler = spark.range(10_000, 10_300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum boilerplate navigation footer " * 8).alias("text"),
+    )
+    corpus = base.unionByName(copies).unionByName(boiler)
+
+    capped = minhash_lsh_pairs(corpus, threshold=0.5, max_bucket_size=100)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    boiler_pairs_capped = {p for p in capped_pairs if p[0] >= 10_000}
+    assert boiler_pairs_capped == set()  # mega-bucket dropped per band
+    normal_capped = capped_pairs - boiler_pairs_capped
+
+    uncapped = minhash_lsh_pairs(corpus, threshold=0.5, max_bucket_size=None)
+    uncapped_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    boiler_pairs_uncapped = {p for p in uncapped_pairs if p[0] >= 10_000}
+    assert len(boiler_pairs_uncapped) == 300 * 299 // 2  # the quadratic blow-up
+    # recall on non-degenerate pairs is unchanged by the cap
+    assert normal_capped == uncapped_pairs - boiler_pairs_uncapped
+    assert {(i, i + 1000) for i in range(30)} <= normal_capped
+
+
 def test_lsh_dedup_with_exact_verify(corpus):
     """verify=True re-scores candidates with true Jaccard: exact copies
     still removed, and no document is removed for a pair whose true
