@@ -194,11 +194,22 @@ def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               **lsh_kwargs) -> DataFrame:
     """Drop near-duplicates: every doc that matches a lower-id doc goes.
 
-    Single-pass min-root approximation of connected components —
-    removes every non-minimal member of each duplicate *pair* set
-    (chains A~B~C with A≁C keep only A, which is the standard
-    aggressive dedup choice for training corpora).
+    Default mode is a single-pass min-root approximation of connected
+    components — removes every non-minimal member of each duplicate
+    *pair* set (chains A~B~C with A≁C keep only A, which is the
+    standard aggressive dedup choice for training corpora).
+
+    ``transitive=True`` instead runs connected components over the
+    pair list (operators/graph.py) so each *cluster* keeps exactly its
+    min-id representative: on a chain A~B~C with A≁C, pairwise mode
+    keeps A and C; transitive mode keeps only A. The component
+    iteration runs over the (small) pair list, never the corpus.
     """
+    transitive = lsh_kwargs.pop("transitive", False)
+    cc_kwargs = {
+        k: lsh_kwargs.pop(k)
+        for k in ("max_iter", "checkpoint") if k in lsh_kwargs
+    }
     verify = lsh_kwargs.pop("verify", False)
     verify_threshold = lsh_kwargs.pop("verify_threshold", None)
     shingle_k = lsh_kwargs.get("shingle_k", 3)
@@ -223,6 +234,9 @@ def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("true_jaccard") >= thr)
             .select("id_a", "id_b", "est_jaccard")
         )
+    if transitive:
+        from big_data_analytics_spark.operators.graph import dedup_by_components
+        return dedup_by_components(df, pairs, id_col, **cc_kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

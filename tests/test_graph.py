@@ -1,0 +1,85 @@
+"""Connected components and transitive dedup.
+
+The chain case A~B~C with A≁C is the semantic difference between
+pairwise loser-removal (keeps A and C) and component-based dedup
+(keeps only A); both paths are asserted against each other here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.operators.dedup import lsh_dedup
+from big_data_analytics_spark.operators.graph import (
+    ConvergenceError,
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+
+def test_components_basic(spark):
+    # {1,2,3} via chain, {10,11} direct, 20 isolated (absent from edges)
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges(spark):
+    # 0-1-2-...-15: one component, needs several propagation rounds
+    comp = connected_components(_edges(spark, [(i, i + 1) for i in range(15)]))
+    assert {r.component for r in comp.collect()} == {0}
+
+
+def test_components_raises_on_nonconvergence(spark):
+    with pytest.raises(ConvergenceError):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(15)]), max_iter=2)
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3)]), checkpoint="reliable")
+    assert {r.component for r in comp.collect()} == {1}
+
+
+def test_dedup_by_components_chain(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], ["doc_id", "text"])
+    # chain 0~1~2 (0≁2 directly) plus pair 3~4
+    kept = dedup_by_components(docs, _edges(spark, [(0, 1), (1, 2), (3, 4)]))
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 3]
+
+
+def test_lsh_dedup_transitive_chain(spark):
+    """Token-window chain 0 ~ 5 ~ 1 where the middle doc has the
+    largest id: ends share 32/48 tokens with the middle (j=0.67) but
+    only 24/56 with each other (j=0.43, below the 0.5 verify
+    threshold). Pairwise loser-removal drops only the middle (it is
+    id_b of both pairs), keeping 0 AND 1; transitive mode merges the
+    cluster {0, 1, 5} and keeps only its min."""
+    toks = [f"tok{i:03d}" for i in range(64)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(toks[0:40])),
+            (5, " ".join(toks[8:48])),
+            (1, " ".join(toks[16:56])),
+            (9, "completely unrelated content about other things entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    kwargs = dict(
+        shingle_k=1, num_hashes=128, bands=32, threshold=0.4,
+        verify=True, verify_threshold=0.5,
+    )
+    pairwise = sorted(
+        r.doc_id for r in lsh_dedup(docs, **kwargs).collect())
+    transitive = sorted(
+        r.doc_id for r in lsh_dedup(docs, transitive=True, **kwargs).collect())
+    assert pairwise == [0, 1, 9]
+    assert transitive == [0, 9]
