@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
         ecommerce_shaped,
         dedup_queries,
         temporal,
+        sampling,
         scalar_funcs,
         relational,
         windows,

@@ -1,0 +1,73 @@
+"""P19 deterministic variant — hash-based train/test split.
+
+``p19_sample_and_split`` (relational2.py) exercises Spark's seeded
+RNG sampling, which no other engine can reproduce, so the driver can
+only rows-check it. This module adds the production alternative: a
+*content-addressed* split, where the bucket is a pure function of the
+row key. That is what a 100 TB training pipeline wants anyway —
+membership is stable across reruns, engines, and repartitioning, and
+any engine can recompute it (here: DuckDB, giving P19 a real
+value-hash oracle).
+
+Hash: Knuth multiplicative hashing — ``(key * 2654435761) mod 2^31``
+(the golden-ratio multiplier of 2^32), then ``mod 100`` for a
+percentage bucket. Chosen over xxhash64/md5 because it is exact
+integer arithmetic expressible identically in every SQL dialect; the
+multiplier scrambles the sequential key space so bucket membership is
+uncorrelated with key ranges. All intermediates stay far below int64
+overflow for any 32-bit key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.functions.money import money_sum
+from big_data_analytics_spark.queries import query
+
+KNUTH = 2654435761
+MOD = 2147483648  # 2^31
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets)."""
+    return (key.cast("long") * F.lit(KNUTH)) % F.lit(MOD) % F.lit(buckets)
+
+
+def train_test_split(df: DataFrame, key: str, train_pct: int = 80,
+                     buckets: int = 100) -> tuple[DataFrame, DataFrame]:
+    """Stable hash split: a row's membership never changes across
+    reruns or cluster layouts (unlike randomSplit, whose assignment
+    depends on partitioning). Narrow — no shuffle, no RNG state."""
+    b = hash_bucket(F.col(key), buckets)
+    return df.filter(b < train_pct), df.filter(b >= train_pct)
+
+
+@query(
+    "p19b_hash_split",
+    oracle="""
+    SELECT CASE WHEN (o_orderkey * 2654435761) % 2147483648 % 100 < 80
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def p19b_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19 with a deterministic oracle: 80/20 hash split of orders with
+    per-split row counts and exact revenue totals."""
+    o = load_table(spark, sf_dir, "orders")
+    train, test = train_test_split(o, "o_orderkey", 80)
+    tagged = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test")))
+    return (
+        tagged.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money_sum("o_totalprice").alias("revenue"))
+        .orderBy("split")
+    )

@@ -80,3 +80,21 @@ def test_minhash_signature_identical_for_identical_sets(spark):
     sigs = [r.signature for r in
             minhash_signatures(df, num_hashes=32).collect()]
     assert sigs[0] == sigs[1]
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    """train_test_split membership is a pure function of the key:
+    identical under repartitioning (randomSplit is not), disjoint, and
+    exhaustive."""
+    from big_data_analytics_spark.queries.sampling import train_test_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    tr1, te1 = train_test_split(df.coalesce(1), "k")
+    tr8, te8 = train_test_split(df.repartition(8), "k")
+    ids = lambda d: {r.k for r in d.collect()}  # noqa: E731
+    assert ids(tr1) == ids(tr8)
+    assert ids(te1) == ids(te8)
+    assert ids(tr1) & ids(te1) == set()
+    assert len(ids(tr1)) + len(ids(te1)) == 5000
+    # the multiplicative hash actually scrambles: split ratio near 80/20
+    assert abs(len(ids(tr1)) / 5000 - 0.8) < 0.05
