@@ -184,6 +184,11 @@ def robust_anomaly_scores(df: DataFrame, features: list[str],
     (1.4826·MAD); score = max over features; the top ``contamination``
     fraction is flagged.
 
+    An exact-semantics path (per-partition sklearn IsolationForest fit
+    via applyInPandas, broadcast-ensemble scoring) was checked for this
+    environment on 2026-08-13: sklearn is not installed (ModuleNotFound
+    on import), so the MAD substitute stays the shipped behavior.
+
     Two aggregate passes (medians, then MADs) + one score threshold via
     exact percentile — no tree ensemble, but the same
     top-k-most-deviant contract on tabular data, fully distributed."""

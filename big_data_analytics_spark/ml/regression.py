@@ -82,7 +82,18 @@ def ols_fit(df: DataFrame, features: list[str], label: str,
     Distributed X'X/X'y accumulation + closed-form solve — the same
     math statsmodels does, without collecting rows. Reference:
     sm.OLS + summary(), codes_in_book_of_statisct.ipynb:6488-6577.
+
+    Inference (std errors / t / p) only exists for the unregularized
+    normal-equation fit — MLlib's summary omits coefficient standard
+    errors for regularized models, which would otherwise surface here
+    as an opaque attribute error deep in the summary access.
     """
+    if reg != 0.0:
+        raise ValueError(
+            "ols_fit provides inference (std_err/t/p), which MLlib does not "
+            "compute for regularized fits; use reg=0.0, or fit "
+            "pyspark.ml.regression.LinearRegression directly for ridge/lasso "
+            "point estimates without inference")
     assembler = VectorAssembler(inputCols=features, outputCol="__features")
     assembled = assembler.transform(df)
     lr = LinearRegression(featuresCol="__features", labelCol=label,

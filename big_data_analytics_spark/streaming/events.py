@@ -143,6 +143,7 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
     Python state — the escape hatch for operators Spark's aggregates
     can't express.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -155,8 +156,12 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             batch_n += len(pdf)
             n += len(pdf)
-            # fixed-point accumulate (portable exactness, money.py)
-            vsum += float((pdf["value"] * 10000.0 + 0.5).astype("int64").sum()) / 10000.0
+            # fixed-point accumulate (portable exactness, money.py):
+            # np.floor matches the batch F.floor(x*1e4+0.5) half-up
+            # convention for negatives (plain int64 cast truncates
+            # toward zero), and nulls are skipped like F.sum skips them
+            v = pdf["value"].dropna()
+            vsum += float(np.floor(v * 10000.0 + 0.5).astype("int64").sum()) / 10000.0
         state.update((n, vsum))
         yield pd.DataFrame([{
             "user_id": key[0], "n_events": n,

@@ -285,3 +285,28 @@ def test_interaction_terms(spark):
     df = spark.createDataFrame([(2.0, 3.0), (4.0, 5.0)], ["a", "b"])
     out = features.interaction_terms(df, [("a", "b")])
     assert [r.a_x_b for r in out.orderBy("a").collect()] == [6.0, 20.0]
+
+
+def test_gaussian_nb_planted_distributions(spark):
+    """Two well-separated Gaussians: NB must recover near-perfect
+    accuracy, and the decision flips between the class means."""
+    rng = np.random.default_rng(7)
+    n = 400
+    x0 = rng.normal(0.0, 1.0, (n, 2))
+    x1 = rng.normal(4.0, 1.0, (n, 2))
+    rows = [(float(a), float(b), 0.0) for a, b in x0] + \
+           [(float(a), float(b), 1.0) for a, b in x1]
+    df = spark.createDataFrame(rows, ["f1", "f2", "label"])
+    _, predict = classify.gaussian_nb_fit(df, ["f1", "f2"], "label")
+    m = classify.classification_metrics(predict(df))
+    assert m["accuracy"] > 0.98
+    probe = spark.createDataFrame(
+        [(0.0, 0.0), (4.0, 4.0)], ["f1", "f2"])
+    got = [r.prediction for r in predict(probe).orderBy("f1").collect()]
+    assert got == [0.0, 1.0]
+
+
+def test_ols_rejects_regularization(reg_data):
+    df, *_ = reg_data
+    with pytest.raises(ValueError, match="inference"):
+        regression.ols_fit(df, ["x1", "x2"], "y", reg=0.1)
