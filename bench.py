@@ -32,8 +32,11 @@ HEADLINE = [
     "j7_regional_supplier_volume",
     "d1_exact_dedup",
     "d2_minhash_lsh_pairs",
+    "d3_simhash_pairs",
     "t5_corpus_stats",
     "v1_cosine_topk",
+    "v3_ivf_topk",
+    "aj1_asof_purchase_view",
     "ecom_clv",
 ]
 

@@ -94,36 +94,102 @@ def with_skew_bucket(df: DataFrame, buckets: int = 1024) -> DataFrame:
     return df.withColumn("__bucket", F.pmod(F.xxhash64("media_id"), F.lit(buckets)))
 
 
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (pure Python, test/data
+    generation): ``pixels`` is rows of (r, g, b), top-to-bottom."""
+    height, width = len(pixels), len(pixels[0])
+    row_pad = (-(width * 3)) % 4
+    body = bytearray()
+    for row in reversed(pixels):  # BMP stores rows bottom-up
+        for r, g, b in row:
+            body += bytes((b, g, r))  # ...and samples as BGR
+        body += b"\x00" * row_pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + pixel_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header + body)
+
+
+def _parse_bmp(data: bytes, feature_dim: int) -> dict:
+    """Parse an uncompressed 24-bit BMP header + pixels: dimensions,
+    channel count, and per-channel mean intensities (r, g, b order)
+    padded to ``feature_dim`` as the feature vector."""
+    pixel_off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if hdr_size < 40 or compression != 0 or bpp != 24 or width <= 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BITMAPINFOHEADER BMPs decode "
+            "without an external codec")
+    rows = abs(height)  # negative height = top-down row order
+    row_bytes = (width * 3 + 3) // 4 * 4
+    sums = [0, 0, 0]  # b, g, r on disk
+    for r in range(rows):
+        base = pixel_off + r * row_bytes
+        row = data[base:base + width * 3]
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    n_px = rows * width
+    means_rgb = [sums[2] / n_px / 255.0, sums[1] / n_px / 255.0,
+                 sums[0] / n_px / 255.0]
+    features = (means_rgb + [0.0] * feature_dim)[:feature_dim]
+    return {"width": width, "height": rows, "n_channels": 3,
+            "features": features}
+
+
 def decode_image(df: DataFrame, fake: bool = False,
                  feature_dim: int = 8) -> DataFrame:
     """Decode image payloads → (dims, channels, feature vector).
 
-    Arrow-batched mapInPandas over skew-bucketed partitions. With
-    ``fake=False`` this raises NotImplementedError at execution time
-    (no image codec in this container — STUB, see module docstring);
-    ``fake=True`` derives deterministic pseudo-decodes from the
-    payload hash, exercising the identical plan.
+    Arrow-batched mapInPandas over skew-bucketed partitions. The real
+    path decodes uncompressed 24-bit BMP payloads with the
+    dependency-free parser above — one genuinely executable
+    end-to-end decode; any other format raises NotImplementedError at
+    execution time (no JPEG/PNG codec in this container — swapping in
+    PIL changes only the per-payload inner call). ``fake=True``
+    derives deterministic pseudo-decodes from the payload hash,
+    exercising the identical plan for arbitrary payloads.
     """
     imgs = with_skew_bucket(df.filter(F.col("media_type") == "image"))
     imgs = imgs.repartition(F.col("__bucket")).drop("__bucket")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "install PIL and replace this branch with "
-                    "Image.open(io.BytesIO(content))")
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                h = hashlib.sha256(bytes(content)).digest()
-                out.append({
-                    "media_id": mid,
-                    "width": 64 + h[0],
-                    "height": 64 + h[1],
-                    "n_channels": 1 + h[2] % 4,
-                    "features": [b / 255.0 for b in h[:feature_dim]],
-                })
+                data = bytes(content)
+                if fake:
+                    h = hashlib.sha256(data).digest()
+                    out.append({
+                        "media_id": mid,
+                        "width": 64 + h[0],
+                        "height": 64 + h[1],
+                        "n_channels": 1 + h[2] % 4,
+                        "features": [b / 255.0 for b in h[:feature_dim]],
+                    })
+                elif len(data) >= 54 and data[:2] == b"BM":
+                    out.append({"media_id": mid,
+                                **_parse_bmp(data, feature_dim)})
+                else:
+                    raise NotImplementedError(
+                        "no codec for this payload in this environment; "
+                        "only uncompressed BMP decodes natively — install "
+                        "PIL and replace this branch with "
+                        "Image.open(io.BytesIO(content))")
             yield pd.DataFrame(out)
 
     return imgs.mapInPandas(decode, DECODED_SCHEMA)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.multimodal.binary_ops import (
     DECODED_SCHEMA,
     decode_image,
+    encode_bmp,
     frame_sample_plan,
     media_stats,
     synthetic_media,
@@ -39,12 +40,33 @@ def test_fake_decode_deterministic(media):
 
 
 def test_real_decode_is_stubbed(media):
-    """Without a codec the decode stage must fail loudly, not silently
-    fake data."""
+    """Without a codec, non-BMP payloads must fail loudly, not
+    silently fake data."""
     with pytest.raises(Exception) as ei:
         decode_image(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_real_bmp_decode_end_to_end(spark):
+    """Planted uncompressed BMPs decode for real through the
+    mapInPandas plan: exact dimensions, 3 channels, and per-channel
+    mean features (solid-red 4x3 → means (1, 0, 0); 5-wide rows also
+    exercise the 4-byte row padding)."""
+    red_4x3 = encode_bmp([[(255, 0, 0)] * 4 for _ in range(3)])
+    grad_5x2 = encode_bmp(
+        [[(0, 51, 102)] * 5, [(204, 153, 102)] * 5])  # means .4,.4,.4
+    df = spark.createDataFrame(
+        [(1, "image", red_4x3, ("s", len(red_4x3), "image/bmp")),
+         (2, "image", grad_5x2, ("s", len(grad_5x2), "image/bmp"))],
+        synthetic_media(spark, 1).schema,
+    )
+    got = {r.media_id: r for r in decode_image(df, fake=False).collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (4, 3, 3)
+    assert got[1].features[:3] == pytest.approx([1.0, 0.0, 0.0])
+    assert (got[2].width, got[2].height) == (5, 2)
+    assert got[2].features[:3] == pytest.approx([0.4, 0.4, 0.4])
+    assert got[2].features[3:] == [0.0] * 5
 
 
 def test_frame_sampling_fanout(media):
