@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         dedup_queries,
         temporal,
         sampling,
+        tpch_extra2,
         scalar_funcs,
         relational,
         windows,
