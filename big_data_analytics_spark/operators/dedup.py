@@ -248,24 +248,42 @@ def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash(col: Column, bits: int = 64) -> Column:
     """SimHash of a token array: per bit, the sign of Σ_tokens (±1),
     packed into a BIGINT. Near-identical token multisets land within a
-    few bits of Hamming distance (Charikar's rounding)."""
+    few bits of Hamming distance (Charikar's rounding).
+
+    Single fold with an ``array<long>`` vote accumulator: one pass
+    over the tokens updates all ``bits`` counters at once (a
+    per-bit-aggregate formulation re-walks the token array ``bits``
+    times and bloats codegen 64×). Still a pure narrow map — no
+    shuffle, no UDF."""
     tok_hash = F.transform(col, lambda t: F.xxhash64(F.lit("simhash"), t))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def vote_fn(b: int):
-        # 2-param lambda built per bit (a 3-param lambda with `b=b`
-        # default confuses Spark's lambda-arity introspection)
-        return lambda acc, h: acc + F.when(
-            (F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+    def step(acc: Column, h: Column) -> Column:
+        # ±1 vote per bit of this token's hash, added elementwise
+        # (getbit, unlike shiftright, takes the position as a Column)
+        return F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda b: F.when(
+                F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1))
+                .cast("long")),
+            lambda a, v: a + v,
+        )
 
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(tok_hash, F.lit(0).cast("long"), vote_fn(b))
-        bit_cols.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b))
-                        .otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    votes = F.aggregate(
+        tok_hash, F.array_repeat(F.lit(0).cast("long"), bits), step)
+    # pack sign bits: OR of (votes[b] > 0 ? 1<<b : 0); bit 63's power
+    # is the sign bit, representable only as the negative long
+    powers = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)
+    ])
+    return F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
