@@ -53,6 +53,8 @@ def load_all() -> dict[str, Query]:
         temporal,
         sampling,
         tpch_extra2,
+        windows2,
+        funcs2,
         scalar_funcs,
         relational,
         windows,

@@ -1,0 +1,88 @@
+"""Window extensions: range-frame (time-interval) moving aggregates
+and first/last/nth navigation — the remaining window shapes after
+windows.py's lag/lead/rank/cumsum/sessionize surface.
+
+Range frames order by exact integer epoch micros (unix_micros /
+epoch_us): ordering a range frame by a float epoch or truncated
+seconds silently changes frame membership between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "w8_moving_hour_stats",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value*10000.0+0.5) AS BIGINT))
+                OVER w AS DOUBLE) / 10000.0 AS moving_sum,
+           COUNT(*) OVER w AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_moving_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour moving sum/count via a RANGE frame over
+    epoch micros. Peers at the same instant share a frame, so no row
+    tie-break is needed for determinism; the sum is 1e-4 fixed point
+    (exact under any frame evaluation order)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        (F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5))).over(w)
+         .cast("double") / F.lit(10000.0)).alias("moving_sum"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+@query(
+    "w9_first_last_nth_order",
+    oracle="""
+    SELECT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def w9_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer first/last/second order keys: navigation functions
+    over an unbounded frame with a total (date, key) order, collapsed
+    to one row per customer. A customer with one order gets NULL
+    second_order in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    order_cols = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w_full = (
+        Window.partitionBy("o_custkey").orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w_full).alias("first_order"),
+            F.last("o_orderkey").over(w_full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+            F.row_number().over(w_rn).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
