@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         tpch_extra2,
         windows2,
         funcs2,
+        sketches,
         scalar_funcs,
         relational,
         windows,

@@ -1,0 +1,116 @@
+"""Sketch operators — the 100 TB cardinality/quantile toolkit:
+HyperLogLog distinct counts (including explicit sketch merge, the
+property that makes HLL work across partitions/days/tables) and
+approximate quantiles.
+
+Oracle strategy: approximate answers are engine-specific (Spark's
+HLL++ and DuckDB's HLL give different estimates), so the queries
+return the *exact* answer plus a boolean asserting the sketch's
+estimate landed within its error bound. The oracle recomputes the
+exact side and expects TRUE — so the driver still gets a value-hash
+row that fails if the sketch path breaks or drifts out of bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+
+@query(
+    "sk1_hll_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sk1_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count alongside an HLL++
+    estimate asserted within 5% (default rsd is 5%; the estimate is
+    deterministic for fixed data). At 100 TB the approx path is the
+    one that runs — it needs no exact-distinct shuffle of user ids,
+    only fixed-size sketch merges."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("__est"),
+        )
+        .select(
+            "event_type", "n_exact",
+            (F.abs(F.col("__est") - F.col("n_exact"))
+             <= 0.05 * F.col("n_exact")).alias("hll_within_5pct"),
+        )
+    )
+
+
+@query(
+    "sk2_hll_mergeable",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS merged_within_5pct
+    FROM orders
+    """,
+)
+def sk2_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL a scale tool: per-priority partial
+    sketches union to the same answer as one global sketch. Builds a
+    sketch per o_orderpriority with hll_sketch_agg, merges them with
+    hll_union_agg, and asserts the merged estimate is within 5% of the
+    exact global distinct — the pattern for pre-aggregated daily
+    sketches rolled up over arbitrary date ranges without rescanning."""
+    o = load_table(spark, sf_dir, "orders")
+    partials = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        (F.abs(F.col("__est") - F.col("n_exact"))
+         <= 0.05 * F.col("n_exact")).alias("merged_within_5pct"),
+    )
+
+
+@query(
+    "sk3_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           TRUE AS approx_within_1
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sk3_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of l_quantity per return flag,
+    plus a flag that the Greenwald-Khanna approx (accuracy 10000) lands
+    within ±1 of each — the approx path is the mergeable,
+    bounded-memory one that scales."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000)).alias("__approx"),
+    )
+    close = (
+        (F.abs(F.element_at("__approx", 1) - F.col("q25")) <= 1)
+        & (F.abs(F.element_at("__approx", 2) - F.col("q50")) <= 1)
+        & (F.abs(F.element_at("__approx", 3) - F.col("q75")) <= 1)
+    )
+    return agg.select("l_returnflag", "q25", "q50", "q75",
+                      close.alias("approx_within_1"))

@@ -118,3 +118,14 @@ def infer_then_assert(spark: SparkSession, path: str,
             f"extra={sorted(extra)}")
     reader = spark.read.schema(expected)
     return getattr(reader, fmt)(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as Parquet
+    (predicate pushdown + column pruning reach the stripe reader), for
+    interchange with Hive/Trino estates that standardized on ORC."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

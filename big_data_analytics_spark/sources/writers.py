@@ -53,3 +53,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
     driver-consumable result sizes."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              sort_within: list[str] | None = None) -> None:
+    """ORC sink with the same partition/sort locality knobs as
+    write_parquet — the interchange format for Hive/Trino consumers."""
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

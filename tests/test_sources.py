@@ -163,3 +163,28 @@ def test_report_collect_bound(spark, data):
     except ImportError:
         with _pytest.raises(ImportError, match="matplotlib"):
             save_line_chart(small, "month", "total", "/tmp/x.png")
+
+
+def test_orc_roundtrip_with_pruning(data, spark, tmp):
+    """ORC round-trip preserves the nested session schema (map column
+    included), and a partition-filtered read prunes to the matching
+    partition directory only."""
+    from big_data_analytics_spark.sources.readers import read_orc
+    from big_data_analytics_spark.sources.writers import write_orc
+
+    sessions = data["sessions"]
+    path = f"{tmp}/sessions_orc"
+    write_orc(sessions, path, partition_by=["conversion_status"],
+              sort_within=["session_id"])
+    back = read_orc(spark, path)
+    assert back.count() == sessions.count()
+    # map column survives (the schema-inference hard part)
+    cart_total = back.select(
+        F.explode("cart_contents")).count()
+    assert cart_total == sessions.select(F.explode("cart_contents")).count()
+    # partition pruning: the scan carries a partition filter (so only
+    # the matching partition directory is listed/read)
+    one = back.filter(F.col("conversion_status") == "converted")
+    scan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in scan and "converted" in scan
+    assert 0 < one.count() < sessions.count()

@@ -164,3 +164,38 @@ def test_apply_in_pandas_with_state(spark, event_dir):
     for r in joined:
         assert r.n_events == r.n, r
         assert r.total_batch_events == r.n, r
+
+
+def test_stream_dedup_within_watermark(spark):
+    """A replayed file (at-least-once delivery) must not produce
+    duplicate events downstream: every planted event_id comes out
+    exactly once, and the batch fallback degrades to dropDuplicates."""
+    from big_data_analytics_spark.streaming.events import (
+        dedup_events_within_watermark,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 300)
+    a = ev.filter(F.col("event_id") < 200)
+    b = ev.filter(F.col("event_id") >= 200)
+    d = tempfile.mkdtemp(prefix="dup_events_")
+    a.coalesce(1).write.mode("append").parquet(d)
+    a.coalesce(1).write.mode("append").parquet(d)  # exact redelivery
+    b.coalesce(1).write.mode("append").parquet(d)
+
+    batch_df = spark.read.parquet(d)
+    assert batch_df.count() == 500  # duplicates present at the source
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (dedup_events_within_watermark(stream, watermark="60 days")
+         .writeStream.format("memory").queryName("q_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM q_dedup")
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == sorted(range(300))
+
+    batch_ids = sorted(
+        r.event_id
+        for r in dedup_events_within_watermark(batch_df).collect())
+    assert batch_ids == ids
+    shutil.rmtree(d, ignore_errors=True)
