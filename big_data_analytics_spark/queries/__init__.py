@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         windows2,
         funcs2,
         sketches,
+        text2,
         scalar_funcs,
         relational,
         windows,
