@@ -105,3 +105,48 @@ def test_whole_stage_codegen_active(spark):
     assert "isFinalPlan=true" in plan
     # codegen stages render as "*(n) " prefixes in the tree string
     assert "*(1) " in plan and "*(2) " in plan
+
+
+def test_q3_pushes_both_fact_filters(spark):
+    """q3: the date filters on orders and lineitem must both reach
+    their Parquet scans, and the customer-segment filter its scan."""
+    plan = _plan(spark, "q3_shipping_priority")
+    pushed = [seg[:200] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_shipdate" in s for s in pushed)
+    assert any("c_mktsegment" in s for s in pushed)
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """q5: region/nation/supplier ride broadcast joins; the only
+    sort-merge-eligible joins are the fact-fact ones."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_topk_no_global_sort(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_w8_single_shuffle_per_user(spark):
+    """w8: the range-frame window needs exactly one exchange (by
+    user_id) — no extra sorts or shuffles beyond the window's own."""
+    plan = _plan(spark, "w8_moving_hour_stats")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_t7_vocabulary_partial_aggregates(spark):
+    """t7: the token count must partial-aggregate map-side so the
+    shuffle carries (token, count) pairs, not token instances."""
+    plan = _plan(spark, "t7_vocabulary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_probe_stays_in_plan(spark):
+    """v3_ivf: probe-cell selection must appear as a broadcast join +
+    window in the plan (no driver-side loop shrinks the plan to a
+    bare candidate join)."""
+    plan = _plan(spark, "v3_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
