@@ -58,6 +58,52 @@ def aj1_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# AJ2 — forward as-of with tolerance: for each view event, the next
+# purchase within 30 minutes (conversion attribution window).
+# --------------------------------------------------------------------
+_TOL_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "aj2_forward_asof_tolerance",
+    oracle=f"""
+    SELECT v.event_id, v.user_id,
+           CASE WHEN p.event_id IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= {_TOL_US}
+                THEN p.event_id ELSE -1 END AS next_purchase_id,
+           CASE WHEN p.event_id IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= {_TOL_US}
+                THEN epoch_us(p.ts) - epoch_us(v.ts) ELSE -1 END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def aj2_forward_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of with a 30-minute tolerance: same
+    union+window plan as aj1 (descending time order), with the
+    tolerance nulling matches beyond the attribution window after the
+    nearest match is chosen — identical to the oracle's post-ASOF
+    CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    joined = asof_join(views, purchases, on="ts", by="user_id",
+                       right_cols=["event_id"], direction="forward",
+                       tolerance_micros=_TOL_US)
+    return joined.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("event_id_right"), F.lit(-1)).alias("next_purchase_id"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_right")) - F.unix_micros(F.col("ts")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------
 # RJ1 — banded range join: classify event values into irregular,
 # hand-authored bands via a broadcast inequality join.
 # --------------------------------------------------------------------
