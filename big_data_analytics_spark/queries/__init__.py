@@ -23,7 +23,7 @@ class Query:
     doc: str
 
 
-REGISTRY: dict[str, Query] = {}
+REGISTRY: dict[str, Query] = {}  # insertion-ordered; see load_all
 
 
 def query(name: str, oracle: Optional[str] = None):
