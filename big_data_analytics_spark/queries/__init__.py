@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         dedup_queries,
         temporal,
         sampling,
+        scalar_funcs2,
         tpch_extra2,
         windows2,
         funcs2,

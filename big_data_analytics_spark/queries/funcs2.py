@@ -61,6 +61,57 @@ def f23_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "h1_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, CAST(FLOOR(value / 25.0) AS BIGINT)
+    """,
+)
+def h1_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type via floor-bucketing — one
+    partial-aggregating pass; the scale-safe alternative to exact
+    percentiles when the distribution shape is the question."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sa1_ordered_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sa1_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_list is
+    arrival-ordered (nondeterministic under parallelism), so sort the
+    array before joining — the engine-portable ORDER BY inside an
+    aggregate."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+            .alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
     "g3_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -50,6 +50,29 @@ def w8_moving_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w10_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           ROUND(PERCENT_RANK() OVER w, 9) AS acctbal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS acctbal_cume_dist
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def w10_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank functions over a global total order (acctbal with
+    key tie-break) — percentile placement of every supplier. Rounded
+    to 9 dp: the (rank-1)/(n-1) division is the only float op."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_name",
+        F.round(F.percent_rank().over(w), 9).alias("acctbal_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("acctbal_cume_dist"),
+    )
+
+
+@query(
     "w9_first_last_nth_order",
     oracle="""
     SELECT o_custkey,
