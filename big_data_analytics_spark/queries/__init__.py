@@ -63,5 +63,6 @@ def load_all() -> dict[str, Query]:
         windows,
         relational2,
         tpch_extra,
+        timeseries_queries,
     )
     return REGISTRY

@@ -1,0 +1,50 @@
+"""EMA operator: exact closed-form recursion, partition invariance,
+and ordering determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.operators.timeseries import ema
+
+
+def _expected_ema(values, alpha):
+    out = [values[0]]
+    for x in values[1:]:
+        out.append(alpha * x + (1 - alpha) * out[-1])
+    return out
+
+
+def test_ema_matches_recursion(spark):
+    vals = [10.0, 12.0, 8.0, 14.0, 11.0, 9.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)] +
+        [(2, i, 2 * v) for i, v in enumerate(vals)],
+        ["user_id", "t", "value"],
+    )
+    got = ema(df, key="user_id", ts="t", value="value", alpha=0.4)
+    for uid, scale in [(1, 1.0), (2, 2.0)]:
+        rows = (got.filter(F.col("user_id") == uid).orderBy("t")
+                .select("ema").collect())
+        exp = _expected_ema([scale * v for v in vals], 0.4)
+        assert [r.ema for r in rows] == pytest.approx(exp, abs=1e-12)
+
+
+def test_ema_partition_invariant(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.col("id").alias("t"),
+        (F.sin(F.col("id").cast("double")) * 10).alias("value"),
+    )
+    a = ema(df.coalesce(1), "user_id", "t", "value", 0.25)
+    b = ema(df.repartition(8), "user_id", "t", "value", 0.25)
+    canon = lambda d: sorted(  # noqa: E731
+        (r.user_id, r.t, round(r.ema, 12)) for r in d.collect())
+    assert canon(a) == canon(b)
+
+
+def test_ema_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], ["user_id", "t", "value"])
+    with pytest.raises(ValueError, match="alpha"):
+        ema(df, "user_id", "t", "value", 0.0)
