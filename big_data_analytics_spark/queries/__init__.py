@@ -64,5 +64,6 @@ def load_all() -> dict[str, Query]:
         relational2,
         tpch_extra,
         timeseries_queries,
+        quality,
     )
     return REGISTRY

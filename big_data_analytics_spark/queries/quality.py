@@ -1,0 +1,112 @@
+"""Data-quality surface: one-pass column profiling and referential-
+integrity checks — the guardrails that gate a 100 TB ingest before
+anything downstream trains on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile in ONE aggregate pass (no per-column jobs):
+    rows, nulls, exact distincts, min/max as strings. Returns one row
+    per column via an unpivoted struct array."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        ) for c in cols
+    ])
+    return row.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+@query(
+    "dq1_profile_lineitem",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+    SELECT col AS column, n_rows, n_nulls, n_distinct, min_value, max_value
+    FROM (
+      SELECT 'l_quantity' AS col, t.n_rows,
+             (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) AS n_nulls,
+             (SELECT COUNT(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+             (SELECT CAST(MIN(l_quantity) AS VARCHAR) FROM lineitem) AS min_value,
+             (SELECT CAST(MAX(l_quantity) AS VARCHAR) FROM lineitem) AS max_value
+      FROM t
+      UNION ALL
+      SELECT 'l_returnflag', t.n_rows,
+             (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL),
+             (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem),
+             (SELECT MIN(l_returnflag) FROM lineitem),
+             (SELECT MAX(l_returnflag) FROM lineitem)
+      FROM t
+      UNION ALL
+      SELECT 'l_orderkey', t.n_rows,
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT CAST(MIN(l_orderkey) AS VARCHAR) FROM lineitem),
+             (SELECT CAST(MAX(l_orderkey) AS VARCHAR) FROM lineitem)
+      FROM t
+    )
+    """,
+)
+def dq1_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of three lineitem columns — the ingest
+    health report (the oracle spells each metric out per column; the
+    Spark side computes all of them in one aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(l, ["l_quantity", "l_returnflag", "l_orderkey"])
+
+
+@query(
+    "dq2_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+          AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+          AS orphan_lineitems,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p
+                         WHERE p.p_partkey = l.l_partkey))
+          AS orphan_partrefs
+    """,
+)
+def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key violation counts via left-anti joins (the
+    distributed NOT EXISTS): all zero on healthy data, and the query
+    is the production gate when they are not."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    orphan_lineitems = l.join(o, l.l_orderkey == o.o_orderkey,
+                              "left_anti").count()
+    orphan_partrefs = l.join(p, l.l_partkey == p.p_partkey,
+                             "left_anti").count()
+    return spark.createDataFrame(
+        [(orphan_orders, orphan_lineitems, orphan_partrefs)],
+        "orphan_orders long, orphan_lineitems long, orphan_partrefs long",
+    )
