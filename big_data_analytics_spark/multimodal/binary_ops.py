@@ -195,6 +195,84 @@ def decode_image(df: DataFrame, fake: bool = False,
     return imgs.mapInPandas(decode, DECODED_SCHEMA)
 
 
+DECODED_AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def encode_wav(samples: list[int], sample_rate: int = 16_000,
+               n_channels: int = 1) -> bytes:
+    """Minimal PCM16 mono/stereo WAV writer (pure Python, for tests
+    and data generation). ``samples`` are interleaved int16 values."""
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels,
+                      sample_rate, byte_rate, block_align, 16)
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_len = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def _parse_wav(data: bytes) -> dict:
+    """Parse RIFF/WAVE header + PCM16 payload: rate, channels, length,
+    duration, RMS amplitude (normalized to [0, 1])."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            "only uncompressed PCM16 WAV decodes without a codec")
+    import numpy as np
+
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    n = len(samples) // n_ch
+    rms = float(np.sqrt(np.mean((samples / 32768.0) ** 2))) if n else 0.0
+    return {"sample_rate": rate, "n_channels": n_ch, "n_samples": n,
+            "duration_s": n / rate, "rms": rms}
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode audio payloads → (rate, channels, length, duration, RMS).
+
+    Same plan shape as decode_image: skew-bucket repartition then one
+    Arrow-batched mapInPandas. PCM16 WAV decodes natively (pure-Python
+    RIFF parse + numpy RMS); any other container raises — swapping in
+    ffmpeg/torchaudio changes only the per-payload call."""
+    auds = with_skew_bucket(df.filter(F.col("media_type") == "audio"))
+    auds = auds.repartition(F.col("__bucket")).drop("__bucket")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                out.append({"media_id": mid, **_parse_wav(bytes(content))})
+            yield pd.DataFrame(out)
+
+    return auds.mapInPandas(decode, DECODED_AUDIO_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explode a frame-index sequence per
     video (metadata-only — the decode of each sampled frame is the

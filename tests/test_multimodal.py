@@ -86,3 +86,43 @@ def test_media_stats_prunes_payload(media):
     # payload column must be pruned from the scan plan
     plan = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "content" not in plan or "byte_size" in plan
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """Planted PCM16 WAVs decode through the mapInPandas plan: exact
+    rate/channels/length/duration and the RMS of a known square wave
+    (amplitude a → RMS a)."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        decode_audio,
+        encode_wav,
+    )
+
+    square = [16384, -16384] * 800  # 0.5 amplitude, 1600 samples
+    silent = [0] * 320
+    wav1 = encode_wav(square, sample_rate=16_000)
+    wav2 = encode_wav(silent, sample_rate=8_000)
+    df = spark.createDataFrame(
+        [(1, "audio", wav1, ("s", len(wav1), "audio/wav")),
+         (2, "audio", wav2, ("s", len(wav2), "audio/wav"))],
+        synthetic_media(spark, 1).schema,
+    )
+    got = {r.media_id: r for r in decode_audio(df).collect()}
+    assert (got[1].sample_rate, got[1].n_channels, got[1].n_samples) == \
+        (16_000, 1, 1600)
+    assert got[1].duration_s == pytest.approx(0.1)
+    assert got[1].rms == pytest.approx(0.5)
+    assert got[2].n_samples == 320 and got[2].rms == 0.0
+    assert got[2].duration_s == pytest.approx(0.04)
+
+
+def test_non_wav_audio_fails_loudly(spark):
+    from big_data_analytics_spark.multimodal.binary_ops import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, "audio", b"\x00" * 64, ("s", 64, "audio/mp3"))],
+        synthetic_media(spark, 1).schema,
+    )
+    with pytest.raises(Exception) as ei:
+        decode_audio(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
