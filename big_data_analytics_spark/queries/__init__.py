@@ -65,5 +65,6 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
         timeseries_queries,
         quality,
+        reshape,
     )
     return REGISTRY

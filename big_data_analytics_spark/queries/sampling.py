@@ -45,6 +45,57 @@ def train_test_split(df: DataFrame, key: str, train_pct: int = 80,
     return df.filter(b < train_pct), df.filter(b >= train_pct)
 
 
+#: Per-stratum keep percentages for the stratified sample (the
+#: deterministic analog of DataFrame.sampleBy fractions).
+STRATA_PCT = {"1-URGENT": 50, "2-HIGH": 25, "3-MEDIUM": 10,
+              "4-NOT SPECIFIED": 10, "5-LOW": 5}
+
+
+def stratified_hash_sample(df: DataFrame, stratum: str, key: str,
+                           pct: dict[str, int],
+                           buckets: int = 100) -> DataFrame:
+    """sampleBy with content-addressed membership: each stratum keeps
+    rows whose key-hash bucket falls under its percentage. Unlike
+    ``sampleBy`` the result is identical across reruns, engines, and
+    partitionings, and needs no RNG state. Strata absent from ``pct``
+    are dropped (fraction 0)."""
+    b = hash_bucket(F.col(key), buckets)
+    frac = F.lit(None).cast("int")
+    for s, p in pct.items():
+        frac = F.when(F.col(stratum) == s, F.lit(p)).otherwise(frac)
+    return df.withColumn("__frac", frac).filter(b < F.col("__frac")) \
+             .drop("__frac")
+
+
+@query(
+    "p20b_stratified_sample",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT))
+                AS DOUBLE)/100.0 AS revenue
+    FROM orders
+    WHERE (o_orderkey * {KNUTH}) % {MOD} % 100 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 50 WHEN '2-HIGH' THEN 25
+            WHEN '3-MEDIUM' THEN 10 WHEN '4-NOT SPECIFIED' THEN 10
+            WHEN '5-LOW' THEN 5 END
+    GROUP BY o_orderpriority
+    """,
+)
+def p20b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of orders by priority with
+    per-stratum keep rates, summarized per stratum."""
+    o = load_table(spark, sf_dir, "orders")
+    kept = stratified_hash_sample(o, "o_orderpriority", "o_orderkey",
+                                  STRATA_PCT)
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             money_sum("o_totalprice").alias("revenue"))
+    )
+
+
 @query(
     "p19b_hash_split",
     oracle="""
