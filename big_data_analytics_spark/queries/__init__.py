@@ -66,5 +66,6 @@ def load_all() -> dict[str, Query]:
         timeseries_queries,
         quality,
         reshape,
+        funnels,
     )
     return REGISTRY
