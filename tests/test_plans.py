@@ -150,3 +150,10 @@ def test_ivf_probe_stays_in_plan(spark):
     plan = _plan(spark, "v3_ivf_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_o2g_window_group_limit(spark):
+    """o2g: per-group top-k must plan as WindowGroupLimit so each
+    partition prunes to its local top-3 before the shuffle."""
+    plan = _plan(spark, "o2g_topk_per_group")
+    assert "WindowGroupLimit" in plan
