@@ -101,12 +101,12 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
-    orphan_lineitems = l.join(o, l.l_orderkey == o.o_orderkey,
-                              "left_anti").count()
-    orphan_partrefs = l.join(p, l.l_partkey == p.p_partkey,
-                             "left_anti").count()
-    return spark.createDataFrame(
-        [(orphan_orders, orphan_lineitems, orphan_partrefs)],
-        "orphan_orders long, orphan_lineitems long, orphan_partrefs long",
-    )
+    # one plan, one action: each check is a 1-row aggregate over a
+    # left-anti join, cross-joined into the single report row
+    orders_chk = (o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+                  .agg(F.count(F.lit(1)).alias("orphan_orders")))
+    line_chk = (l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+                .agg(F.count(F.lit(1)).alias("orphan_lineitems")))
+    part_chk = (l.join(p, l.l_partkey == p.p_partkey, "left_anti")
+                .agg(F.count(F.lit(1)).alias("orphan_partrefs")))
+    return orders_chk.crossJoin(line_chk).crossJoin(part_chk)
