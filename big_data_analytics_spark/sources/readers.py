@@ -74,17 +74,29 @@ TRANSACTION_SCHEMA = T.StructType([
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType,
-              multi_line: bool = False) -> DataFrame:
+              multi_line: bool = False,
+              corrupt_col: str | None = None) -> DataFrame:
     """JSON scan with an explicit schema (S1). ``multi_line=True`` for
     the reference's whole-file JSON arrays (dataset_generator.py:156-164)
     — note multiLine files are not splittable, so production data
-    should be JSONL (the default here)."""
-    return (
+    should be JSONL (the default here).
+
+    ``corrupt_col`` quarantines malformed lines instead of silently
+    nulling them: the raw text of any unparseable record lands in that
+    column (all schema fields null), so ingest can route rejects to a
+    dead-letter sink and alert on the reject rate — at 100 TB a parse
+    regression upstream must be a metric, not a silent null flood."""
+    if corrupt_col is not None:
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    r = (
         spark.read.schema(schema)
         .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
-        .json(path)
     )
+    if corrupt_col is not None:
+        r = r.option("columnNameOfCorruptRecord", corrupt_col)
+    return r.json(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None,

@@ -188,3 +188,26 @@ def test_orc_roundtrip_with_pruning(data, spark, tmp):
     scan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in scan and "converted" in scan
     assert 0 < one.count() < sessions.count()
+
+
+def test_corrupt_json_quarantined(spark, tmp):
+    """Malformed JSONL lines land in the corrupt column with schema
+    fields null — never silently dropped or nulled without trace."""
+    import os
+
+    path = f"{tmp}/dirty.jsonl"
+    with open(path, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write('{"a": 2, "b": "y"}\n')
+        f.write('{"a": 3, "b": BROKEN\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType())])
+    df = read_json(spark, path, schema, corrupt_col="_rejected").cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_rejected").isNotNull())
+    assert bad.count() == 1
+    row = bad.first()
+    assert "BROKEN" in row._rejected and row.a is None
+    # clean rows parse normally, reject column null
+    assert df.filter(F.col("_rejected").isNull()).count() == 2
+    os.remove(path)
