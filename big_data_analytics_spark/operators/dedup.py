@@ -190,6 +190,78 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_hashes: int = 128, shingle_k: int = 3,
+                           bands: int = 16, threshold: float = 0.7,
+                           max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the train/eval
+    contamination check: which training documents are near-copies of
+    benchmark/eval documents. Same banding machinery as
+    :func:`minhash_lsh_pairs`, but the bucket join is left×right only
+    (never within a corpus), so the output is (left_id, right_id,
+    est_jaccard) and a clean training set is ``left.join(pairs,
+    left_id, "left_anti")``.
+
+    Scale: both sides signature in parallel (narrow maps), one
+    equality join on band keys; the bucket cap applies to the
+    *combined* bucket population, bounding boilerplate blow-ups that
+    span the corpora."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig_l = minhash_signatures(left, text_col, id_col, num_hashes,
+                               shingle_k).cache()
+    sig_r = minhash_signatures(right, text_col, id_col, num_hashes,
+                               shingle_k).cache()
+
+    def banded(sigs, out_id):
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.lit("band"), F.concat_ws(
+                        ",", *[F.element_at("signature", b * r + i + 1)
+                               for i in range(r)]
+                    )).alias("band_hash"),
+                ) for b in range(bands)
+            ])).alias("bh"),
+        ).select(out_id, "bh.band", "bh.band_hash")
+
+    bl = banded(sig_l, "left_id")
+    br = banded(sig_r, "right_id")
+    if max_bucket_size is not None:
+        counts = (
+            bl.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("nl"))
+            .join(br.groupBy("band", "band_hash")
+                  .agg(F.count(F.lit(1)).alias("nr")),
+                  ["band", "band_hash"])
+            .filter(F.col("nl") + F.col("nr") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        bl = bl.join(counts, ["band", "band_hash"])
+    cand = (
+        bl.join(br, ["band", "band_hash"])
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq)).cast("double")
+        / F.size("sig_a")
+    )
+    return (
+        cand.join(sig_l.select(F.col(id_col).alias("left_id"),
+                               F.col("signature").alias("sig_a")), "left_id")
+        .join(sig_r.select(F.col(id_col).alias("right_id"),
+                           F.col("signature").alias("sig_b")), "right_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("left_id", "right_id", "est_jaccard")
+    )
+
+
 def lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               **lsh_kwargs) -> DataFrame:
     """Drop near-duplicates: every doc that matches a lower-id doc goes.

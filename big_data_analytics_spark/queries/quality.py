@@ -110,3 +110,31 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_chk = (l.join(p, l.l_partkey == p.p_partkey, "left_anti")
                 .agg(F.count(F.lit(1)).alias("orphan_partrefs")))
     return orders_chk.crossJoin(line_chk).crossJoin(part_chk)
+
+
+@query("dq3_contamination_check")
+def dq3_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination gate (declared rows-only: MinHash LSH
+    has no ANSI-SQL oracle; exact validation in tests/test_dedup.py):
+    documents hash-split 90/10 into pseudo train/eval, planted
+    near-copies across the split, and the cross-corpus LSH check
+    reports how many eval docs leak from train."""
+    from big_data_analytics_spark.operators.dedup import (
+        cross_corpus_lsh_pairs,
+    )
+    from big_data_analytics_spark.queries.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"))
+    train, eval_set = d.filter(b < 90), d.filter(b >= 90)
+    # plant leakage: 10 train docs near-copied into eval
+    leaked = (train.orderBy("doc_id").limit(10)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" tail")).alias("text")))
+    pairs = cross_corpus_lsh_pairs(
+        train, eval_set.unionByName(leaked), threshold=0.5)
+    return pairs.agg(
+        F.countDistinct("right_id").alias("contaminated_eval_docs"),
+        F.countDistinct("left_id").alias("implicated_train_docs"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

