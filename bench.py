@@ -37,6 +37,8 @@ HEADLINE = [
     "v1_cosine_topk",
     "v3_ivf_topk",
     "aj1_asof_purchase_view",
+    "fn1_session_funnel",
+    "t7_vocabulary",
     "ecom_clv",
 ]
 
