@@ -211,6 +211,25 @@ def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
     return assigned, centroids
 
 
+def ivf_write(assigned: DataFrame, path: str,
+              cell_col: str = "cell") -> None:
+    """Persist an IVF index partitioned by cell — the physical layout
+    that makes probing sub-linear: a probe of nprobe cells reads only
+    those partition directories (partition pruning), so scan cost is
+    nprobe/n_cells of the corpus regardless of executor count."""
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def ivf_read_probe(spark, path: str, cells: list[int],
+                   cell_col: str = "cell") -> DataFrame:
+    """Read only the probed cells from a persisted IVF index. The cell
+    filter is a partition filter (asserted in tests) — directories for
+    unprobed cells are never listed or read."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return spark.read.parquet(path).filter(F.col(cell_col).isin(cells))
+
+
 def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
              queries: DataFrame, k: int = 10, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

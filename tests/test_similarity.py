@@ -111,3 +111,25 @@ def test_ivf_topk_recall(spark, emb, corpus, queries):
     for qid in exact.query_id.unique():
         assert (set(full[full.query_id == qid].neighbor_id)
                 == set(exact[exact.query_id == qid].neighbor_id))
+
+
+def test_ivf_partitioned_storage_prunes(spark, corpus, tmp_path):
+    """The persisted IVF layout: cell-partitioned parquet, and a probe
+    of 2 cells carries a partition filter (unprobed cell directories
+    never read) while returning exactly those cells' vectors."""
+    from big_data_analytics_spark.operators.similarity import (
+        ivf_build,
+        ivf_read_probe,
+        ivf_write,
+    )
+
+    assigned, _ = ivf_build(corpus, n_cells=8, seed=7)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(assigned, path)
+    probe = ivf_read_probe(spark, path, cells=[1, 3])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got_cells = {r.cell for r in probe.select("cell").distinct().collect()}
+    assert got_cells <= {1, 3} and got_cells
+    expected = assigned.filter(F.col("cell").isin([1, 3])).count()
+    assert probe.count() == expected
