@@ -6,15 +6,18 @@ batches.
 
 Scale shape: one exchange on the key (same as any groupBy), then
 C-speed pandas ewm inside each group; memory is bounded by the
-largest single key's history, which is the irreducible requirement of
-a sequential recursion. Skewed keys: salt by coarse time range first
-and stitch with a per-range carry-in (not implemented here — at that
-point the right tool is the streaming stateful operator).
+largest single key's history. For keys too hot for that bound,
+:func:`ema_partitioned` splits each key by a coarse time range and
+stitches ranges with a carry term — EMA is a *linear* recurrence, so
+a range's output is ``local (carry=0) + carry_in · (1−α)^(pos+1)``
+exactly, and the carry recurrence runs over per-range summaries (a
+few rows per key), never the raw history.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -35,3 +38,84 @@ def ema(df: DataFrame, key: str, ts: str, value: str, alpha: float,
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def ema_partitioned(df: DataFrame, key: str, ts: str, value: str,
+                    alpha: float, range_col: Column,
+                    tiebreak: str | None = None,
+                    out_col: str = "ema") -> DataFrame:
+    """EMA for skewed keys: identical semantics to :func:`ema`, but no
+    single task ever holds a key's full history.
+
+    Three stages, all bounded:
+
+    1. **Local pass** — group by (key, range): per-row EMA assuming a
+       zero carry-in (recursion seeded with 0) plus the row's decay
+       factor ``(1−α)^(pos+1)``; per-range summary (end value, total
+       decay, first x).
+    2. **Stitch** — per key over the tiny per-range summary (one row
+       per range): ``carry_0 = first_x`` (reproduces y_0 = x_0),
+       ``carry_{r+1} = local_end_r + decay_r · carry_r``.
+    3. **Apply** — broadcast-join carries back and add
+       ``carry · (1−α)^(pos+1)`` to each local value.
+
+    Exact in real arithmetic; float results agree with the sequential
+    recursion to ~1e-12 relative (powers computed once per row).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    ranged = df.withColumn("__range", range_col)
+
+    local_schema = T.StructType(
+        ranged.schema.fields + [
+            T.StructField("__local", T.DoubleType()),
+            T.StructField("__decay", T.DoubleType()),
+        ])
+
+    def local_pass(pdf):
+        import numpy as np
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[value].to_numpy(dtype=np.float64)
+        # recursion seeded with 0: prepend 0, ewm, drop the seed
+        import pandas as pd
+        seeded = pd.Series(np.concatenate(([0.0], x)))
+        local = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+        pos = np.arange(1, len(x) + 1, dtype=np.float64)
+        pdf["__local"] = local
+        pdf["__decay"] = np.power(1.0 - alpha, pos)
+        return pdf
+
+    local = ranged.groupBy(key, "__range").applyInPandas(
+        local_pass, local_schema)
+
+    order_key = F.struct(*[F.col(c) for c in order])
+    summary = local.groupBy(key, "__range").agg(
+        F.max_by("__local", order_key).alias("__local_end"),
+        F.min("__decay").alias("__range_decay"),  # (1-a)^n = smallest
+        F.min_by(F.col(value), order_key).alias("__first_x"),
+    )
+
+    stitch_schema = (f"{key} {dict(df.dtypes)[key]}, __range "
+                     f"{dict(summary.dtypes)['__range']}, __carry double")
+
+    def stitch(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("__range")
+        carry, carries = None, []
+        for _, row in pdf.iterrows():
+            if carry is None:
+                carry = row["__first_x"]
+            carries.append(carry)
+            carry = row["__local_end"] + row["__range_decay"] * carry
+        return pd.DataFrame({key: pdf[key], "__range": pdf["__range"],
+                             "__carry": carries})
+
+    carries = summary.groupBy(key).applyInPandas(stitch, stitch_schema)
+
+    return (
+        local.join(F.broadcast(carries), [key, "__range"])
+        .withColumn(out_col,
+                    F.col("__local") + F.col("__carry") * F.col("__decay"))
+        .drop("__range", "__local", "__decay", "__carry")
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from big_data_analytics_spark.operators.timeseries import ema
+from big_data_analytics_spark.operators.timeseries import ema, ema_partitioned
 
 
 def _expected_ema(values, alpha):
@@ -48,3 +48,37 @@ def test_ema_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], ["user_id", "t", "value"])
     with pytest.raises(ValueError, match="alpha"):
         ema(df, "user_id", "t", "value", 0.0)
+
+
+def test_ema_partitioned_matches_sequential(spark):
+    """The range-stitched EMA must reproduce the single-group
+    recursion to float precision, including across range boundaries
+    and for a key whose history spans many ranges (the skew case)."""
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.col("id").alias("t"),
+        (F.sin(F.col("id").cast("double")) * 10 + 5).alias("value"),
+    )
+    seq = ema(df, "user_id", "t", "value", 0.3)
+    par = ema_partitioned(df, "user_id", "t", "value", 0.3,
+                          range_col=(F.col("t") / 100).cast("long"))
+    j = (seq.withColumnRenamed("ema", "e_seq")
+         .join(par.withColumnRenamed("ema", "e_par"),
+               ["user_id", "t", "value"]))
+    assert j.count() == 3000
+    bad = j.filter(
+        F.abs(F.col("e_seq") - F.col("e_par"))
+        > 1e-9 * (F.abs(F.col("e_seq")) + 1e-9)).count()
+    assert bad == 0
+
+
+def test_ema_partitioned_single_range_degenerates(spark):
+    """With one range the stitched path IS the sequential path."""
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 9, 2, 7])],
+        ["user_id", "t", "value"])
+    par = ema_partitioned(df, "user_id", "t", "value", 0.5,
+                          range_col=F.lit(0))
+    got = [r.ema for r in par.orderBy("t").collect()]
+    assert got == pytest.approx(_expected_ema([5.0, 9.0, 2.0, 7.0], 0.5),
+                                abs=1e-12)
