@@ -67,5 +67,6 @@ def load_all() -> dict[str, Query]:
         quality,
         reshape,
         funnels,
+        sampling2,
     )
     return REGISTRY
