@@ -215,23 +215,37 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written partitioned by ``cell`` so a probe's scan prunes to
     nprobe/n_cells of the data; the probe plan here shows the same
     shape (broadcast joins, corpus never shuffled for ranking —
-    WindowGroupLimit prunes top-k per partition)."""
+    WindowGroupLimit prunes top-k per partition).
+
+    Norms are computed once per row, not once per pair: the pair
+    expression is only the dot product divided by the two cached
+    norms — identical floats (same sqrt(dot(x,x)) expression, just
+    not re-evaluated |pairs| times), ~3× less arithmetic in both
+    cross-join stages."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     cent = emb.filter(F.col("vec_id") % CELL_STRIDE == CELL_PHASE).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"),
+        F.col("vn").alias("cn"),
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERY_VECS)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
+
+    def cos6(a, b, na, nb):
+        return F.round(_dot(a, b) / (na * nb), 6)
+
     # index build: nearest cell per corpus vector; max_by over a struct
     # (cosine, -cell_id) == "highest cosine, then lowest cell_id" —
     # a map-side-combinable aggregate, not a window over the corpus.
     assigned = (
         corpus.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos6(F.col("v"), F.col("cv")))
+        .withColumn("cos_c", cos6(F.col("v"), F.col("cv"),
+                                  F.col("vn"), F.col("cn")))
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -239,11 +253,13 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("neg")),
             ).alias("cell_id"),
             F.first("v").alias("v"),
+            F.first("vn").alias("vn"),
         )
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos6(F.col("qv"), F.col("cv")))
+        .withColumn("cos_c", cos6(F.col("qv"), F.col("cv"),
+                                  F.col("qn"), F.col("cn")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -252,12 +268,13 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "cell_id", "qv")
+        .select("query_id", "cell_id", "qv", "qn")
     )
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos6(F.col("v"), F.col("qv")).alias("cosine"),
+        cos6(F.col("v"), F.col("qv"), F.col("vn"), F.col("qn"))
+        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
