@@ -49,14 +49,18 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Plan: corpus stays partitioned; queries broadcast; the rank window
     is per-query so Catalyst's WindowGroupLimit prunes to local top-k
-    per partition before the (tiny) final shuffle."""
+    per partition before the (tiny) final shuffle. Norms are computed
+    once per row (not per pair): the per-pair work is one dot product
+    and a divide."""
+    cvec = as_double(F.col(vec_col))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv"))
+                      cvec.alias("cv")).withColumn("cn", l2_norm(F.col("cv")))
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
+                       cvec.alias("qv")).withColumn("qn", l2_norm(F.col("qv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                8).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -119,29 +123,31 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         for t in range(n_tables)
     ]
 
-    def bucketed(df, idc, alias_vec):
+    def bucketed(df, idc, alias_vec, alias_norm):
         v = as_double(F.col(vec_col))
         return df.select(
             F.col(idc), v.alias(alias_vec),
+            l2_norm(v).alias(alias_norm),
             F.explode(F.array(*[
                 F.struct(F.lit(t).alias("table"),
                          _bucket_expr(v, planes[t]).alias("bucket"))
                 for t in range(n_tables)
             ])).alias("tb"),
-        ).select(idc, alias_vec, "tb.table", "tb.bucket")
+        ).select(idc, alias_vec, alias_norm, "tb.table", "tb.bucket")
 
     c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
-                 "neighbor_id", "cv")
+                 "neighbor_id", "cv", "cn")
     q = bucketed(queries.select(F.col(query_id_col).alias("query_id"), vec_col),
-                 "query_id", "qv")
+                 "query_id", "qv", "qn")
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cosine"),
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                8).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -166,19 +172,24 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
     v = as_double(F.col(vec_col))
     b = corpus.select(
         F.col(id_col).alias("id"), v.alias("v"),
+        l2_norm(v).alias("n"),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("table"),
                      _bucket_expr(v, planes[t]).alias("bucket"))
             for t in range(n_tables)
         ])).alias("tb"),
-    ).select("id", "v", "tb.table", "tb.bucket")
-    left = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    ).select("id", "v", "n", "tb.table", "tb.bucket")
+    left = b.select("table", "bucket", F.col("id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("n").alias("na"))
+    right = b.select("table", "bucket", F.col("id").alias("id_b"),
+                     F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         left.join(right, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 8))
+        .withColumn("cosine",
+                    F.round(dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 8))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
