@@ -47,6 +47,16 @@ def money_sum(col: Column | str) -> Column:
     return F.sum(money_cents(col)).cast("double") / F.lit(100.0)
 
 
+def money_round(col: Column | str) -> Column:
+    """Row-level half-up rounding to cents → DOUBLE: the engine-
+    portable replacement for ``F.bround``/``F.round`` on oracle-
+    compared money outputs (pure IEEE ops — see module docstring for
+    why decimal-style rounding diverges across engines). Half-up
+    means half-toward-+inf for negative amounts; all money here is
+    non-negative. Oracle fragment: ``FLOOR((x)*100.0+0.5)/100.0``."""
+    return money_cents(col).cast("double") / F.lit(100.0)
+
+
 def money_avg(col: Column | str) -> Column:
     """Order-independent AVG of a money expression → DOUBLE."""
     c = _col(col)

@@ -119,15 +119,23 @@ def isolation_forest_fit(df: DataFrame, features: list[str],
     """Fit T iTrees on hash-deterministic subsamples. Returns an
     opaque model usable with :func:`isolation_forest_score`."""
     n = df.count()
+    if n == 0:
+        raise ValueError("isolation_forest_fit: input DataFrame has no rows")
     psi = min(sample_size, n)
     rng = np.random.default_rng(seed)
-    # one deterministic sample of up to T×ψ rows, partitioned into
-    # per-tree subsamples (sampling without replacement per tree)
+    # one deterministic pool of up to T×ψ rows, partitioned into
+    # per-tree subsamples. Rows are picked by ordering on a content
+    # hash and taking the first `need` (TakeOrderedAndProject: each
+    # partition keeps a local top-`need`, only those reach the driver)
+    # — unlike sample().limit(), membership does not depend on the
+    # input's partitioning, so the fit is deterministic per (data, seed).
     need = min(n, n_trees * psi)
-    frac = min(1.0, (need / n) * 1.2 + 0.01)
     pool = np.array(
-        df.select(*features).sample(fraction=frac, seed=seed)
-        .limit(need).collect(), dtype=np.float64)
+        df.select(
+            F.xxhash64(F.lit(seed), *[F.col(f) for f in features])
+            .alias("__h"), *features)
+        .orderBy("__h").limit(need).drop("__h").collect(),
+        dtype=np.float64)
     max_depth = math.ceil(math.log2(max(psi, 2)))
     trees = []
     for _ in range(n_trees):

@@ -194,7 +194,8 @@ def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
                            text_col: str = "text", id_col: str = "doc_id",
                            num_hashes: int = 128, shingle_k: int = 3,
                            bands: int = 16, threshold: float = 0.7,
-                           max_bucket_size: int | None = 10_000) -> DataFrame:
+                           max_bucket_size: int | None = 10_000,
+                           cache_signatures: bool = True) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora — the train/eval
     contamination check: which training documents are near-copies of
     benchmark/eval documents. Same banding machinery as
@@ -206,13 +207,22 @@ def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
     Scale: both sides signature in parallel (narrow maps), one
     equality join on band keys; the bucket cap applies to the
     *combined* bucket population, bounding boilerplate blow-ups that
-    span the corpora."""
+    span the corpora.
+
+    ``cache_signatures``: each side's signatures feed both the band
+    join and the final re-score, so they are cached by default. The
+    cache is tied to the returned plan and stays in executor storage
+    until the caller unpersists or the session ends — long-lived
+    drivers invoking this repeatedly should pass ``False`` (signatures
+    recompute once instead of accumulating storage)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig_l = minhash_signatures(left, text_col, id_col, num_hashes,
-                               shingle_k).cache()
+                               shingle_k)
     sig_r = minhash_signatures(right, text_col, id_col, num_hashes,
-                               shingle_k).cache()
+                               shingle_k)
+    if cache_signatures:
+        sig_l, sig_r = sig_l.cache(), sig_r.cache()
 
     def banded(sigs, out_id):
         return sigs.select(

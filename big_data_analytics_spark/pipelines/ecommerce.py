@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_analytics_spark.functions.money import money_round, money_sum
+
 
 def revenue_by_state(users: DataFrame, transactions: DataFrame,
                      n: int = 10) -> DataFrame:
@@ -24,11 +26,13 @@ def revenue_by_state(users: DataFrame, transactions: DataFrame,
     ``SELECT u.geo_data.state, SUM(t.total) ... JOIN ... GROUP BY ...
     ORDER BY total_revenue DESC LIMIT 10``. users (dim) broadcasts;
     the aggregate is partial+final so only 50 state rows shuffle.
+    Money totals use the integer-cents convention (functions/money.py)
+    — exact and order-independent, unlike a parallel double SUM.
     """
     return (
         transactions.join(F.broadcast(users.select("user_id", "geo_data")), "user_id")
         .groupBy(F.col("geo_data.state").alias("state"))
-        .agg(F.bround(F.sum("total"), 2).alias("total_revenue"))
+        .agg(money_sum("total").alias("total_revenue"))
         .orderBy(F.desc("total_revenue"), F.asc("state"))
         .limit(n)
     )
@@ -46,7 +50,7 @@ def top_products(transactions: DataFrame, products: DataFrame,
     return (
         transactions.select(F.explode("items").alias("i"))
         .groupBy(F.col("i.product_id").alias("product_id"))
-        .agg(F.bround(F.sum("i.subtotal"), 2).alias("total_revenue"))
+        .agg(money_sum("i.subtotal").alias("total_revenue"))
         .orderBy(F.desc("total_revenue"), F.asc("product_id"))
         .limit(n)
         .join(F.broadcast(products.select("product_id", "name")), "product_id", "left")
@@ -62,7 +66,7 @@ def user_spend(transactions: DataFrame) -> DataFrame:
     per user, then a cursor→driver→createDataFrame round-trip).
     """
     return transactions.groupBy("user_id").agg(
-        F.bround(F.sum("total"), 2).alias("total_spent")
+        money_sum("total").alias("total_spent")
     )
 
 
@@ -103,7 +107,8 @@ def clv(users: DataFrame, transactions: DataFrame,
             "engagement_score",
             F.col("session_count") * F.col("total_duration") / 1000.0,
         )
-        .withColumn("clv", F.bround(F.col("total_spent") * F.col("engagement_score"), 2))
+        .withColumn("clv", money_round(F.col("total_spent")
+                                       * F.col("engagement_score")))
     )
 
 
@@ -156,7 +161,7 @@ def monthly_sales(transactions: DataFrame,
     return (
         transactions
         .groupBy(F.date_trunc("month", F.to_timestamp(ts_col)).alias("month"))
-        .agg(F.bround(F.sum(amount_col), 2).alias("total"))
+        .agg(money_sum(amount_col).alias("total"))
         .orderBy("month")
     )
 

@@ -12,30 +12,60 @@ from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Per-column profile in ONE aggregate pass (no per-column jobs):
-    rows, nulls, exact distincts, min/max as strings. Returns one row
-    per column via an unpivoted struct array."""
+def profile_columns(df: DataFrame, cols: list[str],
+                    exact: bool = False) -> DataFrame:
+    """Per-column profile: rows, nulls, distincts, min/max as strings.
+    One row per column via an unpivoted struct array.
+
+    Distinct counts are ``approx_count_distinct`` (HLL++) by default:
+    N simultaneous *exact* ``countDistinct`` aggregates plan through
+    Spark's ``Expand``, multiplying every scanned row ×(N+1) before
+    the shuffle — a 5-6× hidden read amplification on the gate that is
+    supposed to be cheap at 100 TB. HLL sketches are plain (mergeable,
+    fixed-size) aggregates: one pass, no Expand.
+
+    ``exact=True`` keeps exact distincts without the Expand: the
+    rows/nulls/min/max aggregate stays a single pass, and distincts
+    come from a second pass that unpivots to (column, value) pairs and
+    counts groups — map-side partial aggregation bounds the shuffle by
+    the number of *distinct* values per partition, never rows ×(N+1).
+    Values are compared through their string cast, which is injective
+    on doubles/longs/strings (Spark renders the shortest decimal
+    repr, distinct doubles never collide)."""
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
             F.min(c).cast("string").alias(f"__min_{c}"),
             F.max(c).cast("string").alias(f"__max_{c}"),
         ]
+        if not exact:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
     row = df.agg(*aggs)
     pairs = F.array(*[
         F.struct(
             F.lit(c).alias("column"),
             F.col("__rows").alias("n_rows"),
             F.col(f"__nulls_{c}").alias("n_nulls"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
+            *([] if exact else [F.col(f"__nd_{c}").alias("n_distinct")]),
             F.col(f"__min_{c}").alias("min_value"),
             F.col(f"__max_{c}").alias("max_value"),
         ) for c in cols
     ])
-    return row.select(F.explode(pairs).alias("p")).select("p.*")
+    prof = row.select(F.explode(pairs).alias("p")).select("p.*")
+    if not exact:
+        return prof
+    unpivoted = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("v"))
+        for c in cols
+    ])).alias("p")).select("p.*").filter(F.col("v").isNotNull())
+    nd = (unpivoted.distinct()          # partial+final hash agg, no Expand
+          .groupBy("column").agg(F.count(F.lit(1)).alias("n_distinct")))
+    return (prof.join(nd, "column", "left")
+            .na.fill({"n_distinct": 0})  # all-null column has 0 distincts
+            .select("column", "n_rows", "n_nulls", "n_distinct",
+                    "min_value", "max_value"))
 
 
 @query(
@@ -68,11 +98,13 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """,
 )
 def dq1_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass profile of three lineitem columns — the ingest
-    health report (the oracle spells each metric out per column; the
-    Spark side computes all of them in one aggregate)."""
+    """Profile of three lineitem columns — the ingest health report.
+    Uses the exact-distinct path (engine-portable values for the
+    oracle) in its Expand-free two-pass form; the one-pass
+    approx_count_distinct default is the 100 TB configuration."""
     l = load_table(spark, sf_dir, "lineitem")
-    return profile_columns(l, ["l_quantity", "l_returnflag", "l_orderkey"])
+    return profile_columns(l, ["l_quantity", "l_returnflag", "l_orderkey"],
+                           exact=True)
 
 
 @query(

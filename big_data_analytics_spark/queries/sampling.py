@@ -9,13 +9,18 @@ membership is stable across reruns, engines, and repartitioning, and
 any engine can recompute it (here: DuckDB, giving P19 a real
 value-hash oracle).
 
-Hash: Knuth multiplicative hashing — ``(key * 2654435761) mod 2^31``
+Hash: Knuth multiplicative hashing — ``pmod(key * 2654435761, 2^31)``
 (the golden-ratio multiplier of 2^32), then ``mod 100`` for a
 percentage bucket. Chosen over xxhash64/md5 because it is exact
 integer arithmetic expressible identically in every SQL dialect; the
 multiplier scrambles the sequential key space so bucket membership is
 uncorrelated with key ranges. All intermediates stay far below int64
-overflow for any 32-bit key.
+overflow for any 32-bit key. Both mods are *non-negative* (``pmod``,
+not ``%`` — Spark/DuckDB ``%`` keeps the dividend's sign), so negative
+keys land in [0, buckets) like any other key; for non-negative keys
+pmod and ``%`` agree, which keeps the oracle SQL (positive TPC-H keys)
+on plain ``%``. A portable oracle for signed keys is
+``((key*2654435761) % 2147483648 + 2147483648) % 2147483648 % buckets``.
 """
 
 from __future__ import annotations
@@ -32,8 +37,10 @@ MOD = 2147483648  # 2^31
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
-    """Deterministic engine-portable bucket in [0, buckets)."""
-    return (key.cast("long") * F.lit(KNUTH)) % F.lit(MOD) % F.lit(buckets)
+    """Deterministic engine-portable bucket in [0, buckets) — valid for
+    any signed key (pmod keeps the result non-negative)."""
+    return F.pmod(F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(MOD)),
+                  F.lit(buckets))
 
 
 def train_test_split(df: DataFrame, key: str, train_pct: int = 80,

@@ -20,22 +20,30 @@ from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
 
 
+#: Acceptance band for HLL++ estimates vs exact: the default rsd=0.05
+#: is one *standard deviation*, not a bound, so a 5% gate could flip
+#: FALSE on an unlucky-but-correct estimate after any dataset
+#: regeneration. 3×rsd (~99.7% of the estimator's distribution) keeps
+#: the row a real regression tripwire without being flaky.
+HLL_BAND = 0.15
+
+
 @query(
     "sk1_hll_distinct_users",
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_exact,
-           TRUE AS hll_within_5pct
+           TRUE AS hll_within_band
     FROM events
     GROUP BY event_type
     """,
 )
 def sk1_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type: exact count alongside an HLL++
-    estimate asserted within 5% (default rsd is 5%; the estimate is
-    deterministic for fixed data). At 100 TB the approx path is the
-    one that runs — it needs no exact-distinct shuffle of user ids,
-    only fixed-size sketch merges."""
+    estimate asserted within 3×rsd (estimate is deterministic for
+    fixed data). At 100 TB the approx path is the one that runs — it
+    needs no exact-distinct shuffle of user ids, only fixed-size
+    sketch merges."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -46,7 +54,7 @@ def sk1_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_exact",
             (F.abs(F.col("__est") - F.col("n_exact"))
-             <= 0.05 * F.col("n_exact")).alias("hll_within_5pct"),
+             <= HLL_BAND * F.col("n_exact")).alias("hll_within_band"),
         )
     )
 
@@ -55,7 +63,7 @@ def sk1_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sk2_hll_mergeable",
     oracle="""
     SELECT COUNT(DISTINCT o_custkey) AS n_exact,
-           TRUE AS merged_within_5pct
+           TRUE AS merged_within_band
     FROM orders
     """,
 )
@@ -63,8 +71,8 @@ def sk2_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The property that makes HLL a scale tool: per-priority partial
     sketches union to the same answer as one global sketch. Builds a
     sketch per o_orderpriority with hll_sketch_agg, merges them with
-    hll_union_agg, and asserts the merged estimate is within 5% of the
-    exact global distinct — the pattern for pre-aggregated daily
+    hll_union_agg, and asserts the merged estimate is within 3×rsd of
+    the exact global distinct — the pattern for pre-aggregated daily
     sketches rolled up over arbitrary date ranges without rescanning."""
     o = load_table(spark, sf_dir, "orders")
     partials = (
@@ -77,7 +85,7 @@ def sk2_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(merged).select(
         "n_exact",
         (F.abs(F.col("__est") - F.col("n_exact"))
-         <= 0.05 * F.col("n_exact")).alias("merged_within_5pct"),
+         <= HLL_BAND * F.col("n_exact")).alias("merged_within_band"),
     )
 
 

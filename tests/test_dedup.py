@@ -243,8 +243,11 @@ def test_cross_corpus_contamination(spark):
     assert {(i, i + 5000) for i in range(10, 20)} <= found
     # clean eval docs match nothing; train-internal dup not reported
     assert all(rid < 9000 for _, rid in found)
-    assert all(lid != 1000 or True for lid, _ in found)  # pairs only cross
-    assert not any(lid == 1000 and rid == 0 for lid, rid in found)
+    # pairs are strictly cross-corpus: left ids come from train
+    # (0-59, 1000), right ids from eval (5000s/9000s) — the train-
+    # internal dup (0, 1000) must never surface as a pair either way
+    assert all(lid < 5000 <= rid for lid, rid in found)
+    assert not any({lid, rid} == {0, 1000} for lid, rid in found)
 
     decontaminated = train.join(
         pairs.select(F.col("left_id").alias("doc_id")).distinct(),

@@ -157,3 +157,18 @@ def test_o2g_window_group_limit(spark):
     partition prunes to its local top-3 before the shuffle."""
     plan = _plan(spark, "o2g_topk_per_group")
     assert "WindowGroupLimit" in plan
+
+
+def test_dq1_profile_no_expand(spark):
+    """dq1: neither the approx default nor the exact two-pass path may
+    plan through Expand (N simultaneous exact distincts multiply every
+    scanned row x(N+1) before the shuffle — the round-2 scale defect)."""
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.queries.quality import profile_columns
+
+    plan = _plan(spark, "dq1_profile_lineitem")
+    assert "Expand" not in plan
+    l = load_table(spark, SF_CORRECT, "lineitem")
+    approx = profile_columns(l, ["l_quantity", "l_returnflag"])
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx_plan
