@@ -36,15 +36,76 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
-def load_all() -> dict[str, Query]:
-    """Import all query modules so REGISTRY is fully populated.
+#: The driver harness grades registry entries head-first (exactly the
+#: first 50 each round), so ordering is the grading policy. Round-3
+#: head-50 = (a) the 9 queries that have never had a driver row,
+#: (b) the 8 ecom queries (newly real oracles + the canonicalizer
+#: fix), (c) queries whose code/oracle changed this round, then
+#: (d) a rotating regression-canary sample of round-1-green relational
+#: queries that have not been re-graded since round 1 (round-2 greens
+#: were just verified and rotate below the fold).
+GRADE_HEAD = [
+    # (a) never graded in any round
+    "t7_vocabulary",
+    "ts1_ema_user_value",
+    "dq1_profile_lineitem",
+    "dq2_referential_integrity",
+    "dq3_contamination_check",
+    "pv2_unpivot_metrics",
+    "o2g_topk_per_group",
+    "fn1_session_funnel",
+    "ws1_weighted_doc_sample",
+    # (b) ecom suite: no_oracle → real DuckDB oracles this round
+    "ecom_revenue_by_state",
+    "ecom_top_products",
+    "ecom_clv",
+    "ecom_product_daily_metrics",
+    "ecom_monthly_sales",
+    "ecom_products_enriched",
+    "ecom_dwell_times",
+    "ecom_page_transitions",
+    # (c) changed this round (sketch band rename, pmod hash split)
+    "sk1_hll_distinct_users",
+    "sk2_hll_mergeable",
+    "p19b_hash_split",
+    "p20b_stratified_sample",
+    # (d) round-1-green canary, not re-graded since round 1
+    "a1_pricing_summary",
+    "j1_revenue_by_nation",
+    "o1_top_orders_by_revenue",
+    "j2_customer_order_stats",
+    "j5_customers_with_urgent_orders",
+    "j6_customers_without_orders",
+    "j5b_rowkey_decompose_join",
+    "j7_regional_supplier_volume",
+    "p4_filter_compound",
+    "p6_membership_and_regex",
+    "p8_null_handling",
+    "p11_part_size_buckets",
+    "p13_cast_coercion",
+    "p16_ordered_limit",
+    "a5_monthly_revenue",
+    "a6_forecast_revenue",
+    "a7_order_priority_counts",
+    "a8_percentiles",
+    "a9_quantity_moments",
+    "a10_corr_regression",
+    "a12_event_daily_metrics",
+    "a18_large_orders_having",
+    "u1_union_distinct",
+    "w1_event_lag_delta",
+    "w4_latest_order_per_customer",
+    "w5_customer_running_spend",
+    "w7_sessionize_events",
+    "g1_rollup_revenue",
+    "pv1_status_pivot",
+]
 
-    Registration order matters: the driver harness grades registry
-    entries head-first (round 1 graded exactly the first 50), so the
-    LLM-pipeline surface (text/dedup/similarity/temporal/ecommerce)
-    registers before the relational modules that already have green
-    CORRECTNESS rows from round 1.
-    """
+
+def load_all() -> dict[str, Query]:
+    """Import all query modules, then return the registry reordered so
+    the graded head-50 (``GRADE_HEAD``) comes first; everything else
+    keeps registration order below the fold."""
     from big_data_analytics_spark.queries import (  # noqa: F401
         text,
         similarity,
@@ -69,4 +130,9 @@ def load_all() -> dict[str, Query]:
         funnels,
         sampling2,
     )
-    return REGISTRY
+    missing = [n for n in GRADE_HEAD if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"GRADE_HEAD names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in GRADE_HEAD}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    return ordered
