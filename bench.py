@@ -4,6 +4,16 @@ one JSON line with per-query wall-clock seconds.
 
 Each query executes end-to-end into the no-op sink (full plan runs
 JVM-side; nothing is collected to the driver beyond metrics).
+
+Two timing sections:
+
+- ``queries`` — warm, best-of-2 (codegen compiled, files listed): the
+  steady-state per-query cost.
+- ``cold_queries`` — the *first* execution of the heaviest queries in
+  this process, timed before any other query runs. Best-of-N hides
+  one-off costs that matter at 100 TB (the IVF quantizer fit, LSH
+  signature computation, codegen of very wide expressions); this
+  section makes them visible round-over-round.
 """
 
 from __future__ import annotations
@@ -20,7 +30,8 @@ from big_data_analytics_spark.queries import load_all
 from big_data_analytics_spark.session import get_spark
 
 #: Headline queries: one per major plan shape (scan-agg, join-agg,
-#: top-k, outer join, window, sessionization, text, vector search).
+#: top-k, outer join, window, sessionization, text, vector search,
+#: per-group top-k, column profiling).
 HEADLINE = [
     "a1_pricing_summary",
     "j1_revenue_by_nation",
@@ -40,7 +51,19 @@ HEADLINE = [
     "fn1_session_funnel",
     "t7_vocabulary",
     "ecom_clv",
+    "o2g_topk_per_group",
+    "dq1_profile_lineitem",
 ]
+
+#: Queries whose one-off build cost (quantizer fit, signatures) is
+#: worth tracking separately from steady state.
+COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs"]
+
+
+def _run(q, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -57,6 +80,14 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     registry = load_all()
+
+    # cold pass first: each query's first-ever execution in this
+    # process (pays its one-off costs exactly once, nothing pre-warmed
+    # beyond the generic JVM warmup above)
+    cold: dict[str, float] = {}
+    for name in COLD:
+        cold[name] = round(_run(registry[name], spark, sf_dir), 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
@@ -64,9 +95,7 @@ def main() -> None:
         # codegen compile, fixture generation) that aren't the query
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
-            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, _run(q, spark, sf_dir))
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -75,6 +104,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_queries": cold,
         "sf": sf,
     }))
 

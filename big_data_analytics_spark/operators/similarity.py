@@ -201,21 +201,31 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
 
 def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding", n_cells: int = 16,
-              seed: int = 7):
+              seed: int = 7, fit_fraction: float = 1.0):
     """Partition the corpus into ``n_cells`` Voronoi cells via MLlib
     KMeans (the FAISS IVF coarse quantizer). Returns (assignments df
-    with a ``cell`` column, centroid list). At 100 TB: fit the
-    quantizer on a sample, assign in one narrow map, and store the
-    corpus partitioned/bucketed by cell so a probe reads only
-    nprobe/n_cells of the data (partition pruning does the rest)."""
+    with a ``cell`` column, centroid list).
+
+    ``fit_fraction`` is the 100 TB knob: the quantizer only needs
+    enough vectors to place ``n_cells`` centroids (FAISS trains IVF
+    on ~max(10k, 256·n_cells) samples regardless of corpus size), so
+    fit KMeans on a seeded sample and *assign* the full corpus in one
+    narrow map — the iterative part of the algorithm never touches
+    more than the sample. Store the corpus partitioned/bucketed by
+    cell so a probe reads only nprobe/n_cells of the data (partition
+    pruning does the rest)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if not 0.0 < fit_fraction <= 1.0:
+        raise ValueError(f"fit_fraction must be in (0, 1], got {fit_fraction}")
     vecs = corpus.select(
         id_col, vec_col,
         array_to_vector(as_double(F.col(vec_col))).alias("__v"),
     )
-    km = KMeans(featuresCol="__v", k=n_cells, seed=seed).fit(vecs)
+    fit_set = (vecs if fit_fraction >= 1.0
+               else vecs.sample(fraction=fit_fraction, seed=seed))
+    km = KMeans(featuresCol="__v", k=n_cells, seed=seed).fit(fit_set)
     assigned = km.transform(vecs).select(
         id_col, vec_col, F.col("prediction").alias("cell"))
     centroids = [list(c) for c in km.clusterCenters()]

@@ -133,3 +133,36 @@ def test_ivf_partitioned_storage_prunes(spark, corpus, tmp_path):
     assert got_cells <= {1, 3} and got_cells
     expected = assigned.filter(F.col("cell").isin([1, 3])).count()
     assert probe.count() == expected
+
+
+def test_ivf_sample_fit_recall(spark, corpus, queries):
+    """The 100 TB path: fitting the coarse quantizer on a 10% sample
+    must not cost probe recall — cell boundaries shift, but nprobe=6
+    of 12 still recovers the same share of the exact top-10, and
+    probing all cells is still exact (assignment covers every vector
+    regardless of where the centroids came from)."""
+    from big_data_analytics_spark.operators.similarity import ivf_build, ivf_topk
+
+    exact = cosine_topk(corpus, queries, k=10).toPandas()
+
+    def mean_recall(fraction):
+        assigned, centroids = ivf_build(
+            corpus, n_cells=12, seed=7, fit_fraction=fraction)
+        approx = ivf_topk(assigned, centroids, queries, k=10,
+                          nprobe=6).toPandas()
+        recalls = []
+        for qid in exact.query_id.unique():
+            e = set(exact[exact.query_id == qid].neighbor_id)
+            a = set(approx[approx.query_id == qid].neighbor_id)
+            recalls.append(len(e & a) / len(e))
+        return sum(recalls) / len(recalls)
+
+    sampled = mean_recall(0.1)
+    assert sampled > 0.5, sampled
+    # exactness when probing everything is fit-independent
+    assigned, centroids = ivf_build(corpus, n_cells=12, seed=7,
+                                    fit_fraction=0.1)
+    full = ivf_topk(assigned, centroids, queries, k=10, nprobe=12).toPandas()
+    for qid in exact.query_id.unique():
+        assert (set(full[full.query_id == qid].neighbor_id)
+                == set(exact[exact.query_id == qid].neighbor_id))
