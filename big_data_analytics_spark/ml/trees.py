@@ -97,9 +97,10 @@ def grid_search_cv(df: DataFrame, features: list[str], label: str,
                    regression: bool = True, seed: int = 0):
     """Reference: GridSearchCV(ccp_alpha grid) + KFold
     (BasicsDecisionTree.ipynb:807-840). MLlib has no cost-complexity
-    pruning; the documented equivalent is a maxDepth grid under
-    CrossValidator (SURVEY §2.9 M7). Returns (best_model, best_depth,
-    avg_metrics_per_depth)."""
+    pruning; this is the maxDepth-grid CrossValidator analogue
+    (SURVEY §2.9 M7). For the reference's *exact* ccp_alpha
+    weakest-link semantics use ``ml.pruning.cv_ccp_prune``. Returns
+    (best_model, best_depth, avg_metrics_per_depth)."""
     assembler = VectorAssembler(inputCols=features, outputCol="__features")
     assembled = assembler.transform(df)
     if regression:
