@@ -441,3 +441,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+def exact_ngram_contamination(left: DataFrame, right: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 8,
+                              max_doc_freq: int | None = 100) -> DataFrame:
+    """Exact n-gram overlap between two corpora — the classic eval-
+    decontamination check (GPT-3 appendix C / PaLM-style: an eval doc
+    is contaminated if it shares any verbatim n-gram with training
+    data), complementing :func:`cross_corpus_lsh_pairs`' fuzzy match
+    with exact-substring evidence.
+
+    Returns (left_id, right_id, n_shared_ngrams) for every cross-
+    corpus pair sharing ≥1 distinct word n-gram.
+
+    Scale shape: per-doc n-grams are a narrow map (sequence → slice →
+    distinct); the join key is the n-gram's md5 (32-byte fingerprints
+    shuffle, never text — and md5 keeps the whole pipeline engine-
+    portable for the oracle). ``max_doc_freq`` drops n-grams occurring
+    in more than that many documents across BOTH corpora before the
+    join — boilerplate phrases are exactly the keys that would
+    otherwise produce quadratic bucket blow-ups, and decontamination
+    pipelines exclude them for precision anyway."""
+    def ngrams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        arr = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return (
+            df.filter(F.size(toks) >= n)
+            .select(F.col(id_col).alias(out_id),
+                    F.explode(F.array_distinct(arr)).alias("__ng"))
+            .select(out_id, F.md5("__ng").alias("fp"))
+        )
+
+    l, r = ngrams(left, "left_id"), ngrams(right, "right_id")
+    if max_doc_freq is not None:
+        keep = (
+            l.select("fp").unionByName(r.select("fp"))
+            .groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("fp")
+        )
+        l = l.join(keep, "fp")
+    return (
+        l.join(r, "fp")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -51,6 +51,10 @@ GRADE_HEAD = [
     "dq1_profile_lineitem",
     "dq2_referential_integrity",
     "dq3_contamination_check",
+    # new this round (never graded): exact n-gram decontamination +
+    # Gopher-style repetition signals
+    "dq4_ngram_contamination",
+    "t8_repetition_signals",
     "pv2_unpivot_metrics",
     "o2g_topk_per_group",
     "fn1_session_funnel",
@@ -83,7 +87,6 @@ GRADE_HEAD = [
     "p8_null_handling",
     "p11_part_size_buckets",
     "p13_cast_coercion",
-    "p16_ordered_limit",
     "a5_monthly_revenue",
     "a6_forecast_revenue",
     "a7_order_priority_counts",
@@ -94,7 +97,6 @@ GRADE_HEAD = [
     "a18_large_orders_having",
     "u1_union_distinct",
     "w1_event_lag_delta",
-    "w4_latest_order_per_customer",
     "w5_customer_running_spend",
     "w7_sessionize_events",
     "g1_rollup_revenue",

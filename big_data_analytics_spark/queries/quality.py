@@ -170,3 +170,66 @@ def dq3_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("left_id").alias("implicated_train_docs"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@query(
+    "dq4_ngram_contamination",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id * 2654435761) % 2147483648 % 100 < 90
+    ), leaked AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+      FROM (SELECT doc_id, text FROM train ORDER BY doc_id LIMIT 10)
+    ), evalset AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id * 2654435761) % 2147483648 % 100 >= 90
+      UNION ALL SELECT doc_id, text FROM leaked
+    ), lng AS (
+      SELECT doc_id AS left_id,
+             UNNEST(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> array_to_string(t[i : i + 7], ' ')))) AS ng
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM train)
+      WHERE len(t) >= 8
+    ), rng AS (
+      SELECT doc_id AS right_id,
+             UNNEST(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> array_to_string(t[i : i + 7], ' ')))) AS ng
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM evalset)
+      WHERE len(t) >= 8
+    ), keep AS (
+      SELECT ng FROM (SELECT ng FROM lng UNION ALL SELECT ng FROM rng)
+      GROUP BY ng HAVING COUNT(*) <= 100
+    )
+    SELECT l.left_id, r.right_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM (SELECT * FROM lng WHERE ng IN (SELECT ng FROM keep)) l
+    JOIN rng r ON l.ng = r.ng
+    GROUP BY l.left_id, r.right_id
+    """,
+)
+def dq4_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram eval-decontamination (8-gram verbatim overlap, the
+    GPT-3-style exact complement to dq3's fuzzy MinHash check) — and
+    unlike MinHash, fully SQL-expressible, so this one carries a hard
+    value-hash oracle. Same fixture construction as dq3: documents
+    hash-split 90/10 into pseudo train/eval, 10 train docs planted
+    into eval with one appended token; every leaked pair must surface
+    with a high shared-n-gram count."""
+    from big_data_analytics_spark.operators.dedup import (
+        exact_ngram_contamination,
+    )
+    from big_data_analytics_spark.queries.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"))
+    train, eval_set = d.filter(b < 90), d.filter(b >= 90)
+    leaked = (train.orderBy("doc_id").limit(10)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" tail")).alias("text")))
+    return exact_ngram_contamination(
+        train, eval_set.unionByName(leaked), n=8, max_doc_freq=100)

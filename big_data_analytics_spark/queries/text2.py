@@ -83,3 +83,93 @@ def t7_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("doc_id").alias("df"))
         .filter(F.col("tf") >= 5)
     )
+
+
+@query(
+    "t8_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               1.0 - len(list_distinct(t)) / len(t) AS dup_word_frac
+        FROM toks
+    ), bi AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ), bc AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ), top AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count
+        FROM bc GROUP BY 1
+    ), joined AS (
+        SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+               COALESCE(top.top_bigram_count, 0) AS top_bigram_count,
+               CASE WHEN b.n_tokens >= 2
+                    THEN top.top_bigram_count / (b.n_tokens - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dup_word_frac, top_bigram_count,
+           top_bigram_frac,
+           (dup_word_frac <= 0.5 AND top_bigram_frac <= 0.2)
+               AS passes_quality
+    FROM joined
+    """,
+)
+def t8_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-rule family:
+    Rae et al. 2021 §A1.1 filter on duplicate-word and top-n-gram
+    fractions): duplicate-word fraction, the most frequent bigram's
+    share of all bigrams, and a pass/fail gate.
+
+    Plan shape: the word-level signal is a pure row expression
+    (array_distinct — no shuffle); the bigram mode is explode →
+    (doc, bigram) partial+final count → per-doc max — shuffle volume
+    is bounded by *distinct* bigrams per partition, and every stage
+    partial-aggregates map-side. No UDFs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("dup_word_frac"),
+    )
+    bigrams = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)),
+            )).alias("bigram"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    joined = (
+        base.join(top, "doc_id", "left")
+        .na.fill({"top_bigram_count": 0})
+        .withColumn(
+            "top_bigram_frac",
+            F.when(F.col("n_tokens") >= 2,
+                   F.col("top_bigram_count") / (F.col("n_tokens") - 1))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return joined.select(
+        "doc_id", "n_tokens", "dup_word_frac", "top_bigram_count",
+        "top_bigram_frac",
+        ((F.col("dup_word_frac") <= 0.5) & (F.col("top_bigram_frac") <= 0.2))
+        .alias("passes_quality"),
+    )

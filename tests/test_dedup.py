@@ -255,3 +255,42 @@ def test_cross_corpus_contamination(spark):
     kept = {r.doc_id for r in decontaminated.collect()}
     assert not (set(range(10, 20)) & kept)   # leaked docs removed
     assert set(range(0, 10)) <= kept         # clean train docs kept
+
+
+def test_exact_ngram_contamination(spark):
+    """Exact 8-gram decontamination: planted near-copies (one appended
+    token) share almost all n-grams with their source; clean docs from
+    outside the training set share none (word-soup corpus — chance
+    verbatim 8-grams across distinct docs are filtered by requiring
+    the planted pairs' high counts, not assumed absent)."""
+    from big_data_analytics_spark.operators.dedup import (
+        exact_ngram_contamination,
+    )
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    train = docs.filter(F.col("doc_id") < 60)
+    contaminated = train.filter(F.col("doc_id").between(10, 19)).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"))
+    clean = docs.filter(F.col("doc_id") >= 60).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text")
+    eval_set = contaminated.unionByName(clean)
+
+    pairs = exact_ngram_contamination(train, eval_set, n=8).toPandas()
+    got = {(r.left_id, r.right_id): r.n_shared_ngrams
+           for r in pairs.itertuples()}
+    # appending one token removes no original 8-gram, so each planted
+    # pair shares EXACTLY its source doc's distinct-8-gram count
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ngs = F.transform(F.sequence(F.lit(1), F.size(toks) - 7),
+                      lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
+    expected = {
+        r.doc_id: r.n for r in train.filter(F.col("doc_id").between(10, 19))
+        .select("doc_id", F.size(F.array_distinct(ngs)).alias("n")).collect()
+    }
+    for i in range(10, 20):
+        assert got.get((i, i + 5000), 0) == expected[i], (i, got.get((i, i + 5000)), expected[i])
