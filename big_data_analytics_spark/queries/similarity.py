@@ -66,7 +66,13 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF), rank per query. At 100 TB the corpus side stays partitioned
     and only local top-k per partition shuffles (window over the tiny
     query_id key-space after per-partition pruning by Catalyst's
-    WindowGroupLimit)."""
+    WindowGroupLimit).
+
+    Deliberate: norms are recomputed inside each pair expression to
+    stay bit-parallel with the oracle SQL's per-pair form (~3× scoring
+    constant on this brute-force path only). The production operator
+    (operators/similarity.py:cosine_topk) caches per-row norms; the
+    scale path (v3) does too."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
