@@ -68,9 +68,11 @@ GRADE_HEAD = [
     "ecom_products_enriched",
     "ecom_dwell_times",
     "ecom_page_transitions",
-    # (c) changed this round (sketch band rename, pmod hash split)
+    # (c) changed or added this round (sketch band rename, pmod hash
+    # split, new frequent-items sketch)
     "sk1_hll_distinct_users",
     "sk2_hll_mergeable",
+    "sk4_heavy_hitters",
     "p19b_hash_split",
     "p20b_stratified_sample",
     # (d) round-1-green canary, not re-graded since round 1
@@ -89,7 +91,6 @@ GRADE_HEAD = [
     "p13_cast_coercion",
     "a5_monthly_revenue",
     "a6_forecast_revenue",
-    "a7_order_priority_counts",
     "a8_percentiles",
     "a9_quantity_moments",
     "a10_corr_regression",

