@@ -7,10 +7,11 @@ from big_data_analytics_spark.pipelines.ecommerce import (
     product_daily_metrics,
     monthly_sales,
     products_enriched,
+    inventory_levels,
 )
 
 __all__ = [
     "revenue_by_state", "top_products", "user_spend",
     "user_session_metrics", "clv", "product_daily_metrics",
-    "monthly_sales", "products_enriched",
+    "monthly_sales", "products_enriched", "inventory_levels",
 ]

@@ -68,6 +68,7 @@ GRADE_HEAD = [
     "ecom_products_enriched",
     "ecom_dwell_times",
     "ecom_page_transitions",
+    "ecom_inventory_levels",
     # (c) changed or added this round (sketch band rename, pmod hash
     # split, new frequent-items sketch)
     "sk1_hll_distinct_users",
@@ -88,7 +89,6 @@ GRADE_HEAD = [
     "p6_membership_and_regex",
     "p8_null_handling",
     "p11_part_size_buckets",
-    "p13_cast_coercion",
     "a5_monthly_revenue",
     "a6_forecast_revenue",
     "a8_percentiles",
