@@ -172,3 +172,30 @@ def test_dq1_profile_no_expand(spark):
     approx = profile_columns(l, ["l_quantity", "l_returnflag"])
     approx_plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in approx_plan
+
+
+def test_dq4_ngram_join_shape(spark):
+    """dq4: the contamination join must shuffle md5 fingerprints with
+    partial-aggregated pair counts — no Python eval, no global sort."""
+    plan = _plan(spark, "dq4_ngram_contamination")
+    assert "BatchEvalPython" not in plan and "Sort " not in plan.split("\n")[0]
+    assert plan.count("HashAggregate") >= 2  # partial+final pair counts
+
+
+def test_t8_bigram_mode_partial_aggregates(spark):
+    """t8: the bigram mode must partial-aggregate map-side, so the
+    shuffle carries (doc, bigram, partial count), not bigram rows."""
+    plan = _plan(spark, "t8_repetition_signals")
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_inventory_windows_partitioned(spark):
+    """ecom_inventory_levels: both Lindley windows run under the same
+    per-product partitioning (one exchange feeds both), and the
+    initial-stock dim broadcasts."""
+    plan = _plan(spark, "ecom_inventory_levels")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 2
+    # exactly one shuffle for the window partitioning + the fixture scan
+    assert "SortMergeJoin" not in plan
