@@ -201,3 +201,60 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def session_funnel(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Per-session ordered-step funnel (view → click ≥ view →
+    purchase ≥ click) — the streaming twin of
+    queries.funnels.fn1_session_funnel's step detection.
+
+    ``session_window`` owns the gap-based sessionization (state per
+    open session, closed when the watermark passes end+gap); the
+    session's events are collected and the chained conditional step
+    minima — which need the session's *final* event set, because a
+    late view can lower v_ts and admit earlier clicks — are computed
+    as array expressions on the closed session. State per open
+    session is its event list (bounded by session length × arrival
+    rate), the price of exact ordered-step semantics; unordered
+    funnels (any-time steps) could keep three running minima instead.
+
+    Batch semantics note: ``session_window`` starts a new session when
+    the inter-event gap is ≥ gap (strict overlap test), while the
+    batch lag-based variant splits only when the gap is > gap; they
+    differ only on microsecond-exact gap boundaries. On a static
+    frame this function degrades to a plain aggregation (stream ==
+    batch, tested)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    sess = (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.sort_array(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))).alias("evs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+    def step_ts(pred):
+        return F.array_min(
+            F.transform(F.filter("evs", pred), lambda e: e["ts"]))
+
+    with_steps = (
+        sess
+        .withColumn("v_ts", step_ts(lambda e: e["event_type"] == "view"))
+        .withColumn("c_ts", step_ts(
+            lambda e: (e["event_type"] == "click")
+            & (e["ts"] >= F.col("v_ts"))))
+        .withColumn("p_ts", step_ts(
+            lambda e: (e["event_type"] == "purchase")
+            & (e["ts"] >= F.col("c_ts"))))
+    )
+    return with_steps.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        F.col("v_ts").isNotNull().alias("s_view"),
+        F.col("c_ts").isNotNull().alias("s_click"),
+        F.col("p_ts").isNotNull().alias("s_buy"),
+    )

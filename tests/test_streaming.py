@@ -199,3 +199,30 @@ def test_stream_dedup_within_watermark(spark):
         for r in dedup_events_within_watermark(batch_df).collect())
     assert batch_ids == ids
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_funnel_stream_equals_batch(spark, event_dir):
+    """The streaming funnel's per-session step flags must equal the
+    batch evaluation of the same plan — including sessions whose
+    events arrive across different micro-batches (a late view must
+    retroactively admit earlier clicks before the session closes)."""
+    from big_data_analytics_spark.streaming.events import session_funnel
+
+    def wide(ev):
+        # watermark wider than the data span: files replay in arbitrary
+        # event-time order, so a narrow watermark would (correctly)
+        # drop late events — equality needs none dropped
+        return session_funnel(ev, gap="30 minutes", watermark="60 days")
+
+    got, batch = _run_stream(spark, event_dir, wide, "complete")
+    cols = ["user_id", "session_start", "session_end", "n_events",
+            "s_view", "s_click", "s_buy"]
+    assert _canon(got, cols) == _canon(wide(batch), cols)
+    # funnel monotonicity: each step can only lose sessions
+    agg = got.agg(
+        F.sum(F.col("s_view").cast("long")).alias("v"),
+        F.sum(F.col("s_click").cast("long")).alias("c"),
+        F.sum(F.col("s_buy").cast("long")).alias("b"),
+    ).first()
+    assert agg.v >= agg.c >= agg.b
+    assert agg.v > 0
