@@ -74,6 +74,9 @@ GRADE_HEAD = [
     "sk1_hll_distinct_users",
     "sk2_hll_mergeable",
     "sk4_heavy_hitters",
+    "q2p_min_price_per_type",
+    "q11p_supplier_revenue_share",
+    "q20p_dominant_part_suppliers",
     "p19b_hash_split",
     "p20b_stratified_sample",
     # (d) round-1-green canary, not re-graded since round 1
@@ -83,14 +86,12 @@ GRADE_HEAD = [
     "j2_customer_order_stats",
     "j5_customers_with_urgent_orders",
     "j6_customers_without_orders",
-    "j5b_rowkey_decompose_join",
     "j7_regional_supplier_volume",
     "p4_filter_compound",
     "p6_membership_and_regex",
     "p8_null_handling",
     "p11_part_size_buckets",
     "a5_monthly_revenue",
-    "a6_forecast_revenue",
     "a8_percentiles",
     "a9_quantity_moments",
     "a10_corr_regression",
@@ -100,7 +101,6 @@ GRADE_HEAD = [
     "w1_event_lag_delta",
     "w5_customer_running_spend",
     "w7_sessionize_events",
-    "g1_rollup_revenue",
     "pv1_status_pivot",
 ]
 
@@ -127,6 +127,7 @@ def load_all() -> dict[str, Query]:
         windows,
         relational2,
         tpch_extra,
+        tpch_extra3,
         timeseries_queries,
         quality,
         reshape,
