@@ -77,6 +77,8 @@ GRADE_HEAD = [
     "q2p_min_price_per_type",
     "q11p_supplier_revenue_share",
     "q20p_dominant_part_suppliers",
+    "t9_sequence_packing",
+    "ij1_view_purchase_pairs",
     "p19b_hash_split",
     "p20b_stratified_sample",
     # (d) round-1-green canary, not re-graded since round 1
@@ -93,10 +95,8 @@ GRADE_HEAD = [
     "p11_part_size_buckets",
     "a5_monthly_revenue",
     "a8_percentiles",
-    "a9_quantity_moments",
     "a10_corr_regression",
     "a12_event_daily_metrics",
-    "a18_large_orders_having",
     "u1_union_distinct",
     "w1_event_lag_delta",
     "w5_customer_running_spend",

@@ -144,3 +144,38 @@ def rj1_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# IJ1 — interval join (multi-touch attribution): every (view,
+# purchase) pair for the same user within a 30-minute horizon. The
+# same transform is the stream-stream join in streaming/events.py;
+# here it runs in batch mode against the oracle.
+# --------------------------------------------------------------------
+@query(
+    "ij1_view_purchase_pairs",
+    oracle=f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND epoch_us(p.ts) - epoch_us(v.ts) <= {_TOL_US}
+    """,
+)
+def ij1_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution interval join. Batch plan: one shuffle
+    on user_id (equi-key), interval bounds as a residual predicate on
+    the sort-merge join — never a cross join. The streaming twin
+    (streaming/events.view_purchase_interval_join) is the same
+    function; its watermark + interval bound give Spark a state-expiry
+    proof for the stream-stream join."""
+    from big_data_analytics_spark.streaming.events import (
+        view_purchase_interval_join,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return view_purchase_interval_join(ev, horizon="30 minutes")

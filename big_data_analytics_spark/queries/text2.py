@@ -5,7 +5,7 @@ at 100 TB. Both are narrow maps + one aggregation; no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
@@ -13,6 +13,8 @@ from big_data_analytics_spark.queries import query
 
 CHUNK = 32
 STRIDE = 24  # 8-token overlap between consecutive chunks
+SEQ_LEN = 512  # training-sequence token budget for t9
+PACK_BUCKET = 1024  # docs per offset bucket in the two-level cumsum
 
 
 @query(
@@ -172,4 +174,72 @@ def t8_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         ((F.col("dup_word_frac") <= 0.5) & (F.col("top_bigram_frac") <= 0.2))
         .alias("passes_quality"),
+    )
+
+
+@query(
+    "t9_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), off AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, tok_offset,
+           tok_offset // {SEQ_LEN} AS first_seq,
+           (tok_offset + n_tokens - 1) // {SEQ_LEN} AS last_seq,
+           (tok_offset + n_tokens - 1) // {SEQ_LEN}
+               - tok_offset // {SEQ_LEN} + 1 AS n_seqs
+    FROM off
+    """,
+)
+def t9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: the corpus is laid out as one
+    token stream in doc_id order and cut into fixed {SEQ_LEN}-token
+    training sequences (the standard GPT-style pretraining pack; a doc
+    may span several sequences). Output per document: its global token
+    offset and the first/last sequence ids it lands in.
+
+    Scale shape: a naive global cumsum is a single-partition window.
+    Instead the offsets are two-level — per-bucket token totals (a
+    partial+final agg), a prefix sum over the *bucket totals* (a tiny
+    frame, thousands of rows at 100 TB, where a driver-sized window is
+    fine), broadcast back, plus a within-bucket cumsum window
+    partitioned by bucket. No stage ever orders more than one bucket
+    of rows; the same stitching trick as operators/timeseries.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bkt"),
+    )
+    btot = nt.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wb = (Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("bucket_off"))
+    ww = (Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (
+        nt.join(F.broadcast(boff), "bkt")
+        .withColumn(
+            "tok_offset",
+            (F.col("bucket_off")
+             + F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))).cast("long"))
+        .withColumn("first_seq", F.expr(f"tok_offset DIV {SEQ_LEN}"))
+        .withColumn(
+            "last_seq",
+            F.expr(f"(tok_offset + n_tokens - 1) DIV {SEQ_LEN}"))
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq",
+        (F.col("last_seq") - F.col("first_seq") + 1).alias("n_seqs"),
     )

@@ -258,3 +258,50 @@ def session_funnel(events: DataFrame, gap: str = "30 minutes",
         F.col("c_ts").isNotNull().alias("s_click"),
         F.col("p_ts").isNotNull().alias("s_buy"),
     )
+
+
+def view_purchase_interval_join(events: DataFrame,
+                                horizon: str = "30 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval self-join: every (view, purchase) pair
+    for the same user where the purchase lands within ``horizon`` after
+    the view — the multi-touch attribution join (vs aj1/aj2's
+    single-touch as-of).
+
+    Streaming semantics: both sides carry a watermark and the join
+    condition bounds purchase_ts to [view_ts, view_ts + horizon], so
+    Spark can expire buffered view state once the purchase-side
+    watermark passes view_ts + horizon — state is (view arrival rate ×
+    horizon), not the whole stream. On a batch frame the identical
+    plan is a user_id equi-join with the interval as a residual
+    predicate; both modes run through this one function and the tests
+    assert stream == batch.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("buyer_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = views.join(
+        purchases,
+        F.expr(f"""
+            user_id = buyer_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL {horizon}
+        """),
+    )
+    return joined.select(
+        "user_id", "view_id", "purchase_id",
+        (F.unix_micros(F.col("purchase_ts"))
+         - F.unix_micros(F.col("view_ts"))).alias("gap_us"),
+        "purchase_value",
+    )

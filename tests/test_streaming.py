@@ -226,3 +226,22 @@ def test_session_funnel_stream_equals_batch(spark, event_dir):
     ).first()
     assert agg.v >= agg.c >= agg.b
     assert agg.v > 0
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream interval self-join (view x purchase within 30
+    min) must emit exactly the batch pairs when the watermark is wider
+    than the data span (no state expired before its matches arrive)."""
+    from big_data_analytics_spark.streaming.events import (
+        view_purchase_interval_join,
+    )
+
+    def joinq(ev):
+        return view_purchase_interval_join(
+            ev, horizon="30 minutes", watermark="60 days")
+
+    got, batch = _run_stream(spark, event_dir, joinq, "append")
+    expected = joinq(batch)
+    cols = ["user_id", "view_id", "purchase_id", "gap_us", "purchase_value"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert len(_canon(got, cols)) > 0
