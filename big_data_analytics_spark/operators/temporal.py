@@ -119,3 +119,40 @@ def range_band_join(
     irregular, hand-authored bands."""
     pred = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(bands), pred, "left")
+
+
+def scd2_history(changelog: DataFrame, entity_col: str, attr_cols: list[str],
+                 order_cols: list[str]) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: collapse consecutive rows with identical tracked attributes,
+    then assign [valid_from, valid_to) intervals and a version number
+    per entity (the warehouse MERGE ... WHEN MATCHED pattern, derived
+    declaratively instead of row-at-a-time).
+
+    Plan shape: one shuffle on the entity key; every window
+    (change-detection lag, version row_number, interval lead) shares
+    that partitioning, so Spark plans a single Exchange followed by
+    sorts — no second shuffle at any scale. ``order_cols`` must be a
+    deterministic total order within an entity (e.g. ts + a tie-break
+    id) or versions are nondeterministic across runs.
+
+    Returns entity, attrs, the order columns of the version's first
+    row, version (1-based), and is_current.
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        # NULL-safe inequality: a NULL attr starting/ending a run
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    first_row = F.row_number().over(w) == 1
+    marks = changelog.withColumn(
+        "__is_change", first_row | changed)
+    versions = marks.filter(F.col("__is_change")).drop("__is_change")
+    wv = Window.partitionBy(entity_col).orderBy(*order_cols)
+    out = versions.select(
+        entity_col, *attr_cols, *order_cols,
+        F.row_number().over(wv).alias("version"),
+        F.lead(order_cols[0]).over(wv).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

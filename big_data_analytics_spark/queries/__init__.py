@@ -79,6 +79,7 @@ GRADE_HEAD = [
     "q20p_dominant_part_suppliers",
     "t9_sequence_packing",
     "ij1_view_purchase_pairs",
+    "scd1_user_state_history",
     "p19b_hash_split",
     "p20b_stratified_sample",
     # (d) round-1-green canary, not re-graded since round 1
@@ -90,7 +91,6 @@ GRADE_HEAD = [
     "j6_customers_without_orders",
     "j7_regional_supplier_volume",
     "p4_filter_compound",
-    "p6_membership_and_regex",
     "p8_null_handling",
     "p11_part_size_buckets",
     "a5_monthly_revenue",

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.functions.money import money_sum
-from big_data_analytics_spark.operators.temporal import asof_join, range_band_join
+from big_data_analytics_spark.operators.temporal import (
+    asof_join,
+    range_band_join,
+    scd2_history,
+)
 from big_data_analytics_spark.queries import query
 
 
@@ -179,3 +183,55 @@ def ij1_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = load_table(spark, sf_dir, "events")
     return view_purchase_interval_join(ev, horizon="30 minutes")
+
+
+# --------------------------------------------------------------------
+# SCD1 — type-2 slowly-changing-dimension history: per-user
+# event_type run-length history with validity intervals.
+# --------------------------------------------------------------------
+@query(
+    "scd1_user_state_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           COALESCE(epoch_us(LEAD(ts) OVER w), -1) AS valid_to_us,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd1_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension build (operators/temporal.scd2_history): each
+    user's event_type run-length history as [valid_from, valid_to)
+    versions. One shuffle on user_id; the change-detection lag, the
+    version row_number, and the interval lead all reuse that
+    partitioning (single Exchange in the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        entity_col="user_id", attr_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    return hist.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        "event_id",
+        F.col("version").cast("long").alias("version"),
+        F.coalesce(F.unix_micros(F.col("valid_to")), F.lit(-1))
+        .alias("valid_to_us"),
+        "is_current",
+    )

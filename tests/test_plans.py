@@ -199,3 +199,30 @@ def test_inventory_windows_partitioned(spark):
     assert plan.count("Window") == 2
     # exactly one shuffle for the window partitioning + the fixture scan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """scd1: change-lag, version row_number, and interval lead must all
+    reuse one hashpartitioning(user_id) exchange — a second shuffle
+    means the windows disagree on partitioning."""
+    plan = _plan(spark, "scd1_user_state_history")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_t9_packing_no_global_window(spark):
+    """t9: offsets must come from the bucket-stitched two-level cumsum;
+    a window partitioned only by ORDER BY (empty partition spec over
+    the full corpus) would single-thread the whole table."""
+    plan = _plan(spark, "t9_sequence_packing")
+    assert "Exchange hashpartitioning(bkt" in plan
+    assert "Exchange SinglePartition" in plan  # the tiny bucket-totals frame only
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_ij1_equi_join_with_residual(spark):
+    """ij1: the interval join must hash on user_id with the time bounds
+    as residual predicates — a nested-loop cross product over events
+    would be quadratic."""
+    plan = _plan(spark, "ij1_view_purchase_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
