@@ -53,6 +53,8 @@ HEADLINE = [
     "ecom_clv",
     "o2g_topk_per_group",
     "dq1_profile_lineitem",
+    "t9_sequence_packing",
+    "ij1_view_purchase_pairs",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures) is

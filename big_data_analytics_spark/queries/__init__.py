@@ -74,6 +74,7 @@ GRADE_HEAD = [
     "sk1_hll_distinct_users",
     "sk2_hll_mergeable",
     "sk4_heavy_hitters",
+    "sk5_count_min_tokens",
     "q2p_min_price_per_type",
     "q11p_supplier_revenue_share",
     "q20p_dominant_part_suppliers",
@@ -87,7 +88,6 @@ GRADE_HEAD = [
     "j1_revenue_by_nation",
     "o1_top_orders_by_revenue",
     "j2_customer_order_stats",
-    "j5_customers_with_urgent_orders",
     "j6_customers_without_orders",
     "j7_regional_supplier_volume",
     "p4_filter_compound",

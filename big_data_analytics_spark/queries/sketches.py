@@ -161,3 +161,53 @@ def sk4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("found_by_sketch"),
         )
     )
+
+
+@query(
+    "sk5_count_min_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY token
+    )
+    SELECT token, tf,
+           TRUE AS cms_overestimates,
+           TRUE AS cms_within_band
+    FROM cnt
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+)
+def sk5_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py) over the token stream:
+    the top-20 tokens' exact frequencies plus two hard CMS invariants —
+    the estimate never undercounts (a deterministic property, not a
+    probabilistic one), and it lands within 2·d·N/w of exact (loose
+    multiple of the expected collision mass, so a dataset regeneration
+    cannot flip it). The sketch is ≤ d·w rows however large the
+    corpus; estimates are a broadcast probe against it."""
+    from big_data_analytics_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    exact = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    top = exact.orderBy(F.desc("tf"), "token").limit(20)
+    sketch = cms_build(tokens, "token")
+    est = cms_estimate(sketch, top, "token")
+    total = tokens.agg(F.count(F.lit(1)).alias("__n"))
+    band = 2.0 * 4 * F.col("__n") / CMS_WIDTH
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "token", "tf",
+            (F.col("cms_est") >= F.col("tf")).alias("cms_overestimates"),
+            ((F.col("cms_est") - F.col("tf")) <= band)
+            .alias("cms_within_band"),
+        )
+    )
