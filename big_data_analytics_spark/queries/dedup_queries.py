@@ -126,3 +126,148 @@ def v4_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
     return embedding_near_dup_pairs(emb.unionByName(dups), threshold=0.999)
+
+
+# --------------------------------------------------------------------
+# d2b — engine-portable MinHash+LSH with a full DuckDB oracle. The
+# production operator (d2) uses xxhash64 seeds, which no other engine
+# reproduces, so its driver row is rows-only; this variant derives
+# every hash from md5 hex (portable everywhere) so the *entire*
+# MinHash → banding → candidate-pair → signature-verify pipeline is
+# value-hash-checked against an independent engine. Same plan shape
+# as the production operator: narrow shingle explode, one groupBy-min
+# signature aggregate, band equality self-join, pair-level verify.
+# --------------------------------------------------------------------
+_MH_P = 2147483647  # Mersenne 2^31-1
+_MH_PERMS = [  # (a odd, b) — fixed affine permutations mod _MH_P
+    (((2654435761 * (j + 1)) % _MH_P) | 1, (40503 * 65537 * (j + 7)) % _MH_P)
+    for j in range(16)
+]
+_MH_THRESH = 8  # >= 8/16 matching components ~ est Jaccard >= 0.5
+
+_MH_PERMS_SQL = ", ".join(f"({j}, {a}, {b})"
+                          for j, (a, b) in enumerate(_MH_PERMS))
+
+_D2B_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 20000, text || ' appended' FROM documents
+    WHERE doc_id < 100
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+), shingles AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks WHERE len(t) >= 3
+), hv AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MH_P} AS h
+    FROM shingles
+), sig AS (
+    SELECT doc_id, p.j, MIN((p.a * h + p.b) % {_MH_P}) AS m
+    FROM hv CROSS JOIN (VALUES {_MH_PERMS_SQL}) AS p(j, a, b)
+    GROUP BY doc_id, p.j
+), bands AS (
+    SELECT doc_id, j // 4 AS band,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS key
+    FROM sig GROUP BY doc_id, j // 4
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(COUNT(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_match,
+       COUNT(*) FILTER (WHERE sa.m = sb.m) / 16.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+GROUP BY p.id_a, p.id_b
+HAVING COUNT(*) FILTER (WHERE sa.m = sb.m) >= {_MH_THRESH}
+"""
+
+
+@query("d2b_minhash_portable", oracle=_D2B_ORACLE)
+def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH near-dup pairs with every hash derived
+    from md5 (portable), so the full pipeline is checked value-for-
+    value against DuckDB. Plan: shingle explode stays narrow; the 16
+    affine permutations are 16 min-aggregates over one precomputed
+    32-bit shingle hash (single groupBy, whole-stage codegen); bands
+    are 4 equality keys per doc; candidates come from a band self-join
+    and are verified by re-joining the two signatures."""
+    corpus = _doc_corpus_with_dups(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    shingles = (
+        corpus.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                _shingle3(toks),
+            )).alias("shingle"),
+        )
+    )
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+         .cast("long") % _MH_P)
+    sig = (
+        shingles.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(*[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P)
+            .alias(f"m{j}")
+            for j, (a, b) in enumerate(_MH_PERMS)
+        ])
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(",", *[
+                    F.col(f"m{j}").cast("string")
+                    for j in range(band * 4, band * 4 + 4)
+                ]).alias("key"),
+            )
+            for band in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"),
+                    *[F.col(f"m{j}").alias(f"a{j}") for j in range(16)])
+    sb = sig.select(F.col("doc_id").alias("id_b"),
+                    *[F.col(f"m{j}").alias(f"b{j}") for j in range(16)])
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(16)
+    ).cast("long")
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", n_match.alias("n_match"),
+                (n_match / 16.0).alias("est_jaccard"))
+        .filter(F.col("n_match") >= _MH_THRESH)
+    )
+
+
+def _shingle3(toks):
+    """Factory for the 3-shingle lambda (PySpark lambda arity is
+    semantic — a default-arg closure would silently break)."""
+    def make(i):
+        return F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2))
+    return make
