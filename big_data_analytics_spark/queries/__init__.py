@@ -83,6 +83,14 @@ GRADE_HEAD = [
     "scd1_user_state_history",
     "p19b_hash_split",
     "p20b_stratified_sample",
+    # (c2) new this session: cleaning, fuzzy join, CDC, islands,
+    # integer-exact PageRank
+    "t10_pii_scrub",
+    "a20_winsorized_prices",
+    "fj1_fuzzy_supplier_names",
+    "up1_orders_upsert",
+    "gi1_activity_islands",
+    "gr1_part_pagerank",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
     "j1_revenue_by_nation",
@@ -90,14 +98,8 @@ GRADE_HEAD = [
     "j2_customer_order_stats",
     "j6_customers_without_orders",
     "j7_regional_supplier_volume",
-    "p4_filter_compound",
-    "p8_null_handling",
-    "p11_part_size_buckets",
     "a5_monthly_revenue",
-    "a8_percentiles",
-    "a10_corr_regression",
     "a12_event_daily_metrics",
-    "u1_union_distinct",
     "w1_event_lag_delta",
     "w5_customer_running_spend",
     "w7_sessionize_events",
@@ -133,6 +135,10 @@ def load_all() -> dict[str, Query]:
         reshape,
         funnels,
         sampling2,
+        cleaning,
+        fuzzy,
+        cdc,
+        graph_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -83,3 +83,45 @@ def test_lsh_dedup_transitive_chain(spark):
         r.doc_id for r in lsh_dedup(docs, transitive=True, **kwargs).collect())
     assert pairwise == [0, 1, 9]
     assert transitive == [0, 9]
+
+
+# ------------------------- pagerank ---------------------------------
+
+def _pr_reference(edges, iterations=5):
+    """Driver-side integer PageRank mirror (pure python)."""
+    from collections import defaultdict
+    sym = sorted(set(edges))
+    outdeg = defaultdict(int)
+    for u, v in sym:
+        outdeg[u] += 1
+    nodes = sorted({u for u, _ in sym} | {v for _, v in sym})
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for u, v in sym:
+            inflow[v] += rank[u] // outdeg[u]
+        rank = {n: 150_000 + (85 * inflow.get(n, 0)) // 100
+                for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from big_data_analytics_spark.operators.graph import pagerank
+    # a small asymmetric graph with a dangling node (4 has no out-edges)
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iterations=5).collect()}
+    assert got == _pr_reference(edges)
+
+
+def test_pagerank_star_center_dominates(spark):
+    from big_data_analytics_spark.operators.graph import pagerank
+    # star: every leaf points at the hub and back
+    edges = [(0, i) for i in range(1, 8)] + [(i, 0) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(df, iterations=5).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
+    # teleport floor: nobody drops below the 0.15 base mass
+    assert min(ranks.values()) >= 150_000
