@@ -55,6 +55,7 @@ HEADLINE = [
     "dq1_profile_lineitem",
     "t9_sequence_packing",
     "ij1_view_purchase_pairs",
+    "gr1_part_pagerank",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures) is

@@ -91,12 +91,12 @@ GRADE_HEAD = [
     "up1_orders_upsert",
     "gi1_activity_islands",
     "gr1_part_pagerank",
+    "lp1_part_communities",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
     "j1_revenue_by_nation",
     "o1_top_orders_by_revenue",
     "j2_customer_order_stats",
-    "j6_customers_without_orders",
     "j7_regional_supplier_volume",
     "a5_monthly_revenue",
     "a12_event_daily_metrics",
