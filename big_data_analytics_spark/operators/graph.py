@@ -150,6 +150,9 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     checkpoint: str = "local",
+    strategy: str = "auto",
+    broadcast_max_nodes: int = 5_000_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in *integer
     micro-units* so the result is bit-identical on any engine and any
@@ -158,9 +161,9 @@ def pagerank(
     Floating-point PageRank is order-dependent (parallel double sums
     differ in the last ulp run-to-run), which makes results
     non-reproducible at scale and un-oracle-able. Instead rank is a
-    BIGINT in micro-units: rank₀ = 1_000_000 per node, and each round
+    BIGINT in micro-units: rank_0 = 1_000_000 per node, and each round
 
-        rank'(v) = 150_000 + (85 · Σ_{u→v} rank(u) div outdeg(u)) div 100
+        rank'(v) = 150_000 + (85 * SUM over u->v of rank(u) div outdeg(u)) div 100
 
     i.e. damping 0.85 with floor division at the two points where
     fractions appear. The floors lose < 1 micro-unit per term — far
@@ -168,44 +171,117 @@ def pagerank(
     order-independence, the same trade the integer-cents money
     convention makes (functions/money.py).
 
+    Two physical strategies (``strategy='auto'`` picks by node count):
+
+    - ``'broadcast'`` — rank/node relations are node-sized, usually
+      orders of magnitude smaller than the edge list (20k parts vs
+      2.4M co-purchase edges here; the same ratio holds for most
+      entity graphs). Broadcast the rank table into the edge join, and
+      seed the flow aggregation with a zero row per node instead of a
+      second repair join — each iteration is then ONE distributed
+      aggregation over the edges, no edge shuffle, no per-iteration
+      checkpoint (the whole fixed-iteration recursion stays one lazy
+      plan; broadcasts materialize the per-round ranks). The persisted
+      edge relation is sized to ~64 MB partitions from the measured
+      edge count — partition count follows data volume, not core
+      count, so the same code is 1 partition at sf0.1 and ~4k
+      partitions for a 10-billion-edge graph.
+    - ``'shuffle'`` — for node sets too large to broadcast
+      (> ``broadcast_max_nodes``): hash-join ranks to edges each round
+      with checkpoint-truncated lineage (the connected_components
+      pattern). At 100 TB pre-bucket the edge list by ``src`` and the
+      per-round join is exchange-free on the edge side.
+
     Dangling nodes (outdeg 0) keep rank mass only through the
     teleport term, the standard simplification when the graph is
-    symmetric or near-symmetric. Each iteration is one hash join on
-    ``src`` plus a partial-combined sum on ``dst``; lineage is
-    checkpoint-truncated per round like connected_components, so the
-    plan stays flat across iterations. At 100 TB pre-partition the
-    edge list by ``src`` once (bucketed write) and every iteration's
-    join is exchange-free on the edge side.
+    symmetric or near-symmetric.
     """
-    e = _ckpt(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct(),
-        checkpoint,
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # outdeg correctness requires unique (src, dst); callers whose
+        # edge build already ends in a distinct pass the flag and save
+        # a full re-shuffle of the edge list.
+        e = e.distinct()
+    e = e.persist()
+    n_edges = e.count()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e_deg = _ckpt(e.join(deg, "src"), checkpoint)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
-    ranks = _ckpt(
-        nodes.select("node", F.lit(1_000_000).cast("long").alias("rank")),
-        checkpoint,
-    )
-    for _ in range(iterations):
-        contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select("dst", F.expr("rank div outdeg").alias("flow"))
-            .groupBy("dst")
-            .agg(F.sum("flow").alias("inflow"))
-        )
+    if strategy == "auto":
+        n_nodes = nodes.count()
+        strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
+                    else "shuffle")
+    try:
+        if strategy == "broadcast":
+            # ~16 bytes per (src,dst) row. Target ~8 MB per task so
+            # small graphs still parallelize across cores, capped so
+            # huge graphs settle near 64 MB tasks instead of a
+            # tiny-task storm.
+            para = edges.sparkSession.sparkContext.defaultParallelism
+            n_parts = int(min(n_edges * 16 // (8 << 20) + 1,
+                              max(para, n_edges * 16 // (64 << 20) + 1)))
+            e_sized = e.coalesce(n_parts)
+            # outdeg is a *node-sized* attribute: attach it to the
+            # broadcast rank table, never to the 100-1000x larger edge
+            # list — the edge relation is persisted exactly once and
+            # no per-edge join ever materializes.
+            node_info = (nodes.join(deg, nodes.node == deg.src, "left")
+                         .select("node",
+                                 F.coalesce("outdeg", F.lit(1))
+                                 .alias("outdeg"))
+                         .coalesce(1).persist())
+            zero = node_info.select(F.col("node").alias("dst"),
+                                    F.lit(0).cast("long").alias("flow"))
+            ranks = node_info.select(
+                "node", "outdeg",
+                F.lit(1_000_000).cast("long").alias("rank"))
+            for _ in range(iterations):
+                flows = (
+                    e_sized.join(F.broadcast(ranks),
+                                 e_sized.src == ranks.node)
+                    .select("dst", F.expr("rank div outdeg").alias("flow"))
+                    .unionByName(zero)
+                )
+                ranks = (
+                    flows.groupBy("dst").agg(F.sum("flow").alias("inflow"))
+                    .join(node_info, F.col("dst") == node_info.node)
+                    .select(
+                        "node", "outdeg",
+                        (F.lit(150_000) + F.expr("85 * inflow div 100"))
+                        .cast("long").alias("rank"),
+                    )
+                )
+            # materialize before unpersisting the relations it reads
+            ranks = ranks.select("node", "rank").localCheckpoint()
+            node_info.unpersist()
+            return ranks
+        if strategy != "shuffle":
+            raise ValueError(
+                f"strategy must be auto/broadcast/shuffle, got {strategy!r}")
+        e_deg = _ckpt(e.join(deg, "src"), checkpoint)
         ranks = _ckpt(
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(150_000)
-                 + F.expr("85 * coalesce(inflow, 0L) div 100"))
-                .cast("long").alias("rank"),
-            ),
+            nodes.select("node", F.lit(1_000_000).cast("long").alias("rank")),
             checkpoint,
         )
-    return ranks
+        nodes_c = _ckpt(nodes, checkpoint)
+        for _ in range(iterations):
+            contrib = (
+                e_deg.join(ranks, e_deg.src == ranks.node)
+                .select("dst", F.expr("rank div outdeg").alias("flow"))
+                .groupBy("dst")
+                .agg(F.sum("flow").alias("inflow"))
+            )
+            ranks = _ckpt(
+                nodes_c.join(contrib, nodes_c.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (F.lit(150_000)
+                     + F.expr("85 * coalesce(inflow, 0L) div 100"))
+                    .cast("long").alias("rank"),
+                ),
+                checkpoint,
+            )
+        return ranks
+    finally:
+        e.unpersist()

@@ -125,3 +125,15 @@ def test_pagerank_star_center_dominates(spark):
     assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
     # teleport floor: nobody drops below the 0.15 base mass
     assert min(ranks.values()) >= 150_000
+
+
+def test_pagerank_shuffle_path_matches_broadcast(spark):
+    from big_data_analytics_spark.operators.graph import pagerank
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + \
+            [(i, (i * 7 + 2) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df, strategy="broadcast").collect()}
+    s = {r["node"]: r["rank"]
+         for r in pagerank(df, strategy="shuffle").collect()}
+    assert b == s == _pr_reference(edges)
