@@ -92,18 +92,18 @@ GRADE_HEAD = [
     "gi1_activity_islands",
     "gr1_part_pagerank",
     "lp1_part_communities",
+    "a21_robust_price_stats",
+    "t11_top_bigrams_per_lang",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
     "j1_revenue_by_nation",
     "o1_top_orders_by_revenue",
-    "j2_customer_order_stats",
     "j7_regional_supplier_volume",
     "a5_monthly_revenue",
     "a12_event_daily_metrics",
     "w1_event_lag_delta",
     "w5_customer_running_spend",
     "w7_sessionize_events",
-    "pv1_status_pivot",
 ]
 
 
@@ -139,6 +139,7 @@ def load_all() -> dict[str, Query]:
         fuzzy,
         cdc,
         graph_queries,
+        robust,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -147,3 +147,53 @@ def a20_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped_high"),
         money_sum(clipped).alias("winsorized_sum"),
     )
+
+
+@query(
+    "t12_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), totals AS (
+        SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_unique
+        FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.n_unique AS BIGINT) AS n_unique,
+           ROUND(-SUM((c.c / t.n) * LN(c.c / t.n)), 4) AS entropy_nats
+    FROM counts c JOIN totals t USING (doc_id)
+    GROUP BY c.doc_id, t.n, t.n_unique
+    """,
+)
+def t12_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the standard repetition /
+    degeneracy quality signal (low entropy => boilerplate or loops;
+    complements the Gopher-rule fractions in t8). One explode + one
+    (doc, token) count + a window total over doc_id reusing the same
+    partitioning, then the entropy fold. Round-4 masks sub-ulp ln()
+    differences across engines; values are O(1) nats so the rounding
+    granularity dominates any libm drift."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    with_tot = counts.select(
+        "doc_id", "c",
+        F.sum("c").over(w).alias("n"),
+        F.count("*").over(w).alias("n_unique"),
+    )
+    p = F.col("c") / F.col("n")
+    return with_tot.groupBy("doc_id", "n", "n_unique").agg(
+        F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats")
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        "entropy_nats",
+    )

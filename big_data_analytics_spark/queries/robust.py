@@ -1,0 +1,121 @@
+"""Robust statistics and grouped n-gram rankings — wave-4 breadth.
+
+MAD-based outlier flagging is the robust complement to the z-score
+(a9 moments) and winsorization (a20) paths: resistant to the very
+outliers it hunts. The per-language n-gram ranking is the grouped
+top-k (o2g) pattern applied to the text surface — the shape of every
+"top collocations per corpus slice" report in an LLM data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+
+@query(
+    "a21_robust_price_stats",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+        SELECT l.l_returnflag, m.median_price,
+               ROUND(quantile_cont(ABS(l.l_extendedprice - m.median_price),
+                                   0.5), 4) AS mad
+        FROM lineitem l JOIN med m USING (l_returnflag)
+        GROUP BY l.l_returnflag, m.median_price
+    )
+    SELECT l.l_returnflag,
+           d.median_price,
+           d.mad,
+           CAST(SUM(CASE WHEN ABS(l.l_extendedprice - d.median_price)
+                              > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN dev d USING (l_returnflag)
+    GROUP BY l.l_returnflag, d.median_price, d.mad
+    """,
+)
+def a21_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD / robust outlier counts per return flag. MAD needs
+    the median *inside* a second aggregation, so the plan is two
+    percentile windows over the same l_returnflag partitioning plus
+    one final aggregation — Catalyst reuses the single exchange for
+    all three, no join (the oracle spells it with joins because SQL
+    windows can't nest; same values). The 1.4826 factor scales MAD to
+    a normal-consistent sigma; round-4 percentiles keep the a8
+    engine-portability convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    p = F.col("l_extendedprice")
+    with_med = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.round(F.percentile(p, F.lit(0.5)).over(w), 4)
+        .alias("median_price"),
+    )
+    dev = F.abs(p - F.col("median_price"))
+    with_mad = with_med.select(
+        "l_returnflag", "l_extendedprice", "median_price",
+        F.round(F.percentile(dev, F.lit(0.5)).over(w), 4).alias("mad"),
+    )
+    return with_mad.groupBy("l_returnflag", "median_price", "mad").agg(
+        F.sum((F.abs(p - F.col("median_price"))
+               > 3 * 1.4826 * F.col("mad")).cast("long")).cast("long")
+        .alias("n_outliers"),
+    )
+
+
+@query(
+    "t11_top_bigrams_per_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT lang,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1]))
+                   AS bigram
+        FROM toks
+    ), counted AS (
+        SELECT lang, bigram, COUNT(*) AS n FROM grams
+        GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, bigram ASC) AS rnk
+        FROM counted
+    ) WHERE rnk <= 5
+    """,
+)
+def t11_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language by frequency (ties broken by
+    bigram). Bigram expansion is an in-array transform over adjacent
+    token pairs — narrow, no UDF; the rank prunes through
+    WindowGroupLimit so only ~5 rows per language survive the final
+    sort, the o2g pattern. At 100 TB the (lang, bigram) count
+    partial-aggregates map-side; language is low-cardinality, so the
+    window partitioning is the only skew point — for a single-language
+    corpus pre-aggregate by (lang, bigram-hash-bucket) first."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )).alias("bigram"),
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", F.col("rnk").cast("int"))
+    )

@@ -166,3 +166,60 @@ def test_ivf_sample_fit_recall(spark, corpus, queries):
     for qid in exact.query_id.unique():
         assert (set(full[full.query_id == qid].neighbor_id)
                 == set(exact[exact.query_id == qid].neighbor_id))
+
+
+# ------------------------- product quantization ----------------------
+
+def test_pq_recall_vs_exact_l2(spark):
+    from big_data_analytics_spark.operators.similarity import (
+        pq_build, pq_topk)
+    corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (corpus.limit(3)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    # the synthetic embeddings are near-isotropic — PQ's hardest case
+    # (no subspace structure to exploit); 32 subspaces of 2 dims keep
+    # quantization distortion below neighbor-gap scale
+    codes, books = pq_build(corpus, m=32, k=16)
+    got = pq_topk(codes, books, queries, k=10)
+    # exact L2 top-10 per query
+    q = queries.select("qid", F.col("embedding").alias("qv"))
+    pairs = corpus.crossJoin(q)
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qv"),
+                   lambda a, b: (a.cast("double") - b.cast("double")) ** 2),
+        F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql import Window as W
+    exact = (pairs.select("qid", "vec_id", d2.alias("d2"))
+             .withColumn("rnk", F.row_number().over(
+                 W.partitionBy("qid").orderBy(F.col("d2").asc(),
+                                              F.col("vec_id").asc())))
+             .where(F.col("rnk") <= 10))
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recall_total, n = 0.0, 0
+    for qid, want in (
+            (k, {r["vec_id"] for r in g}) for k, g in
+            __import__("itertools").groupby(
+                sorted(exact.collect(), key=lambda r: r["qid"]),
+                key=lambda r: r["qid"])):
+        recall_total += len(got_sets.get(qid, set()) & want) / len(want)
+        n += 1
+    assert n == 3
+    # isotropic-data recall for m=32/k=16 measured ~0.73; assert a
+    # stable floor
+    assert recall_total / n >= 0.55, recall_total / n
+
+
+def test_pq_identity_vector_is_top1(spark):
+    from big_data_analytics_spark.operators.similarity import (
+        pq_build, pq_topk)
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (corpus.limit(2)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    codes, books = pq_build(corpus, m=8, k=16)
+    top1 = (pq_topk(codes, books, queries, k=1).collect())
+    # the query vector quantizes to its own codes -> ADC distance to
+    # itself is the table minimum sum; it must be the top hit
+    for r in top1:
+        assert r["vec_id"] == r["qid"], r
