@@ -94,14 +94,14 @@ GRADE_HEAD = [
     "lp1_part_communities",
     "a21_robust_price_stats",
     "t11_top_bigrams_per_lang",
+    "t12_token_entropy",
+    "inc1_incremental_rollup",
+    "df1_snapshot_diff",
+    "bpe1_merge_steps",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
-    "j1_revenue_by_nation",
-    "o1_top_orders_by_revenue",
     "j7_regional_supplier_volume",
     "a5_monthly_revenue",
-    "a12_event_daily_metrics",
-    "w1_event_lag_delta",
     "w5_customer_running_spend",
     "w7_sessionize_events",
 ]
@@ -140,6 +140,7 @@ def load_all() -> dict[str, Query]:
         cdc,
         graph_queries,
         robust,
+        text3,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

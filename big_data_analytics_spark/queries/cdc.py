@@ -131,3 +131,135 @@ def gi1_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("island_start"), "yyyy-MM-dd")
         .alias("first_active_day"),
     )
+
+
+@query(
+    "inc1_incremental_rollup",
+    oracle="""
+    WITH full_rollup AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_value
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, STRFTIME(d, '%Y-%m-%d') AS day, n_events, total_value
+    FROM full_rollup
+    """,
+)
+def inc1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily per-user rollup is
+    *not* recomputed from scratch — events are split into a base set
+    and a late-arriving batch (event_id % 17 == 0), the base rollup is
+    computed once, the batch is aggregated alone, and the two partial
+    states merge with a full-outer combine on the group key. The
+    oracle computes the rollup over all events in one pass; equality
+    proves the merge is lossless — the core property that makes a
+    100 TB rollup maintainable by touching only each day's new data.
+
+    Count and integer-cents sum are *mergeable* aggregation states
+    (like the HLL/CMS sketches); avg/percentiles would be carried as
+    (sum, count) / sketch states the same way."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100.0 + 0.5).alias("cents"))
+    base = ev.where(F.col("event_id") % 17 != 0)
+    late = ev.where(F.col("event_id") % 17 == 0)
+
+    def rollup(df):
+        return df.groupBy("user_id", "d").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"))
+
+    b, l = rollup(base), rollup(late)
+    merged = (
+        b.alias("b").join(l.alias("l"), ["user_id", "d"], "full_outer")
+        .select(
+            "user_id", "d",
+            (F.coalesce(F.col("b.n_events"), F.lit(0))
+             + F.coalesce(F.col("l.n_events"), F.lit(0)))
+            .alias("n_events"),
+            (F.coalesce(F.col("b.cents"), F.lit(0))
+             + F.coalesce(F.col("l.cents"), F.lit(0))).alias("cents"),
+        )
+    )
+    return merged.select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "df1_snapshot_diff",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN FLOOR(o_totalprice * 1.10 * 100.0 + 0.5) / 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000 AS o_orderkey, 99.99 AS o_totalprice
+        FROM orders WHERE o_orderkey % 19 = 0
+    )
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS key_bucket,
+           CAST(SUM(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed
+    FROM (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                    ELSE 'same' END AS change
+        FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey)
+    ) WHERE change <> 'same'
+    GROUP BY o_orderkey % 8
+    """,
+)
+def df1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions (v2 is a
+    deterministic mutation of orders — keys %11 removed, %13
+    repriced, %19 re-inserted under shifted keys) into
+    added/removed/changed counts per key bucket. One full-outer join
+    on the primary key + one aggregation; with both snapshots
+    bucketed by key the join is exchange-free, which is how a 100 TB
+    reconciliation stays a single co-located pass."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    v2 = (
+        base.where(k % 11 != 0).select(
+            "o_orderkey",
+            F.when(k % 13 == 0,
+                   F.floor(F.col("o_totalprice") * 1.10 * 100.0 + 0.5)
+                   / 100.0)
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+        .unionAll(base.where(k % 19 == 0).select(
+            (k + 20_000_000).alias("o_orderkey"),
+            F.lit(99.99).alias("o_totalprice")))
+    )
+    joined = base.alias("a").join(
+        v2.alias("b"), "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("a.o_totalprice").isNull(), "added")
+        .when(F.col("b.o_totalprice").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"),
+              "changed")
+        .otherwise("same")
+    )
+    diffs = joined.select(
+        F.col("o_orderkey"), change.alias("change")).where(
+        F.col("change") != "same")
+    return diffs.groupBy((F.col("o_orderkey") % 8).alias("key_bucket")).agg(
+        F.sum((F.col("change") == "added").cast("long")).cast("long")
+        .alias("n_added"),
+        F.sum((F.col("change") == "removed").cast("long")).cast("long")
+        .alias("n_removed"),
+        F.sum((F.col("change") == "changed").cast("long")).cast("long")
+        .alias("n_changed"),
+    )
