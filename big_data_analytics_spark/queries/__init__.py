@@ -38,12 +38,13 @@ def query(name: str, oracle: Optional[str] = None):
 
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. Round-3
-#: head-50 = (a) the 9 queries that have never had a driver row,
-#: (b) the 8 ecom queries (newly real oracles + the canonicalizer
-#: fix), (c) queries whose code/oracle changed this round, then
-#: (d) a rotating regression-canary sample of round-1-green relational
-#: queries that have not been re-graded since round 1 (round-2 greens
-#: were just verified and rotate below the fold).
+#: head-50 = (a) queries that have never had a driver row, (b) the
+#: ecom suite (newly real oracles + the canonicalizer fix), (c) the
+#: round-3 additions (graph, CDC, cleaning, robust, BPE, sketches —
+#: all never graded), then (d) a small regression-canary core of
+#: round-1-green queries covering the scan-agg / broadcast-join /
+#: sessionization plan shapes (everything else re-verifies locally
+#: every run via tests/test_queries_vs_duckdb.py).
 GRADE_HEAD = [
     # (a) never graded in any round
     "t7_vocabulary",
@@ -98,11 +99,11 @@ GRADE_HEAD = [
     "inc1_incremental_rollup",
     "df1_snapshot_diff",
     "bpe1_merge_steps",
+    "sk6_hll_intersection",
+    "rc1_hierarchy_rollup",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
     "j7_regional_supplier_volume",
-    "a5_monthly_revenue",
-    "w5_customer_running_spend",
     "w7_sessionize_events",
 ]
 

@@ -263,3 +263,68 @@ def df1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("change") == "changed").cast("long")).cast("long")
         .alias("n_changed"),
     )
+
+
+@query(
+    "rc1_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE anc(node, anc) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT a.node, a.anc // 10 FROM anc a WHERE a.anc >= 10
+    )
+    SELECT a.anc AS node,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+           CAST(SUM(CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS subtree_value
+    FROM anc a JOIN part p ON p.p_partkey = a.node
+    WHERE a.anc < 100
+    GROUP BY a.anc
+    """,
+)
+def rc1_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (transitive-closure) rollup — the WITH RECURSIVE
+    workload Spark SQL lacks natively. Parts form a decimal 10-ary
+    tree (parent = key div 10); for every node under depth 2 the query
+    reports descendant count and the integer-cents subtree value.
+
+    The Spark plan replaces recursion with *ancestor-closure
+    expansion*: the tree depth is bounded (max key 10^7 → ≤ 8
+    ancestors), so each row explodes its own ancestor chain in a
+    narrow map and ONE partial-combined aggregation does the whole
+    rollup — no iteration, no joins except the final filter. The
+    oracle is the genuine recursive CTE; the hash-match proves the
+    closure expansion equals the recursion. For unbounded-depth
+    graphs this degrades to the iterative connected_components /
+    pagerank pattern instead."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice")
+    # ancestor chain: node, node div 10, ... stopping at the first
+    # value < 10 (the recursion's base case): level i belongs to the
+    # chain iff i == 0 or level i-1 was still >= 10. Invalid levels
+    # emit a -1 sentinel removed before the explode.
+    key = F.col("p_partkey")
+
+    def level(i):
+        return F.floor(key / F.pow(F.lit(10.0), i.cast("double"))) \
+            .cast("long")
+
+    anc = F.array_remove(F.transform(
+        F.sequence(F.lit(0), F.lit(8)),
+        lambda i: F.when(i == 0, key)
+        .when(level(i - 1) >= 10, level(i))
+        .otherwise(F.lit(-1).cast("long")),
+    ), -1)
+    exploded = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).alias("cents"),
+        F.explode(anc).alias("node"),
+    )
+    return (
+        exploded.where(F.col("node") < 100)
+        .groupBy("node")
+        .agg(
+            (F.count("*") - 1).cast("long").alias("n_descendants"),
+            (F.sum("cents").cast("double") / 100.0).alias("subtree_value"),
+        )
+    )

@@ -211,3 +211,60 @@ def sk5_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cms_within_band"),
         )
     )
+
+
+@query(
+    "sk6_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+               AS n_intersect_exact,
+           TRUE AS estimate_within_band
+    """,
+)
+def sk6_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality from sketches via
+    inclusion-exclusion: |A∩B| ≈ HLL(A) + HLL(B) − HLL(A∪B). HLL
+    cannot intersect directly — this is the standard workaround (and
+    its error compounds: three estimates, so the band is wider than a
+    single sketch's). The exact side is one distinct + one join;
+    the sketch side never shuffles raw user ids, only three
+    fixed-size sketches — at 100 TB that's the difference between a
+    terabyte exchange and kilobytes.
+
+    Output follows the sketch-oracle convention: exact values plus a
+    TRUE band flag that trips if the estimator drifts."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact_a = a.distinct().count()
+    est = (
+        a.select(F.lit("a").alias("side"), "user_id")
+        .unionByName(b.select(F.lit("b").alias("side"), "user_id"))
+        .agg(
+            F.approx_count_distinct(
+                F.when(F.col("side") == "a", F.col("user_id"))).alias("ea"),
+            F.approx_count_distinct(
+                F.when(F.col("side") == "b", F.col("user_id"))).alias("eb"),
+            F.approx_count_distinct("user_id").alias("eu"),
+        )
+        .select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est"))
+        .first()["est"]
+    )
+    n_a = exact_a
+    n_b = b.distinct().count()
+    n_int = a.distinct().join(b.distinct(), "user_id").count()
+    # inclusion-exclusion compounds three sketch errors; band vs the
+    # *union* size (the natural scale of the absolute error)
+    n_union = n_a + n_b - n_int
+    within = abs(est - n_int) <= 3 * HLL_BAND * max(n_union, 1)
+    return spark.createDataFrame(
+        [(n_a, n_b, n_int, bool(within))],
+        "n_a long, n_b long, n_intersect_exact long, "
+        "estimate_within_band boolean",
+    )
