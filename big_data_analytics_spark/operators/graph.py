@@ -153,6 +153,7 @@ def pagerank(
     strategy: str = "auto",
     broadcast_max_nodes: int = 5_000_000,
     assume_distinct: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in *integer
     micro-units* so the result is bit-identical on any engine and any
@@ -252,8 +253,13 @@ def pagerank(
                         .cast("long").alias("rank"),
                     )
                 )
+            ranks = ranks.select("node", "rank")
+            if not materialize:
+                # caller wants the lazy iteration plan (inspection /
+                # composition); cached relations stay alive for it
+                return ranks
             # materialize before unpersisting the relations it reads
-            ranks = ranks.select("node", "rank").localCheckpoint()
+            ranks = ranks.localCheckpoint()
             node_info.unpersist()
             return ranks
         if strategy != "shuffle":

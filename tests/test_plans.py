@@ -226,3 +226,66 @@ def test_ij1_equi_join_with_residual(spark):
     plan = _plan(spark, "ij1_view_purchase_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t10_pii_scrub_no_shuffle(spark):
+    """PII scrubbing is a pure per-row map — any Exchange means the
+    plan is routing text through a shuffle for nothing."""
+    plan = _plan(spark, "t10_pii_scrub")
+    assert "Exchange" not in plan
+
+
+def test_fj1_no_cartesian(spark):
+    """The deletion-neighborhood join must plan as an equality join on
+    the variant key — a cartesian/broadcast-nested-loop product is the
+    quadratic blow-up the scheme exists to avoid."""
+    plan = _plan(spark, "fj1_fuzzy_supplier_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_a20_winsorize_single_exchange(spark):
+    """Percentile window + final agg share the l_returnflag hash
+    partitioning: exactly one exchange over lineitem."""
+    plan = _plan(spark, "a20_winsorized_prices")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gr1_iterations_broadcast_ranks(spark):
+    """The broadcast strategy must join ranks into edges as a
+    BroadcastHashJoin every iteration — a SortMergeJoin would shuffle
+    the edge list five times. The graded query materializes through a
+    checkpoint (opaque plan), so inspect the operator's lazy form."""
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.operators.graph import pagerank
+    from big_data_analytics_spark.queries.graph_queries import (
+        _copurchase_edges)
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    ranks = pagerank(_copurchase_edges(li), iterations=5,
+                     assume_distinct=True, materialize=False)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_rc1_closure_is_single_aggregation(spark):
+    """Ancestor-closure expansion: one generate (explode) + one
+    aggregate; no joins, no iteration."""
+    plan = _plan(spark, "rc1_hierarchy_rollup")
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+
+
+def test_up1_full_outer_on_key(spark):
+    plan = _plan(spark, "up1_orders_upsert")
+    assert "FullOuter" in plan
+
+
+def test_gi1_single_exchange_on_user(spark):
+    """distinct + window + two aggs all ride one user_id exchange
+    (plus AQE reads); a second hashpartitioning on a different key
+    would mean the islands trick lost its partitioning reuse."""
+    plan = _plan(spark, "gi1_activity_islands")
+    # allow the AQE-inserted reuse markers; count real exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
