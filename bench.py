@@ -60,7 +60,8 @@ HEADLINE = [
 
 #: Queries whose one-off build cost (quantizer fit, signatures) is
 #: worth tracking separately from steady state.
-COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs"]
+COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
+        "gr1_part_pagerank"]
 
 
 def _run(q, spark, sf_dir) -> float:

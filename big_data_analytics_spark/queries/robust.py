@@ -119,3 +119,93 @@ def t11_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("lang", "bigram", "n", F.col("rnk").cast("int"))
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "a22_corr_matrix",
+    oracle=f"""
+    WITH pairs AS (
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND(corr({a}, {b}), 4) AS corr FROM lineitem"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:])}
+    )
+    SELECT col_a, col_b, corr FROM pairs
+    """,
+)
+def a22_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix over the numeric lineitem
+    columns in ONE aggregation pass: every pair's corr is just an
+    expression over shared per-column sums/products, so p columns
+    cost one scan and one p²-sized result — versus the p² separate
+    passes the naive per-pair loop (and the oracle's UNION ALL
+    spelling) would make. Round-4 for cross-engine float parity, the
+    a8/a10 convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    row = li.agg(*aggs)
+    out_rows = []
+    for a, b in pairs:
+        n = F.col("n")
+        cov = F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n
+        va = F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / n
+        vb = F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / n
+        out_rows.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.round(cov / F.sqrt(va * vb), 4).alias("corr")))
+    return row.select(
+        F.explode(F.array(*out_rows)).alias("p")).select("p.*")
+
+
+@query(
+    "rt1_weekly_retention",
+    oracle="""
+    WITH weeks AS (
+        SELECT user_id,
+               CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)
+                   AS wk
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT w.user_id, c.cohort_wk, w.wk - c.cohort_wk AS offset_wk
+        FROM weeks w JOIN cohorts c USING (user_id)
+    )
+    SELECT cohort_wk, offset_wk,
+           COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_wk, offset_wk
+    """,
+)
+def rt1_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted in each subsequent week they return — the table behind
+    every retention curve. Two aggregations and one join, all on
+    user_id, so a single exchange serves the cohort assignment and
+    the distinct; the final (cohort, offset) count is matrix-sized.
+    Week indexing is integer days-since-epoch-anchor arithmetic —
+    no timezone/week-start semantics to diverge between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+        .cast("long").alias("wk"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        weeks.join(cohorts, "user_id")
+        .select("user_id", "cohort_wk",
+                (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_wk", "offset_wk").agg(
+        F.count("*").alias("n_active_users"))
