@@ -5,8 +5,9 @@ Each BPE step is (1) count adjacent token pairs, (2) pick the global
 top pair, (3) merge its occurrences everywhere. The merge *rule* is a
 scalar, so it rides a broadcast cross join back into a pure string
 expression — the corpus is never collected, and a fixed number of
-steps stays one lazy plan end-to-end (the gr1/lp1 pattern applied to
-text).
+steps each step checkpoints its 1-row merge
+rule and its rewritten corpus, so every pair count and every rewrite
+runs exactly once.
 
 Greedy left-to-right non-overlapping merge semantics are exactly what
 single-pass string replace gives — *if* token boundaries can't be
@@ -85,7 +86,10 @@ def bpe1_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = (pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("n"))
                .orderBy(F.col("n").desc(), F.col("a").asc(),
                         F.col("b").asc())
-               .limit(1))
+               .limit(1)
+               # 1-row result of the expensive pair count: materialize
+               # so the rewrite AND the final output both reuse it
+               .localCheckpoint())
         merges.append(top.select(
             F.lit(i).alias("step"), F.col("a").alias("left_tok"),
             F.col("b").alias("right_tok"), "n"))
@@ -102,6 +106,11 @@ def bpe1_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id",
                        F.trim(F.regexp_replace(merged, " +", " "))
                        .alias("text")))
+        if i < _STEPS:
+            # materialize each rewritten corpus once: the lazy chain
+            # would recompute pass 1's rewrite inside pass 2 and 3
+            # (1+2+3 corpus scans instead of 3)
+            cur = cur.localCheckpoint()
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
