@@ -473,6 +473,54 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "jaccard")
     )
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_k: int = 3,
+                            threshold: float = 0.9) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A|: the asymmetric
+    companion to Jaccard that catches *embedded* duplication — an
+    excerpt pasted inside a larger document has containment ≈ 1 from
+    the excerpt's side while its Jaccard can be arbitrarily low, so a
+    symmetric threshold misses exactly the quote/boilerplate/
+    wrapper-page duplication an LLM corpus is full of.
+
+    Returns (id_small, id_big, containment) for ordered pairs where
+    the smaller side's shingle set is ≥ threshold contained in the
+    other. Same inverted-index join as ngram_jaccard_pairs — one
+    (doc, shingle) explode, co-occurrence counts, per-side
+    normalization."""
+    sh = (
+        df.select(id_col, F.explode(word_shingles(F.col(text_col), shingle_k))
+                  .alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    scored = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        # containment from the smaller side (the embedded document)
+        .withColumn(
+            "containment",
+            F.col("common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return scored.select(
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("id_small"),
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("id_big"),
+        "containment",
+    )
+
+
 def exact_ngram_contamination(left: DataFrame, right: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 8,

@@ -271,3 +271,66 @@ def _shingle3(toks):
             " ", F.element_at(toks, i), F.element_at(toks, i + 1),
             F.element_at(toks, i + 2))
     return make
+
+
+@query(
+    "d5_containment_pairs",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 30000,
+               array_to_string(string_split(text, ' ')[1:30], ' ')
+        FROM documents WHERE doc_id < 100
+    ), shingled AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(
+                       generate_series(1, greatest(1, len(toks) - 2)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM corpus)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM shingled a JOIN shingled b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), scored AS (
+        SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+               CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9
+    )
+    SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_big,
+           ROUND(containment, 6) AS containment
+    FROM scored
+    """,
+)
+def d5_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: 30-token excerpts planted beside
+    their source documents have Jaccard ~0.3 (invisible to the d4
+    threshold) but containment ~1.0 from the excerpt side — the
+    embedded-duplication case (quotes, boilerplate, wrapper pages)
+    that symmetric similarity misses. Same inverted-index join cost
+    as d4; fully oracled."""
+    from big_data_analytics_spark.operators.dedup import (
+        ngram_containment_pairs)
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100).select("doc_id", "text")
+    )
+    excerpts = base.select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 30))
+        .alias("text"))
+    pairs = ngram_containment_pairs(base.unionByName(excerpts),
+                                    threshold=0.9)
+    return pairs.select("id_small", "id_big",
+                        F.round("containment", 6).alias("containment"))

@@ -199,3 +199,59 @@ def lp1_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_parts"))
         .where(F.col("n_parts") >= 2)
     )
+
+
+@query(
+    "gr2_triangle_count",
+    oracle="""
+    WITH sub AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey < 500 AND b.l_partkey < 500
+    ), tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM sub e1
+        JOIN sub e2 ON e2.u = e1.v
+        JOIN sub e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), member AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM member GROUP BY node
+    ORDER BY n_triangles DESC, node ASC LIMIT 10
+    """,
+)
+def gr2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by triangle participation in the promo-part
+    co-purchase subgraph (keys < 500). Triangles enumerate once via
+    canonical ordering (u < v < w): wedge join on the middle node,
+    closing join on the outer pair — the standard two-join triangle
+    plan whose cost is the wedge count, Σ deg². That quadratic is why
+    the query runs on a *bounded subgraph*: at corpus scale you first
+    degree-cap or sample the graph (or count approximately via node
+    sampling), never wedge-join a dense graph whole — the same
+    bucket-cap reasoning as the LSH band joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    right = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    sub = (
+        li.join(right, "l_orderkey")
+        .where((F.col("l_partkey") < F.col("pb"))
+               & (F.col("l_partkey") < 500) & (F.col("pb") < 500))
+        .select(F.col("l_partkey").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    e1 = sub.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = sub.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = sub.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    member = (tri.select(F.col("x").alias("node"))
+              .unionAll(tri.select(F.col("y").alias("node")))
+              .unionAll(tri.select(F.col("z").alias("node"))))
+    return (member.groupBy("node").agg(F.count("*").alias("n_triangles"))
+            .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+            .limit(10))
