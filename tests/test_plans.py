@@ -289,3 +289,35 @@ def test_gi1_single_exchange_on_user(spark):
     plan = _plan(spark, "gi1_activity_islands")
     # allow the AQE-inserted reuse markers; count real exchanges
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_a22_corr_matrix_single_pass(spark):
+    """All pairwise correlations from one aggregation: no joins, and
+    exactly one scan of lineitem feeding one agg."""
+    plan = _plan(spark, "a22_corr_matrix")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_t11_grouped_topk_window_limit(spark):
+    plan = _plan(spark, "t11_top_bigrams_per_lang")
+    assert "WindowGroupLimit" in plan
+
+
+def test_inc1_merge_is_full_outer(spark):
+    plan = _plan(spark, "inc1_incremental_rollup")
+    assert "FullOuter" in plan
+
+
+def test_d5_containment_no_cartesian(spark):
+    plan = _plan(spark, "d5_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rt1_retention_exchange_budget(spark):
+    """Cohort assignment + dedup + final count: the user_id exchange
+    is shared; the only other exchange is the matrix-sized final
+    (cohort, offset) count."""
+    plan = _plan(spark, "rt1_weekly_retention")
+    assert plan.count("Exchange hashpartitioning") <= 3
