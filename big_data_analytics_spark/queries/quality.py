@@ -233,3 +233,78 @@ def dq4_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat("text", F.lit(" tail")).alias("text")))
     return exact_ngram_contamination(
         train, eval_set.unionByName(leaked), n=8, max_doc_freq=100)
+
+
+@query(
+    "d6_decontaminate_train",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id * 2654435761) % 2147483648 % 100 < 90
+    ), leaked AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text
+      FROM (SELECT doc_id, text FROM train ORDER BY doc_id LIMIT 10)
+    ), evalset AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id * 2654435761) % 2147483648 % 100 >= 90
+      UNION ALL SELECT doc_id, text FROM leaked
+    ), lng AS (
+      SELECT doc_id AS left_id,
+             UNNEST(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> array_to_string(t[i : i + 7], ' ')))) AS ng
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM train)
+      WHERE len(t) >= 8
+    ), rng AS (
+      SELECT doc_id AS right_id,
+             UNNEST(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> array_to_string(t[i : i + 7], ' ')))) AS ng
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM evalset)
+      WHERE len(t) >= 8
+    ), keep AS (
+      SELECT ng FROM (SELECT ng FROM lng UNION ALL SELECT ng FROM rng)
+      GROUP BY ng HAVING COUNT(*) <= 100
+    ), implicated AS (
+      SELECT DISTINCT l.left_id
+      FROM (SELECT * FROM lng WHERE ng IN (SELECT ng FROM keep)) l
+      JOIN rng r ON l.ng = r.ng
+    )
+    SELECT (SELECT COUNT(*) FROM train) AS n_train,
+           (SELECT COUNT(*) FROM implicated) AS n_removed,
+           (SELECT COUNT(*) FROM train
+            WHERE doc_id NOT IN (SELECT left_id FROM implicated))
+               AS n_clean
+    """,
+)
+def d6_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination end-to-end: dq4 *detects* eval leakage; this
+    query *removes* it — the implicated train docs anti-join out of
+    the training corpus, and the counts certify before/removed/after.
+    The anti-join is the removal primitive for every dedup family here
+    (pairs → losers → left_anti); at 100 TB the implicated set is
+    tiny, so the anti-join broadcasts."""
+    from big_data_analytics_spark.operators.dedup import (
+        exact_ngram_contamination,
+    )
+    from big_data_analytics_spark.queries.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = hash_bucket(F.col("doc_id"))
+    train, eval_set = d.filter(b < 90), d.filter(b >= 90)
+    leaked = (train.orderBy("doc_id").limit(10)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" tail")).alias("text")))
+    pairs = exact_ngram_contamination(
+        train, eval_set.unionByName(leaked), n=8, max_doc_freq=100)
+    implicated = pairs.select(
+        F.col("left_id").alias("doc_id")).distinct()
+    clean = train.join(implicated, "doc_id", "left_anti")
+    n_train = train.count()
+    n_removed = implicated.count()
+    n_clean = clean.count()
+    return spark.createDataFrame(
+        [(n_train, n_removed, n_clean)],
+        "n_train long, n_removed long, n_clean long")

@@ -14,7 +14,7 @@ no global sort, no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
@@ -48,4 +48,37 @@ def ws1_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("__k"), F.asc("doc_id"))
         .limit(25)
         .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "ws2_reservoir_per_group",
+    oracle="""
+    SELECT event_type, event_id, user_id
+    FROM (
+        SELECT event_type, event_id, user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id * 2654435761) % 2147483648,
+                            event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def ws2_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group 'reservoir': order each group by a
+    multiplicative hash of the row key and keep the first k — the
+    uniform-without-replacement sample a random reservoir gives, but
+    reproducible across engines, partitionings, and reruns (the
+    p19b/ws1 determinism discipline applied to per-group sampling).
+    Plans through WindowGroupLimit: only ~k rows per group survive
+    each partial sort, so the shuffle carries samples, not groups."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.pmod(F.col("event_id") * F.lit(KNUTH), F.lit(MOD))
+    w = Window.partitionBy("event_type").orderBy(h, F.col("event_id"))
+    return (
+        ev.select("event_type", "event_id", "user_id",
+                  F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
     )
