@@ -1,0 +1,41 @@
+"""Compaction and schema-evolution reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.sources.maintenance import (
+    _list_parquet,
+    compact_parquet,
+    read_evolved,
+)
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "many")
+    # simulate a streaming sink: 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    assert len(_list_parquet(src)) == 64
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, target_file_bytes=1 << 20,
+                        out_path=dest)
+    assert n < 64
+    assert spark.read.parquet(dest).count() == 10_000
+
+
+def test_read_evolved_merges_schemas_and_backfills(spark, tmp_path):
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(0, 100).select(
+        F.col("id"), F.lit("a").alias("source")).write.parquet(v1)
+    spark.range(100, 200).select(
+        F.col("id"), F.lit("b").alias("source"),
+        F.lit(0.9).alias("quality")).write.parquet(v2)
+    df = read_evolved(spark, v1, v2, fill_missing={"quality": 0.0})
+    assert df.count() == 200
+    assert set(df.columns) == {"id", "source", "quality"}
+    # v1 rows backfilled, v2 rows untouched
+    assert df.where((F.col("id") < 100)
+                    & (F.col("quality") == 0.0)).count() == 100
+    assert df.where((F.col("id") >= 100)
+                    & (F.col("quality") == 0.9)).count() == 100
