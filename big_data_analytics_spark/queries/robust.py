@@ -209,3 +209,55 @@ def rt1_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_wk", "offset_wk").agg(
         F.count("*").alias("n_active_users"))
+
+
+@query(
+    "st1_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b,
+               COUNT(*) AS o
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), margins AS (
+        SELECT a, b, o,
+               SUM(o) OVER (PARTITION BY a) AS ra,
+               SUM(o) OVER (PARTITION BY b) AS cb,
+               SUM(o) OVER () AS n
+        FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - ra * cb / CAST(n AS DOUBLE))
+                     * (o - ra * cb / CAST(n AS DOUBLE))
+                     / (ra * cb / CAST(n AS DOUBLE))), 4) AS chi2
+    FROM margins
+    """,
+)
+def st1_chi_square_independence(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    status, computed from one contingency aggregation: observed cell
+    counts, then row/column margins as windows *over the tiny
+    contingency table* (never the fact table), then the chi2 fold.
+    The categorical complement to the ANOVA/correlation continuous
+    stats in ml/; round-4 on the statistic for engine parity (all
+    inputs are exact integer counts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+    ).agg(F.count("*").alias("o"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wn = Window.partitionBy()
+    m = obs.select(
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    return m.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4)
+        .alias("chi2"),
+    )

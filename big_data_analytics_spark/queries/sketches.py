@@ -268,3 +268,58 @@ def sk6_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a long, n_b long, n_intersect_exact long, "
         "estimate_within_band boolean",
     )
+
+
+@query(
+    "bm1_bitmap_segment_intersect",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+               AS n_intersect,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM a
+                                  UNION SELECT user_id FROM b))
+               AS n_union
+    """,
+)
+def bm1_bitmap_segment_intersect(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT segment-overlap counts via distributed bitmap indexes —
+    the precise companion to sk6's sketch estimate. Each segment
+    becomes a bitmap over user ids packed into 64-bit words
+    (word = id div 64, mask = bit(id mod 64), OR-folded per word);
+    intersection/union are then word-aligned bitwise ops + bit_count,
+    joined on the word index. The shuffle carries one row per
+    *64 users* per segment instead of one per user — the bitmap-index
+    trick OLAP engines use for audience-overlap queries. All integer,
+    hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bitmap(event_type):
+        ids = (ev.where(F.col("event_type") == event_type)
+               .select("user_id").distinct())
+        return (ids.select(
+            (F.col("user_id") / 64).cast("long").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.pmod(F.col("user_id"), F.lit(64)).cast("int"))
+            .alias("mask"))
+            .groupBy("word").agg(F.bit_or("mask").alias("bits")))
+    a, b = bitmap("view"), bitmap("purchase")
+    joined = (a.withColumnRenamed("bits", "ba")
+              .join(b.withColumnRenamed("bits", "bb"), "word",
+                    "full_outer")
+              .select(F.coalesce("ba", F.lit(0)).alias("ba"),
+                      F.coalesce("bb", F.lit(0)).alias("bb")))
+    return joined.agg(
+        F.sum(F.bit_count("ba")).cast("long").alias("n_a"),
+        F.sum(F.bit_count("bb")).cast("long").alias("n_b"),
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long").alias("n_intersect"),
+        F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+        .cast("long").alias("n_union"),
+    )
