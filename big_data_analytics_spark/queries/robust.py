@@ -261,3 +261,68 @@ def st1_chi_square_independence(spark: SparkSession,
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4)
         .alias("chi2"),
     )
+
+
+@query(
+    "st2_ab_test_proportions",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 2147483648 % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), rates AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM assigned GROUP BY variant
+    )
+    SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+           ROUND((a.conv / CAST(a.n AS DOUBLE)
+                  - b.conv / CAST(b.n AS DOUBLE))
+                 / SQRT((a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE)
+                        * (1 - (a.conv + b.conv)
+                           / CAST(a.n + b.n AS DOUBLE))
+                        * (1.0 / a.n + 1.0 / b.n)), 4) AS z_stat
+    FROM (SELECT * FROM rates WHERE variant = 'A') a,
+         (SELECT * FROM rates WHERE variant = 'B') b
+    """,
+)
+def st2_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users hash-
+    assigned to variants (the deterministic-split discipline — the
+    assignment IS the experiment's reproducibility), per-user
+    conversion (a high-value purchase — the threshold keeps the rate
+    mid-range so the pooled variance is non-degenerate), pooled-
+    variance z statistic. One aggregation to
+    per-user, one to per-variant, then scalar arithmetic on a 2-row
+    frame. Round-4 on z; counts are exact."""
+    from big_data_analytics_spark.queries.sampling import KNUTH, MOD
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(((F.col("event_type") == "purchase")
+               & (F.col("value") > 150)).cast("int"))
+        .alias("converted"),
+    ).select(
+        F.when(F.pmod(F.col("user_id") * F.lit(KNUTH), F.lit(MOD)) % 2
+               == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    rates = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").cast("long").alias("conv"))
+    a = rates.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = rates.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(b)
+    pa = F.col("conv_a") / F.col("n_a").cast("double")
+    pb = F.col("conv_b") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pool * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return j.select("n_a", "conv_a", "n_b", "conv_b",
+                    F.round(z, 4).alias("z_stat"))
