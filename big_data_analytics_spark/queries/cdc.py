@@ -328,3 +328,83 @@ def rc1_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("subtree_value"),
         )
     )
+
+
+@query(
+    "at1_time_decay_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT event_id AS view_id, user_id, ts AS vts
+        FROM events WHERE event_type = 'view'
+    ), pairs AS (
+        SELECT p.event_id, p.user_id, p.cents, v.view_id,
+               CAST(1 << (3 - LEAST(
+                   (epoch_us(p.ts) - epoch_us(v.vts))
+                   // 3600000000 // 6, 3)) AS BIGINT) AS sw
+        FROM purchases p
+        JOIN views v
+          ON v.user_id = p.user_id
+         AND v.vts <= p.ts
+         AND v.vts > p.ts - INTERVAL 24 HOURS
+    ), weighted AS (
+        SELECT user_id, view_id, event_id,
+               (cents * sw) // SUM(sw) OVER (PARTITION BY event_id)
+                   AS credit_cents
+        FROM pairs
+    )
+    SELECT user_id,
+           COUNT(DISTINCT event_id) AS n_attributed_purchases,
+           COUNT(DISTINCT view_id) AS n_contributing_views,
+           CAST(SUM(credit_cents) AS DOUBLE) / 100.0 AS credited_value
+    FROM weighted GROUP BY user_id
+    """,
+)
+def at1_time_decay_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with time decay: each purchase's value
+    splits across the user's views in the prior 24 h, halving per 6-h
+    bucket of gap. Weights are *scaled to integers* (2^(3-bucket) ∈
+    {8,4,2,1}) so credit = (cents · w) div ΣW is pure integer
+    arithmetic — bit-exact on any engine and partitioning, the same
+    discipline as integer PageRank; no floating-point decay curve to
+    drift.
+
+    Plan: one equi-join on user_id with the time bounds as residual
+    predicates (the ij1 interval-join shape), the per-purchase weight
+    sum as a window over the purchase key, one final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 100.0 + 0.5).alias("cents"))
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("vts"))
+    bucket = F.least(F.expr(
+        "(unix_micros(ts) - unix_micros(vts)) div 3600000000 div 6"),
+        F.lit(3).cast("long"))
+    pairs = (
+        p.join(v, "user_id")
+        .where((F.col("vts") <= F.col("ts"))
+               & (F.col("vts") > F.col("ts") - F.expr("INTERVAL 24 HOURS")))
+        .select("event_id", "user_id", "cents", "view_id",
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    (F.lit(3) - bucket).cast("int")).alias("sw"))
+    )
+    w = Window.partitionBy("event_id")
+    weighted = pairs.select(
+        "user_id", "view_id", "event_id",
+        F.expr("cents * sw").alias("num"),
+        F.sum("sw").over(w).alias("tw"),
+    ).select("user_id", "view_id", "event_id",
+             F.expr("num div tw").alias("credit_cents"))
+    return weighted.groupBy("user_id").agg(
+        F.countDistinct("event_id").alias("n_attributed_purchases"),
+        F.countDistinct("view_id").alias("n_contributing_views"),
+        (F.sum("credit_cents").cast("double") / 100.0)
+        .alias("credited_value"),
+    )
