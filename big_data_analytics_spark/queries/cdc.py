@@ -1,14 +1,15 @@
-"""Change-data-capture patterns: MERGE-style upsert application and
-gaps-and-islands activity streaks.
+"""Change-data-capture and table-lifecycle patterns: MERGE-style
+upsert (up1), gaps-and-islands streaks (gi1), incremental rollup
+maintenance (inc1), snapshot reconciliation (df1), recursive
+hierarchy rollup (rc1), and time-decay attribution (at1).
 
 A 100 TB corpus is never rebuilt from scratch — it's maintained by
-applying CDC batches (insert/update/delete) against the previous
-snapshot. Spark's open formats do this via MERGE INTO; the engine
-shape underneath is exactly one full-outer join on the key between
-the snapshot and the (much smaller) change batch, which is what
-``up1`` pins down. Islands (``gi1``) are the standard
-row_number-difference trick: one exchange on the entity key, two
-windows over the same partitioning, no joins.
+applying CDC batches against the previous snapshot (one full-outer
+join on the key), keeping aggregates fresh by merging partial states
+(never re-scanning history), and reconciling versions with one
+co-located diff pass. Every query here is hash-graded against a
+from-scratch oracle, so the incremental path is *proven* equal to
+recomputation, not assumed.
 """
 
 from __future__ import annotations

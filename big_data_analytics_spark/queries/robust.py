@@ -1,10 +1,12 @@
-"""Robust statistics and grouped n-gram rankings — wave-4 breadth.
+"""Statistics breadth: robust estimators (a21 median/MAD), one-pass
+correlation matrices (a22), cohort retention (rt1), chi-square
+independence (st1), and A/B proportion tests (st2) — plus the
+grouped n-gram ranking (t11) that applies the o2g top-k pattern to
+the text surface.
 
-MAD-based outlier flagging is the robust complement to the z-score
-(a9 moments) and winsorization (a20) paths: resistant to the very
-outliers it hunts. The per-language n-gram ranking is the grouped
-top-k (o2g) pattern applied to the text surface — the shape of every
-"top collocations per corpus slice" report in an LLM data pipeline.
+The shared discipline: every statistic reduces to sums/counts/
+percentiles computed in one or two partial-combined passes, with
+round-4 (or pure-integer) outputs for cross-engine hash parity.
 """
 
 from __future__ import annotations
