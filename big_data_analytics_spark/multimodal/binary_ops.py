@@ -300,3 +300,60 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.sum("meta.byte_size").alias("total_bytes"),
         )
     )
+
+
+def _bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Decode a 24-bit BMP payload to rows of (r, g, b) tuples
+    (bottom-up disk order normalized to top-down)."""
+    pixel_off = int.from_bytes(data[10:14], "little")
+    width = int.from_bytes(data[18:22], "little", signed=True)
+    height = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    if bpp != 24 or width <= 0:
+        raise NotImplementedError("only 24-bit BMP pixels decode here")
+    rows = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    out = []
+    for r in range(rows):
+        base = pixel_off + r * row_bytes
+        row = data[base:base + width * 3]
+        out.append([(row[i * 3 + 2], row[i * 3 + 1], row[i * 3])
+                    for i in range(width)])
+    if height > 0:  # bottom-up on disk -> top-down
+        out.reverse()
+    return out
+
+
+def resize_image(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize of BMP payloads to (out_w, out_h),
+    re-encoded as BMP bytes — the standard train-time image
+    normalization step, executed for real (no codec dependency).
+    Output: media_id, width, height, resized (binary).
+
+    Nearest-neighbor sampling: source index = (i + 0.5) * src / dst
+    floored — the OpenCV INTER_NEAREST convention, deterministic and
+    exactly testable. Arrow-batched mapInPandas over skew-bucketed
+    partitions like decode_image; at 100 TB the resize is
+    embarrassingly parallel and scan-bound."""
+    imgs = with_skew_bucket(df.filter(F.col("media_type") == "image"))
+    imgs = imgs.repartition(F.col("__bucket")).drop("__bucket")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _bmp_pixels(bytes(content))
+                src_h, src_w = len(px), len(px[0])
+                resized = [
+                    [px[int((y + 0.5) * src_h / out_h)]
+                       [int((x + 0.5) * src_w / out_w)]
+                     for x in range(out_w)]
+                    for y in range(out_h)
+                ]
+                out.append({"media_id": mid, "width": out_w,
+                            "height": out_h,
+                            "resized": encode_bmp(resized)})
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, width int, height int, resized binary")
+    return imgs.mapInPandas(do_resize, schema=schema)

@@ -126,3 +126,26 @@ def test_non_wav_audio_fails_loudly(spark):
         decode_audio(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_resize_image_nearest_neighbor_exact(spark):
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        _bmp_pixels,
+        encode_bmp,
+        resize_image,
+    )
+    # 4x4 quadrant image: TL red, TR green, BL blue, BR white
+    R, G, B, W = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    px = [[R, R, G, G],
+          [R, R, G, G],
+          [B, B, W, W],
+          [B, B, W, W]]
+    payload = encode_bmp(px)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, media_type string, content binary")
+    out = resize_image(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1 and out[0]["width"] == 2
+    resized = _bmp_pixels(bytes(out[0]["resized"]))
+    # nearest-neighbor of each 2x2 quadrant keeps its color
+    assert resized == [[R, G], [B, W]]
