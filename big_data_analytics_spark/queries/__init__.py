@@ -101,9 +101,9 @@ GRADE_HEAD = [
     "bpe1_merge_steps",
     "sk6_hll_intersection",
     "rc1_hierarchy_rollup",
+    "at1_time_decay_attribution",
     # (d) round-1-green canary, not re-graded since round 1
     "a1_pricing_summary",
-    "j7_regional_supplier_volume",
     "w7_sessionize_events",
 ]
 
