@@ -109,3 +109,67 @@ def w9_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "w11_session_duration_percentiles",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_no,
+               ts
+        FROM marked
+    ), durations AS (
+        SELECT user_id, session_no,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(quantile_cont(dur_us / 60000000.0, 0.5), 4) AS p50_min,
+           ROUND(quantile_cont(dur_us / 60000000.0, 0.9), 4) AS p90_min,
+           ROUND(quantile_cont(dur_us / 60000000.0, 0.99), 4) AS p99_min
+    FROM durations
+    """,
+)
+def w11_session_duration_percentiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """SLA-style percentile summary of session durations: the w7
+    sessionization (30-min gap, cumulative-flag session ids) rolled
+    up to exact p50/p90/p99 minutes. One exchange on user_id serves
+    the lag, the session numbering, and the per-session min/max; the
+    final percentile is over the (small) session-duration relation.
+    Round-4 interpolated percentiles — the a8 convention."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(prev_us.isNull()
+               | (F.unix_micros("ts") - prev_us > 1_800_000_000), 1)
+        .otherwise(0).alias("is_new"), "event_id")
+    sess = marked.select(
+        "user_id", "ts",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"))
+    durations = sess.groupBy("user_id", "session_no").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .alias("dur_us"))
+    mins = F.col("dur_us") / 60_000_000.0
+    return durations.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.round(F.percentile(mins, F.lit(0.5)), 4).alias("p50_min"),
+        F.round(F.percentile(mins, F.lit(0.9)), 4).alias("p90_min"),
+        F.round(F.percentile(mins, F.lit(0.99)), 4).alias("p99_min"),
+    )

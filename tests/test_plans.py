@@ -321,3 +321,11 @@ def test_rt1_retention_exchange_budget(spark):
     (cohort, offset) count."""
     plan = _plan(spark, "rt1_weekly_retention")
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_at1_equi_join_with_time_residual(spark):
+    """Attribution joins views to purchases on user_id with the time
+    window as a residual predicate — never a time-only theta join."""
+    plan = _plan(spark, "at1_time_decay_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
