@@ -154,6 +154,7 @@ def pagerank(
     broadcast_max_nodes: int = 5_000_000,
     assume_distinct: bool = False,
     materialize: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in *integer
     micro-units* so the result is bit-identical on any engine and any
@@ -196,59 +197,91 @@ def pagerank(
     Dangling nodes (outdeg 0) keep rank mass only through the
     teleport term, the standard simplification when the graph is
     symmetric or near-symmetric.
+
+    ``weight`` names an edge-weight column: rank mass then flows
+    proportionally to weight — flow(u→v) = (rank(u)·w(u,v)) div
+    Σw(u,·) — with the same floor-division integer discipline, so the
+    weighted recursion stays engine-exact. Unweighted is the w≡1
+    special case (flow = rank div outdeg). With a weight column,
+    ``assume_distinct=False`` aggregates duplicate (src, dst) rows by
+    summing their weights instead of dropping them.
+
+    With ``materialize=False`` the returned plan still reads the
+    persisted node_info relation — the CALLER owns cleanup: consume
+    (or checkpoint) the result, then ``spark.catalog.clearCache()`` or
+    re-call with materialize=True; repeated materialize=False calls in
+    a long session accumulate cached node-sized relations.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    e = edges.select(*cols)
     if not assume_distinct:
-        # outdeg correctness requires unique (src, dst); callers whose
-        # edge build already ends in a distinct pass the flag and save
-        # a full re-shuffle of the edge list.
-        e = e.distinct()
+        # flow correctness requires unique (src, dst); callers whose
+        # edge build already ends in a distinct/groupBy pass the flag
+        # and save a full re-shuffle of the edge list.
+        if weight is None:
+            e = e.distinct()
+        else:
+            e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     e = e.persist()
     n_edges = e.count()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # the per-node flow denominator: outdeg when unweighted, Σw when
+    # weighted — one name ("wsum") so both paths share the plan shape
+    if weight is None:
+        deg = e.groupBy("src").agg(F.count("*").alias("wsum"))
+        flow_expr = "rank div wsum"
+        row_bytes = 16
+    else:
+        deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+        flow_expr = "(rank * w) div wsum"
+        row_bytes = 24
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
+    n_nodes = nodes.count()
     if strategy == "auto":
-        n_nodes = nodes.count()
         strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
                     else "shuffle")
     try:
         if strategy == "broadcast":
-            # ~16 bytes per (src,dst) row. Target ~8 MB per task so
+            # ~16-24 bytes per edge row. Target ~8 MB per task so
             # small graphs still parallelize across cores, capped so
             # huge graphs settle near 64 MB tasks instead of a
             # tiny-task storm.
             para = edges.sparkSession.sparkContext.defaultParallelism
-            n_parts = int(min(n_edges * 16 // (8 << 20) + 1,
-                              max(para, n_edges * 16 // (64 << 20) + 1)))
+            n_parts = int(min(n_edges * row_bytes // (8 << 20) + 1,
+                              max(para, n_edges * row_bytes // (64 << 20) + 1)))
             e_sized = e.coalesce(n_parts)
-            # outdeg is a *node-sized* attribute: attach it to the
+            # wsum is a *node-sized* attribute: attach it to the
             # broadcast rank table, never to the 100-1000x larger edge
             # list — the edge relation is persisted exactly once and
-            # no per-edge join ever materializes.
+            # no per-edge join ever materializes. node_info partitions
+            # follow node volume (1 at 20k nodes, a handful at the 5M
+            # broadcast ceiling) — never an unconditional coalesce(1).
             node_info = (nodes.join(deg, nodes.node == deg.src, "left")
                          .select("node",
-                                 F.coalesce("outdeg", F.lit(1))
-                                 .alias("outdeg"))
-                         .coalesce(1).persist())
+                                 F.coalesce("wsum", F.lit(1))
+                                 .alias("wsum"))
+                         .coalesce(int(n_nodes * 16 // (32 << 20) + 1))
+                         .persist())
             zero = node_info.select(F.col("node").alias("dst"),
                                     F.lit(0).cast("long").alias("flow"))
             ranks = node_info.select(
-                "node", "outdeg",
+                "node", "wsum",
                 F.lit(1_000_000).cast("long").alias("rank"))
             for _ in range(iterations):
                 flows = (
                     e_sized.join(F.broadcast(ranks),
                                  e_sized.src == ranks.node)
-                    .select("dst", F.expr("rank div outdeg").alias("flow"))
+                    .select("dst", F.expr(flow_expr).alias("flow"))
                     .unionByName(zero)
                 )
                 ranks = (
                     flows.groupBy("dst").agg(F.sum("flow").alias("inflow"))
                     .join(node_info, F.col("dst") == node_info.node)
                     .select(
-                        "node", "outdeg",
+                        "node", "wsum",
                         (F.lit(150_000) + F.expr("85 * inflow div 100"))
                         .cast("long").alias("rank"),
                     )
@@ -256,7 +289,8 @@ def pagerank(
             ranks = ranks.select("node", "rank")
             if not materialize:
                 # caller wants the lazy iteration plan (inspection /
-                # composition); cached relations stay alive for it
+                # composition); cached relations stay alive for it —
+                # see the docstring: cleanup is the caller's.
                 return ranks
             # materialize before unpersisting the relations it reads
             ranks = ranks.localCheckpoint()
@@ -274,7 +308,7 @@ def pagerank(
         for _ in range(iterations):
             contrib = (
                 e_deg.join(ranks, e_deg.src == ranks.node)
-                .select("dst", F.expr("rank div outdeg").alias("flow"))
+                .select("dst", F.expr(flow_expr).alias("flow"))
                 .groupBy("dst")
                 .agg(F.sum("flow").alias("inflow"))
             )
@@ -289,5 +323,81 @@ def pagerank(
                 checkpoint,
             )
         return ranks
+    finally:
+        e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    checkpoint: str = "local",
+    strategy: str = "auto",
+    broadcast_max_nodes: int = 5_000_000,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (fixed iteration count) over a
+    directed edge list; returns (node, label).
+
+    Labels start as the node's own id (over the distinct ``src`` set —
+    on the symmetric graphs LPA is meant for, src and dst sets are
+    equal). Each round every node takes the *mode* of its in-neighbor
+    labels, ties broken deterministically by (count DESC, label ASC) —
+    not SQL mode(), whose tie order is engine-defined — so the
+    fixed-iteration result is engine-exact and hash-gradeable. The
+    pick is one max of a lexicographic (n, -label) struct: two
+    partial-combined aggregations per round, no window.
+
+    Strategy mirrors :func:`pagerank`: ``'broadcast'`` ships the
+    node-sized label table into the edge join each round (no edge
+    shuffle, whole recursion one lazy plan); ``'shuffle'`` hash-joins
+    with checkpoint-truncated lineage for node sets beyond broadcast
+    reach (> ``broadcast_max_nodes``); ``'auto'`` picks by measured
+    node count. At 100 TB pre-bucket the edges by ``src`` and the
+    shuffle path's per-round join is exchange-free on the edge side.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
+    n_edges = e.count()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    if strategy == "auto":
+        strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
+                    else "shuffle")
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    def step(edge_rel: DataFrame, lab: DataFrame,
+             join_hint) -> DataFrame:
+        return (
+            edge_rel.join(join_hint(lab), edge_rel.src == lab.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count("*").alias("n"))
+            .groupBy("node2")
+            .agg(F.max(F.struct(
+                F.col("n"), (-F.col("label")).alias("neg"),
+                F.col("label"))).alias("best"))
+            .select(F.col("node2").alias("node"),
+                    F.col("best.label").alias("label"))
+        )
+
+    try:
+        if strategy == "broadcast":
+            para = edges.sparkSession.sparkContext.defaultParallelism
+            n_parts = int(min(n_edges * 16 // (8 << 20) + 1,
+                              max(para, n_edges * 16 // (64 << 20) + 1)))
+            e_sized = e.coalesce(n_parts)
+            for _ in range(iterations):
+                labels = step(e_sized, labels, F.broadcast)
+            return labels.localCheckpoint()
+        if strategy != "shuffle":
+            raise ValueError(
+                f"strategy must be auto/broadcast/shuffle, got {strategy!r}")
+        labels = _ckpt(labels, checkpoint)
+        for _ in range(iterations):
+            labels = _ckpt(step(e, labels, lambda d: d), checkpoint)
+        return labels
     finally:
         e.unpersist()

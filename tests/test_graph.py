@@ -137,3 +137,129 @@ def test_pagerank_shuffle_path_matches_broadcast(spark):
     s = {r["node"]: r["rank"]
          for r in pagerank(df, strategy="shuffle").collect()}
     assert b == s == _pr_reference(edges)
+
+
+def test_pagerank_auto_falls_back_to_shuffle(spark):
+    """The scale guard: auto with a node count above broadcast_max_nodes
+    must take the shuffle path and still produce the exact result."""
+    from big_data_analytics_spark.operators.graph import pagerank
+    edges = [(i, (i * 3 + 1) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, strategy="auto",
+                             broadcast_max_nodes=5).collect()}
+    assert got == _pr_reference(edges)
+
+
+# --------------------- weighted pagerank ----------------------------
+
+def _wpr_reference(edges, iterations=3):
+    """Driver-side integer weighted-PageRank mirror (pure python).
+    edges: (src, dst, w) triples, assumed unique per (src, dst)."""
+    from collections import defaultdict
+    sw = defaultdict(int)
+    for u, v, w in edges:
+        sw[u] += w
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for u, v, w in edges:
+            inflow[v] += (rank[u] * w) // sw[u]
+        rank = {n: 150_000 + (85 * inflow.get(n, 0)) // 100
+                for n in nodes}
+    return rank
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    from big_data_analytics_spark.operators.graph import pagerank
+    edges = [(1, 2, 5), (2, 1, 1), (1, 3, 1), (3, 1, 2),
+             (2, 3, 7), (3, 4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="w", iterations=3,
+                             assume_distinct=True).collect()}
+    assert got == _wpr_reference(edges)
+
+
+def test_weighted_pagerank_strategies_agree(spark):
+    from big_data_analytics_spark.operators.graph import pagerank
+    edges = [(i, (i * 3 + 1) % 20, 1 + i % 4) for i in range(20)] + \
+            [(i, (i * 7 + 2) % 20, 1 + i % 3) for i in range(20)]
+    # dedupe (src, dst) collisions by summing weights, as the operator
+    # does with assume_distinct=False
+    agg = {}
+    for u, v, w in edges:
+        agg[(u, v)] = agg.get((u, v), 0) + w
+    uniq = [(u, v, w) for (u, v), w in agg.items()]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df, weight="w", iterations=3,
+                           strategy="broadcast").collect()}
+    s = {r["node"]: r["rank"]
+         for r in pagerank(df, weight="w", iterations=3,
+                           strategy="shuffle").collect()}
+    assert b == s == _wpr_reference(uniq)
+
+
+def test_weighted_pagerank_sums_duplicate_edges(spark):
+    """assume_distinct=False with a weight column must SUM duplicate
+    (src, dst) weights, not drop rows."""
+    from big_data_analytics_spark.operators.graph import pagerank
+    dup = [(1, 2, 3), (1, 2, 4), (2, 1, 2)]
+    df = spark.createDataFrame(dup, ["src", "dst", "w"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight="w", iterations=3).collect()}
+    assert got == _wpr_reference([(1, 2, 7), (2, 1, 2)])
+
+
+# --------------------- label propagation ----------------------------
+
+def _lpa_reference(edges, iterations=4):
+    """Driver-side LPA mirror: mode of in-neighbor labels, ties by
+    (count DESC, label ASC), over the distinct-src node set."""
+    from collections import Counter, defaultdict
+    sym = sorted(set(edges))
+    labels = {u: u for u, _ in sym}
+    for _ in range(iterations):
+        incoming = defaultdict(Counter)
+        for u, v in sym:
+            if u in labels:
+                incoming[v][labels[u]] += 1
+        labels = {
+            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v, c in incoming.items()
+        }
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    from big_data_analytics_spark.operators.graph import label_propagation
+    # two 4-cliques joined by one weak edge: two communities
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a != b]
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iterations=4).collect()}
+    assert got == _lpa_reference(edges)
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_strategies_agree(spark):
+    from big_data_analytics_spark.operators.graph import label_propagation
+    edges = [(i, (i * 3 + 1) % 30) for i in range(30)] + \
+            [((i * 3 + 1) % 30, i) for i in range(30)] + \
+            [(i, (i + 1) % 30) for i in range(30)] + \
+            [((i + 1) % 30, i) for i in range(30)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    b = {r["node"]: r["label"]
+         for r in label_propagation(df, strategy="broadcast").collect()}
+    s = {r["node"]: r["label"]
+         for r in label_propagation(df, strategy="shuffle").collect()}
+    auto_small = {r["node"]: r["label"]
+                  for r in label_propagation(
+                      df, strategy="auto",
+                      broadcast_max_nodes=3).collect()}
+    assert b == s == auto_small == _lpa_reference(edges)
