@@ -41,7 +41,17 @@ def bloom_build(small: DataFrame, key_col: str,
     """Distributed bitmap build: explode each key to (word, mask)
     pairs, OR-fold per word, collect only the ≤ m/64 non-zero words.
     The shuffle carries word-indexed partial ORs (map-side combined),
-    never raw keys."""
+    never raw keys.
+
+    ``num_bits`` must be a positive multiple of 64: positions hash
+    mod num_bits but the bitmap packs into num_bits/64 longs, and
+    bloom_might_contain re-derives num_bits as len(bitmap)*64 — a
+    non-multiple would either IndexError here or silently hash to
+    *different* positions at probe time, breaking the no-false-
+    negative guarantee."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}")
     words = num_bits // 64
     pos = F.explode(F.array(
         *_positions(F.col(key_col), num_bits, num_hashes))).alias("pos")

@@ -290,10 +290,12 @@ def rc1_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports descendant count and the integer-cents subtree value.
 
     The Spark plan replaces recursion with *ancestor-closure
-    expansion*: the tree depth is bounded (max key 10^7 → ≤ 8
-    ancestors), so each row explodes its own ancestor chain in a
-    narrow map and ONE partial-combined aggregation does the whole
-    rollup — no iteration, no joins except the final filter. The
+    expansion*: the tree depth is bounded by the key width (≤ 18
+    ancestors covers every BIGINT key, and the chain condition stops
+    early — sf0.01's max key 10^4 emits 5 levels), so each row
+    explodes its own ancestor chain in a narrow map and ONE
+    partial-combined aggregation does the whole rollup — no
+    iteration, no joins except the final filter. The
     oracle is the genuine recursive CTE; the hash-match proves the
     closure expansion equals the recursion. For unbounded-depth
     graphs this degrades to the iterative connected_components /
@@ -303,7 +305,11 @@ def rc1_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ancestor chain: node, node div 10, ... stopping at the first
     # value < 10 (the recursion's base case): level i belongs to the
     # chain iff i == 0 or level i-1 was still >= 10. Invalid levels
-    # emit a -1 sentinel removed before the explode.
+    # emit a -1 sentinel removed before the explode. The bound of 18
+    # levels covers any BIGINT key (10^19 > 2^63), so no key depth can
+    # silently truncate the chain; the division is exact for keys
+    # < 2^53 (doubles represent 10^i exactly through 10^22), i.e. far
+    # beyond any physical part count.
     key = F.col("p_partkey")
 
     def level(i):
@@ -311,7 +317,7 @@ def rc1_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
 
     anc = F.array_remove(F.transform(
-        F.sequence(F.lit(0), F.lit(8)),
+        F.sequence(F.lit(0), F.lit(18)),
         lambda i: F.when(i == 0, key)
         .when(level(i - 1) >= 10, level(i))
         .otherwise(F.lit(-1).cast("long")),

@@ -25,11 +25,15 @@ def compact_parquet(spark: SparkSession, path: str,
 
     File count comes from the *measured input size* (the scan's
     listed bytes), not row counts or partition counts — the same
-    volume-based policy as the graph operators. In-place compaction
-    writes to a temp dir then swaps, because overwriting a path while
-    reading it is undefined; here the caller passes ``out_path``
-    (object stores make swap a cheap manifest operation, local FS a
-    rename)."""
+    volume-based policy as the graph operators.
+
+    This function only ever writes to a destination DISTINCT from the
+    input — ``out_path`` if given, else a ``<path>_compacted`` sibling
+    — and never replaces the input directory (overwriting a path while
+    reading it is undefined). A caller wanting true in-place
+    compaction owns the final swap: write to a sibling, then rename /
+    manifest-commit over the original (cheap on object stores, a
+    rename on local FS)."""
     df = spark.read.parquet(path)
     total = _dir_bytes(path)
     n_files = max(1, total // target_file_bytes

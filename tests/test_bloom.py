@@ -39,3 +39,12 @@ def test_prefilter_prunes_most_nonmembers(spark):
         bloom_might_contain(F.col("k"), bitmap)).count()
     # m=65536, k=5, n=100 → fpr ~ 1e-10; allow generous slack
     assert survivors < 20_000 * 0.01
+
+
+def test_rejects_non_multiple_of_64_bits(spark):
+    import pytest
+    small = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(small, "k", num_bits=1000)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(small, "k", num_bits=0)
