@@ -1,11 +1,15 @@
 """Driver-visible queries for the near-duplicate / similarity-search
 operators (SURVEY.md §7 step 8 — the LLM-data-pipeline extension).
 
-MinHash/SimHash signatures and LSH bucketing are engine-specific
-(xxhash64 seeds, band layout), so there is no DuckDB-expressible
-oracle; the driver records rows-only checks here, and the *exact*
-validation lives in tests/test_dedup.py & tests/test_similarity.py
-against brute-force oracles (n-gram Jaccard, exact cosine top-k).
+Oracle coverage is per-hash-family. xxhash64-based signatures (d2
+MinHash, d3 SimHash) have no DuckDB equivalent — those two stay
+rows-only, with exact validation in tests/test_dedup.py against
+brute-force n-gram-Jaccard oracles. Everything derivable from md5 or
+from plan-time constants IS oracled: d2b re-derives MinHash from md5
+hex, and v3/v4's random hyperplanes are md5-seeded Python constants
+embedded as literals in BOTH the Spark plan and the oracle SQL
+(_planes_sql), so the whole bucket → candidate → rerank pipeline is
+value-hash-checked against an independent engine.
 
 Each query plants deterministic duplicates into the fixture corpus so
 the result set is non-trivial and stable.
@@ -107,10 +111,67 @@ def d4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("v3_lsh_ann_topk")
+def _planes_sql(salt: str, n_tables: int, n_planes: int,
+                dim: int = 64) -> str:
+    """The LSH hyperplanes as SQL VALUES rows (table_id, plane_id,
+    coefs DOUBLE[]). The planes are md5-derived Python constants
+    (operators/similarity.py:_hyperplane) embedded as literals in the
+    Spark plan; embedding the SAME floats here (repr round-trips the
+    exact double) makes the bucketing oracle-reproducible — both
+    engines then run an identical sequential dot-product fold over
+    identical bits."""
+    from big_data_analytics_spark.operators.similarity import _hyperplane
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            coefs = _hyperplane(salt, t, p, dim)
+            lst = "[" + ", ".join(repr(c) for c in coefs) + "]"
+            rows.append(f"({t}, {p}, {lst}::DOUBLE[])")
+    return ", ".join(rows)
+
+
+_COS8 = ("ROUND(list_dot_product({a}, {b}) / "
+         "(sqrt(list_dot_product({a}, {a})) * "
+         "sqrt(list_dot_product({b}, {b}))), 8)")
+
+
+@query(
+    "v3_lsh_ann_topk",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planes(table_id, plane_id, coefs) AS (
+        VALUES {_planes_sql('rhp', n_tables=16, n_planes=4)}
+    ), buckets AS (
+        SELECT vec_id, table_id,
+               SUM(CASE WHEN list_dot_product(v, coefs) > 0
+                        THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+        FROM vecs, planes GROUP BY vec_id, table_id
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets qb JOIN buckets cb
+          ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+        WHERE qb.vec_id < 3 AND cb.vec_id >= 3
+    ), scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_COS8.format(a='qv.v', b='cv.v')} AS cosine
+        FROM cand c
+        JOIN vecs qv ON qv.vec_id = c.query_id
+        JOIN vecs cv ON cv.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5
+    """,
+)
 def v3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-5 neighbors for the first
-    3 vectors. Recall vs brute force measured in tests/test_similarity.py."""
+    3 vectors. Recall vs brute force measured in
+    tests/test_similarity.py; the bucket → candidate → rerank pipeline
+    itself is hash-checked against DuckDB — the planes are plan-time
+    md5-derived constants shared verbatim with the oracle
+    (_planes_sql), so LSH stops being a "no-oracle" operator."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -118,10 +179,40 @@ def v3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries_df, k=5, n_planes=4, n_tables=16)
 
 
-@query("v4_embedding_near_dups")
+@query(
+    "v4_embedding_near_dups",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+        WHERE vec_id < 25
+    ), planes(table_id, plane_id, coefs) AS (
+        VALUES {_planes_sql('neardup', n_tables=6, n_planes=10)}
+    ), buckets AS (
+        SELECT vec_id, table_id,
+               SUM(CASE WHEN list_dot_product(v, coefs) > 0
+                        THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+        FROM base, planes GROUP BY vec_id, table_id
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           {_COS8.format(a='va.v', b='vb.v')} AS cosine
+    FROM cand c
+    JOIN base va ON va.vec_id = c.id_a
+    JOIN base vb ON vb.vec_id = c.id_b
+    WHERE {_COS8.format(a='va.v', b='vb.v')} >= 0.999
+    """,
+)
 def v4_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs (cosine ≥ 0.999) with
-    planted exact copies."""
+    planted exact copies. Same portable-oracle move as v3: the LSH
+    planes are plan-time constants shared with the oracle SQL, so the
+    bucketed self-join is value-hash-checked, not rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     dups = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")

@@ -144,13 +144,53 @@ def dq2_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders_chk.crossJoin(line_chk).crossJoin(part_chk)
 
 
-@query("dq3_contamination_check")
+@query(
+    "dq3_contamination_check",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id * 2654435761) % 2147483648 % 100 < 90
+    ), src AS (
+      SELECT doc_id, text FROM train ORDER BY doc_id LIMIT 10
+    ), pairs AS (
+      SELECT doc_id AS left_id, doc_id + 1000000 AS right_id,
+             regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ') AS ta,
+             regexp_split_to_array(
+                 trim(regexp_replace(lower(text || ' tail'), '\\s+', ' ', 'g')),
+                 ' ') AS tb
+      FROM src
+    ), sh AS (
+      SELECT left_id, right_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(1, len(ta) - 2)),
+                 i -> array_to_string(ta[i:i+2], ' '))) AS sa,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(1, len(tb) - 2)),
+                 i -> array_to_string(tb[i:i+2], ' '))) AS sb
+      FROM pairs
+    )
+    SELECT left_id, right_id FROM sh
+    WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+          / (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.5
+    """,
+)
 def dq3_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination gate (declared rows-only: MinHash LSH
-    has no ANSI-SQL oracle; exact validation in tests/test_dedup.py):
-    documents hash-split 90/10 into pseudo train/eval, planted
-    near-copies across the split, and the cross-corpus LSH check
-    reports how many eval docs leak from train."""
+    """Train/eval contamination gate, hash-graded as a *recall
+    certification*: documents hash-split 90/10 into pseudo train/eval,
+    10 train docs planted into eval as near-copies (one appended
+    token), and the cross-corpus MinHash-LSH check must recover every
+    planted (source, leak) pair. The oracle is the exact 3-shingle
+    Jaccard ground truth over the planted pairs (all ≥ 0.5 by
+    construction — J = (n-2)/(n-1) for an n-token doc); the Spark side
+    is the LSH detector's output restricted to the planted id space.
+    A hash match therefore asserts LSH recall = 100% on the known
+    positives — the "found-pair superset" relation made gradeable.
+    (The corpus-wide fuzzy sweep stays available via
+    cross_corpus_lsh_pairs directly; its est_jaccard values are
+    xxhash-specific and remain oracle-free by nature. dq4 is the
+    corpus-wide *exact* complement.)"""
     from big_data_analytics_spark.operators.dedup import (
         cross_corpus_lsh_pairs,
     )
@@ -165,10 +205,11 @@ def dq3_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat("text", F.lit(" tail")).alias("text")))
     pairs = cross_corpus_lsh_pairs(
         train, eval_set.unionByName(leaked), threshold=0.5)
-    return pairs.agg(
-        F.countDistinct("right_id").alias("contaminated_eval_docs"),
-        F.countDistinct("left_id").alias("implicated_train_docs"),
-        F.count(F.lit(1)).alias("n_pairs"),
+    return (
+        pairs.filter(
+            (F.col("right_id") >= 1_000_000)
+            & (F.col("left_id") == F.col("right_id") - 1_000_000))
+        .select("left_id", "right_id")
     )
 
 
