@@ -142,6 +142,7 @@ def load_all() -> dict[str, Query]:
         graph_queries,
         robust,
         text3,
+        multimodal_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -1,0 +1,160 @@
+"""Driver-visible query over the multimodal decode path.
+
+The multimodal operators (multimodal/binary_ops.py) were previously
+pytest-only; mm1 gives the component a driver row. The fixture is
+generated *distributed* (mapInPandas encodes real uncompressed-BMP and
+PCM16-WAV payloads from the row id — no driver-side blob building),
+then decoded by the real operators (decode_image / decode_audio: skew-
+bucket repartition + Arrow-batched mapInPandas), and rolled up to
+per-format stats.
+
+Oracle strategy: every payload is a deterministic function of its id
+(uniform-color BMP of w×h, constant-amplitude WAV of n samples), so
+DuckDB can recompute the decoded stats from the generation formula
+without ever seeing a byte. All aggregates are integer-exact
+(dimensions, channel byte values, sample counts, floor-microsecond
+durations, round-tripped amplitudes) — the decode → aggregate pipeline
+is hash-graded end to end, and a mismatch means the codec plumbing
+corrupted real bytes somewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.multimodal.binary_ops import (
+    MEDIA_SCHEMA,
+    decode_audio,
+    decode_image,
+    encode_bmp,
+    encode_wav,
+)
+from big_data_analytics_spark.queries import query
+
+_N_IMG = 40
+_N_AUD = 40
+
+
+def _media_fixture(spark: SparkSession) -> DataFrame:
+    """80 real payloads, executor-side encoded: ids 0..39 are uniform
+    (id%256, 3id%256, 7id%256)-colored BMPs of (4+id%5)×(3+id%4); ids
+    40..79 are constant-amplitude (1000+id) PCM16 WAVs of 100+50·(id%7)
+    samples at 8000+1000·(id%4) Hz."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < _N_IMG:
+                    w, h = 4 + i % 5, 3 + i % 4
+                    color = (i % 256, (3 * i) % 256, (7 * i) % 256)
+                    content = encode_bmp([[color] * w for _ in range(h)])
+                    mt, mime = "image", "image/bmp"
+                else:
+                    rate = 8000 + 1000 * (i % 4)
+                    n = 100 + 50 * (i % 7)
+                    content = encode_wav([1000 + i] * n, sample_rate=rate)
+                    mt, mime = "audio", "audio/wav"
+                rows.append({
+                    "media_id": i, "media_type": mt, "content": content,
+                    "meta": {"source": f"src{i % 5}",
+                             "byte_size": len(content), "mime": mime},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_IMG + _N_AUD).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm1_media_stats",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h
+        FROM range(0, {_N_IMG}) t(i)
+    ), auds AS (
+        SELECT i, 8000 + 1000 * (i % 4) AS rate,
+               100 + 50 * (i % 7) AS n, 1000 + i AS amp
+        FROM range({_N_IMG}, {_N_IMG + _N_AUD}) t(i)
+    )
+    SELECT 'image' AS media_type,
+           COUNT(*)::BIGINT AS n_items,
+           SUM(w)::BIGINT AS sum_width,
+           SUM(h)::BIGINT AS sum_height,
+           SUM(i % 256)::BIGINT AS sum_red,
+           SUM((3 * i) % 256)::BIGINT AS sum_green,
+           SUM((7 * i) % 256)::BIGINT AS sum_blue,
+           CAST(NULL AS BIGINT) AS total_samples,
+           CAST(NULL AS BIGINT) AS total_duration_us,
+           CAST(NULL AS BIGINT) AS sum_amp
+    FROM imgs
+    UNION ALL
+    SELECT 'audio',
+           COUNT(*)::BIGINT,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           SUM(n)::BIGINT,
+           SUM(CAST(FLOOR(1000000.0 * (n / CAST(rate AS DOUBLE)))
+                    AS BIGINT))::BIGINT,
+           SUM(amp)::BIGINT
+    FROM auds
+    """,
+)
+def mm1_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format decode rollup over real encoded payloads: BMP → dims
+    + channel means (uniform color, so round(mean·255) recovers the
+    exact byte), WAV → samples + floor-microsecond duration + the
+    amplitude round-tripped through the RMS (constant signal, so
+    round(rms·32768) recovers the exact int16). Every aggregate is a
+    BIGINT — no float reduction crosses engines, and the per-row
+    doubles (n/rate, ·10⁶) are computed in the same IEEE op order as
+    the oracle.
+
+    Scale shape: generation, decode, and partial aggregation are all
+    narrow or map-side-combined; the only shuffles are the decode
+    stages' skew-bucket repartitions (how a real 100 TB media corpus
+    levels variable decode cost) and two single-row final aggs.
+    ``sf_dir`` is unused — the corpus is synthesized, the operators
+    are the thing under test."""
+    media = _media_fixture(spark)
+    img = decode_image(media)
+    aud = decode_audio(media)
+    nil = F.lit(None).cast("long")
+
+    def ch(idx: int) -> Column:
+        return F.round(F.element_at("features", idx) * 255).cast("long")
+
+    img_stats = img.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum(ch(1)).cast("long").alias("sum_red"),
+        F.sum(ch(2)).cast("long").alias("sum_green"),
+        F.sum(ch(3)).cast("long").alias("sum_blue"),
+    ).select(
+        F.lit("image").alias("media_type"),
+        "n_items", "sum_width", "sum_height",
+        "sum_red", "sum_green", "sum_blue",
+        nil.alias("total_samples"),
+        nil.alias("total_duration_us"),
+        nil.alias("sum_amp"),
+    )
+    aud_stats = aud.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n_samples").cast("long").alias("total_samples"),
+        F.sum(F.floor(F.lit(1000000.0) * F.col("duration_s"))
+              .cast("long")).cast("long").alias("total_duration_us"),
+        F.sum(F.round(F.col("rms") * 32768).cast("long"))
+        .cast("long").alias("sum_amp"),
+    ).select(
+        F.lit("audio").alias("media_type"),
+        "n_items",
+        nil.alias("sum_width"), nil.alias("sum_height"),
+        nil.alias("sum_red"), nil.alias("sum_green"), nil.alias("sum_blue"),
+        "total_samples", "total_duration_us", "sum_amp",
+    )
+    return img_stats.unionByName(aud_stats)
