@@ -63,6 +63,8 @@ GRADE_HEAD = [
     "st1_chi_square_independence",
     "st2_ab_test_proportions",
     "mm1_media_stats",
+    "z1_zorder_keys",
+    "d3b_simhash_portable",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -106,8 +108,6 @@ GRADE_HEAD = [
     "p4_filter_compound",
     "p8_null_handling",
     "p13_cast_coercion",
-    "q15_top_suppliers",
-    "q17_below_avg_quantity",
 ]
 
 
@@ -146,6 +146,7 @@ def load_all() -> dict[str, Query]:
         robust,
         text3,
         multimodal_queries,
+        zorder_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -364,6 +364,106 @@ def _shingle3(toks):
     return make
 
 
+# --------------------------------------------------------------------
+# d3b — engine-portable SimHash, the d2b move applied to the other
+# hash family: the production d3 uses xxhash64 token hashes (rows-only
+# forever), but md5-derived 48-bit hashes are computable in DuckDB, so
+# the full token-hash → bit-vote → fingerprint → Hamming pipeline gets
+# a value-hash oracle. 48 bits (12 hex chars) keeps the hash inside
+# signed BIGINT for both engines.
+# --------------------------------------------------------------------
+_SH_BITS = 48
+
+
+@query(
+    "d3b_simhash_portable",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 20000, text || ' appended' FROM documents
+        WHERE doc_id < 100
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '))) AS tok
+        FROM corpus
+    ), hv AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+        FROM toks
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hv CROSS JOIN range(0, {_SH_BITS}) t(i)
+        GROUP BY doc_id, i
+    ), fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS f
+        FROM votes GROUP BY doc_id
+    )
+    SELECT b.doc_id AS orig_id, d.doc_id AS dup_id,
+           CAST(bit_count(xor(b.f, d.f)) AS BIGINT) AS hamming
+    FROM fp b JOIN fp d ON d.doc_id = b.doc_id + 10000
+    WHERE b.doc_id < 100
+    UNION ALL
+    SELECT b.doc_id, n.doc_id,
+           CAST(bit_count(xor(b.f, n.f)) AS BIGINT)
+    FROM fp b JOIN fp n ON n.doc_id = b.doc_id + 20000
+    WHERE b.doc_id < 100
+    """,
+)
+def d3b_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-{_SH_BITS} fingerprints with md5-derived token hashes
+    (portable), reported as per-planted-pair Hamming distances: exact
+    copies must land at 0, one-token edits near 0 — and every distance
+    is value-checked against DuckDB computing the same bit votes.
+    Plan shape matches the production operator (d3): token explode →
+    one 48-bit hash per token → one groupBy with {_SH_BITS} vote sums
+    → fingerprint assembly → two broadcast joins on the planted id
+    offsets. All whole-stage codegen; no UDFs."""
+    from big_data_analytics_spark.operators.dedup import word_shingles
+
+    corpus = _doc_corpus_with_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 1)).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    hv = toks.select("doc_id", h.alias("h"))
+    bit = [
+        F.call_function("shiftright", F.col("h"), F.lit(i))
+        .bitwiseAND(F.lit(1))
+        for i in range(_SH_BITS)
+    ]
+    votes = hv.groupBy("doc_id").agg(*[
+        F.sum(bit[i] * 2 - 1).alias(f"v{i}") for i in range(_SH_BITS)
+    ])
+    fp = votes.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(_SH_BITS)
+        ).alias("f"),
+    )
+    base = (fp.filter(F.col("doc_id") < 100)
+            .select(F.col("doc_id").alias("orig_id"),
+                    F.col("f").alias("fb")))
+
+    def pairs(offset: int) -> DataFrame:
+        dup = fp.select(F.col("doc_id").alias("dup_id"),
+                        F.col("f").alias("fd"))
+        return (base.join(dup,
+                          dup.dup_id == base.orig_id + offset)
+                .select("orig_id", "dup_id",
+                        F.bit_count(F.col("fb").bitwiseXOR(F.col("fd")))
+                        .cast("long").alias("hamming")))
+
+    return pairs(10000).unionByName(pairs(20000))
+
+
 @query(
     "d5_containment_pairs",
     oracle="""
