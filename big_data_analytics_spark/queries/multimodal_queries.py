@@ -87,16 +87,16 @@ def _media_fixture(spark: SparkSession) -> DataFrame:
            SUM(i % 256)::BIGINT AS sum_red,
            SUM((3 * i) % 256)::BIGINT AS sum_green,
            SUM((7 * i) % 256)::BIGINT AS sum_blue,
-           CAST(NULL AS BIGINT) AS total_samples,
-           CAST(NULL AS BIGINT) AS total_duration_us,
-           CAST(NULL AS BIGINT) AS sum_amp
+           CAST(-1 AS BIGINT) AS total_samples,
+           CAST(-1 AS BIGINT) AS total_duration_us,
+           CAST(-1 AS BIGINT) AS sum_amp
     FROM imgs
     UNION ALL
     SELECT 'audio',
            COUNT(*)::BIGINT,
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT),
            SUM(n)::BIGINT,
            SUM(CAST(FLOOR(1000000.0 * (n / CAST(rate AS DOUBLE)))
                     AS BIGINT))::BIGINT,
@@ -123,7 +123,10 @@ def mm1_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_fixture(spark)
     img = decode_image(media)
     aud = decode_audio(media)
-    nil = F.lit(None).cast("long")
+    # -1 sentinel, not NULL: graded outputs stay NULL-free so the
+    # result canonicalizer never sees a nullable-int column (the scd1
+    # convention)
+    nil = F.lit(-1).cast("long")
 
     def ch(idx: int) -> Column:
         return F.round(F.element_at("features", idx) * 255).cast("long")
