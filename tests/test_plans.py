@@ -329,3 +329,20 @@ def test_at1_equi_join_with_time_residual(spark):
     plan = _plan(spark, "at1_time_decay_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_z1_single_exchange_no_python(spark):
+    """The Morton encode is pure shift/AND column math: one hash
+    aggregation exchange, no Python eval, no joins."""
+    plan = _plan(spark, "z1_zorder_keys")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_d3b_no_sort_merge_join(spark):
+    """Fingerprints are doc-count-sized; the planted-pair joins must
+    broadcast, never sort-merge."""
+    plan = _plan(spark, "d3b_simhash_portable")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
