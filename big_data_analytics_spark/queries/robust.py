@@ -105,14 +105,14 @@ def t11_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pre-aggregate by (lang, bigram-hash-bucket) first."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # arrays_zip of shifted slices (codegen; also cleanly empty for
+    # 1-token docs, where a sequence(1, 0) build would misbehave)
     grams = d.select(
         "lang",
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )).alias("bigram"),
-    )
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1))).alias("p"),
+    ).select("lang", F.concat_ws(" ", "p.0", "p.1").alias("bigram"))
     counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(
         F.col("n").desc(), F.col("bigram").asc())

@@ -146,12 +146,15 @@ def t8_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select(
             "doc_id",
-            F.explode(F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i), F.element_at("t", i + 1)),
-            )).alias("bigram"),
+            # arrays_zip of shifted slices: codegen'd, where a
+            # transform(sequence) build is interpreted (SCALE.md
+            # "Interpreted vs codegen array shapes")
+            F.explode(F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1))).alias("p"),
         )
+        .select("doc_id",
+                F.concat_ws(" ", "p.0", "p.1").alias("bigram"))
     )
     top = (
         bigrams.groupBy("doc_id", "bigram")
