@@ -65,6 +65,7 @@ GRADE_HEAD = [
     "mm1_media_stats",
     "z1_zorder_keys",
     "d3b_simhash_portable",
+    "mx1_mixture_budgets",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -107,7 +108,6 @@ GRADE_HEAD = [
     "f19_map_ops",
     "p4_filter_compound",
     "p8_null_handling",
-    "p13_cast_coercion",
 ]
 
 
@@ -147,6 +147,7 @@ def load_all() -> dict[str, Query]:
         text3,
         multimodal_queries,
         zorder_queries,
+        mixing,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:
