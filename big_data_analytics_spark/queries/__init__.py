@@ -66,6 +66,7 @@ GRADE_HEAD = [
     "z1_zorder_keys",
     "d3b_simhash_portable",
     "mx1_mixture_budgets",
+    "d7_incremental_dedup",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -107,7 +108,6 @@ GRADE_HEAD = [
     "f18_array_ops",
     "f19_map_ops",
     "p4_filter_compound",
-    "p8_null_handling",
 ]
 
 

@@ -283,30 +283,26 @@ HAVING COUNT(*) FILTER (WHERE sa.m = sb.m) >= {_MH_THRESH}
 """
 
 
-@query("d2b_minhash_portable", oracle=_D2B_ORACLE)
-def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + 4-band LSH near-dup pairs with every hash derived
-    from md5 (portable), so the full pipeline is checked value-for-
-    value against DuckDB. Plan: shingle explode stays narrow; the 16
-    affine permutations are 16 min-aggregates over one precomputed
-    32-bit shingle hash (single groupBy, whole-stage codegen); bands
-    are 4 equality keys per doc; candidates come from a band self-join
-    and are verified by re-joining the two signatures."""
-    corpus = _doc_corpus_with_dups(spark, sf_dir)
+def _portable_sigs(corpus: DataFrame) -> DataFrame:
+    """md5-MinHash(16) signature table (doc_id, m0..m15): raw-split
+    3-shingles via arrays_zip of shifted slices (codegen — see
+    SCALE.md array-shape notes), one 32-bit md5 hash per shingle, 16
+    affine min-aggregates in a single groupBy."""
     toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
     shingles = (
-        corpus.filter(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                _shingle3(toks),
-            )).alias("shingle"),
-        )
+        corpus.filter(n >= 3)
+        .select("doc_id", F.explode(F.arrays_zip(
+            F.slice(toks, 1, n - 2),
+            F.slice(toks, 2, n - 2),
+            F.slice(toks, 3, n - 2),
+        )).alias("p"))
+        .select("doc_id",
+                F.concat_ws(" ", "p.0", "p.1", "p.2").alias("shingle"))
     )
     h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
          .cast("long") % _MH_P)
-    sig = (
+    return (
         shingles.select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(*[
@@ -315,7 +311,11 @@ def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(_MH_PERMS)
         ])
     )
-    bands = sig.select(
+
+
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """4 equality band keys per signature row (doc_id, band, key)."""
+    return sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(
@@ -328,16 +328,11 @@ def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(4)
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"),
-              (F.col("a.band") == F.col("b.band"))
-              & (F.col("a.key") == F.col("b.key"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+
+
+def _verified_pairs(pairs: DataFrame, sig: DataFrame) -> DataFrame:
+    """Re-score candidate (id_a, id_b) pairs by full-signature
+    agreement; keep n_match >= the threshold."""
     sa = sig.select(F.col("doc_id").alias("id_a"),
                     *[F.col(f"m{j}").alias(f"a{j}") for j in range(16)])
     sb = sig.select(F.col("doc_id").alias("id_b"),
@@ -354,14 +349,117 @@ def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle3(toks):
-    """Factory for the 3-shingle lambda (PySpark lambda arity is
-    semantic — a default-arg closure would silently break)."""
-    def make(i):
-        return F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2))
-    return make
+@query("d2b_minhash_portable", oracle=_D2B_ORACLE)
+def d2b_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH near-dup pairs with every hash derived
+    from md5 (portable), so the full pipeline is checked value-for-
+    value against DuckDB. Plan: shingle explode stays narrow; the 16
+    affine permutations are 16 min-aggregates over one precomputed
+    32-bit shingle hash (single groupBy, whole-stage codegen); bands
+    are 4 equality keys per doc; candidates come from a band self-join
+    and are verified by re-joining the two signatures."""
+    sig = _portable_sigs(_doc_corpus_with_dups(spark, sf_dir))
+    bands = _sig_bands(sig)
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _verified_pairs(pairs, sig)
+
+
+_D7_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+), delta AS (
+    SELECT doc_id + 40000 AS doc_id, text || ' tail' AS text
+    FROM base WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 50000, text FROM documents
+    WHERE doc_id >= 100 AND doc_id < 120
+), corpus AS (
+    SELECT * FROM base UNION ALL SELECT * FROM delta
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+), shingles AS (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks WHERE len(t) >= 3
+), hv AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MH_P} AS h
+    FROM shingles
+), sig AS (
+    SELECT doc_id, p.j, MIN((p.a * h + p.b) % {_MH_P}) AS m
+    FROM hv CROSS JOIN (VALUES {_MH_PERMS_SQL}) AS p(j, a, b)
+    GROUP BY doc_id, p.j
+), bands AS (
+    SELECT doc_id, j // 4 AS band,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS key
+    FROM sig GROUP BY doc_id, j // 4
+), pairs AS (
+    SELECT LEAST(d.doc_id, a.doc_id) AS id_a,
+           GREATEST(d.doc_id, a.doc_id) AS id_b
+    FROM bands d JOIN bands a
+      ON d.band = a.band AND d.key = a.key AND d.doc_id <> a.doc_id
+    WHERE d.doc_id >= 40000
+    GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       CAST(COUNT(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_match,
+       COUNT(*) FILTER (WHERE sa.m = sb.m) / 16.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+GROUP BY p.id_a, p.id_b
+HAVING COUNT(*) FILTER (WHERE sa.m = sb.m) >= {_MH_THRESH}
+"""
+
+
+@query("d7_incremental_dedup", oracle=_D7_ORACLE)
+def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: a 30-doc delta batch (10
+    near-copies of indexed docs + 20 fresh docs) bands against the
+    full signature index, and only pairs TOUCHING THE DELTA are
+    produced — the corpus is never re-paired against itself. This is
+    the shape that keeps dedup affordable as a 100 TB corpus grows:
+    signature/band relations are the persisted index (append-only
+    under ingestion), the band join's probe side is delta-sized (a
+    broadcast here), and the quadratic stage is |delta|-bounded
+    instead of |corpus|-bounded. Same md5-portable MinHash machinery
+    as d2b, so the whole incremental path is value-hash-graded."""
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    fresh = (load_table(spark, sf_dir, "documents")
+             .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+             .select((F.col("doc_id") + 50000).alias("doc_id"), "text"))
+    near = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"))
+    delta = near.unionByName(fresh)
+    # the index: in production a persisted (doc_id, m0..m15) relation;
+    # here rebuilt from base ∪ delta (no cross-run state in a graded
+    # query) — the *join shape* is the incremental part
+    sig = _portable_sigs(base.unionByName(delta))
+    bands_all = _sig_bands(sig)
+    bands_delta = bands_all.filter(F.col("doc_id") >= 40000)
+    pairs = (
+        F.broadcast(bands_delta.alias("d"))
+        .join(bands_all.alias("a"),
+              (F.col("d.band") == F.col("a.band"))
+              & (F.col("d.key") == F.col("a.key"))
+              & (F.col("d.doc_id") != F.col("a.doc_id")))
+        .select(F.least("d.doc_id", "a.doc_id").alias("id_a"),
+                F.greatest("d.doc_id", "a.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _verified_pairs(pairs, sig)
 
 
 # --------------------------------------------------------------------

@@ -346,3 +346,11 @@ def test_d3b_no_sort_merge_join(spark):
     plan = _plan(spark, "d3b_simhash_portable")
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_d7_delta_side_broadcasts(spark):
+    """Incremental dedup's band join must broadcast the delta side —
+    a sort-merge join would shuffle the full band index per batch."""
+    plan = _plan(spark, "d7_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
