@@ -67,6 +67,7 @@ GRADE_HEAD = [
     "d3b_simhash_portable",
     "mx1_mixture_budgets",
     "d7_incremental_dedup",
+    "sj1_salted_skew_join",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -107,7 +108,6 @@ GRADE_HEAD = [
     "f8_date_functions",
     "f18_array_ops",
     "f19_map_ops",
-    "p4_filter_compound",
 ]
 
 
@@ -148,6 +148,7 @@ def load_all() -> dict[str, Query]:
         multimodal_queries,
         zorder_queries,
         mixing,
+        skew_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:
