@@ -68,6 +68,8 @@ GRADE_HEAD = [
     "mx1_mixture_budgets",
     "d7_incremental_dedup",
     "sj1_salted_skew_join",
+    "cp1_corpus_clean_audit",
+    "bl1_bloom_semi_join",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -106,8 +108,6 @@ GRADE_HEAD = [
     "u3_intersect_except",
     "f1_string_functions",
     "f8_date_functions",
-    "f18_array_ops",
-    "f19_map_ops",
 ]
 
 
@@ -149,6 +149,8 @@ def load_all() -> dict[str, Query]:
         zorder_queries,
         mixing,
         skew_queries,
+        corpus_queries,
+        bloom_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:
