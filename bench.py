@@ -58,6 +58,7 @@ HEADLINE = [
     "gr1_part_pagerank",
     "up1_orders_upsert",
     "at1_time_decay_attribution",
+    "v5_sq_topk",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE

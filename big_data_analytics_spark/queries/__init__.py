@@ -38,8 +38,8 @@ def query(name: str, oracle: Optional[str] = None):
 
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. Round-4
-#: head-50 = (a) the 13 queries that have never had a driver row
-#: (round-3's wave-4 additions + the new multimodal query), (b) the
+#: head-50 = (a) the 23 queries that have never had a driver row
+#: (round-3's wave-4 additions + this round's new queries), (b) the
 #: three queries whose correctness CONTRACT changed this round (LSH
 #: queries flipped from rows-only to full oracles; dq3 redefined as a
 #: recall certification), (c) the three whose IMPLEMENTATION changed
@@ -70,6 +70,10 @@ GRADE_HEAD = [
     "sj1_salted_skew_join",
     "cp1_corpus_clean_audit",
     "bl1_bloom_semi_join",
+    "cc1_dedup_clusters",
+    "bpe2_encode",
+    "v5_sq_topk",
+    "sql1_revenue_by_state_sqlapi",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -100,14 +104,10 @@ GRADE_HEAD = [
     "a9_quantity_moments",
     "a10_corr_regression",
     "a12_event_daily_metrics",
-    "a19_median_mode",
     "g1_rollup_revenue",
     "g2_cube_counts",
     "pv1_status_pivot",
     "u1_union_distinct",
-    "u3_intersect_except",
-    "f1_string_functions",
-    "f8_date_functions",
 ]
 
 
@@ -151,6 +151,7 @@ def load_all() -> dict[str, Query]:
         skew_queries,
         corpus_queries,
         bloom_queries,
+        clustering_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -305,3 +305,138 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------
+# V5 — scalar-quantization (SQ8) ANN: compress-then-search with
+# asymmetric distance, candidate top-k on reconstructed vectors, exact
+# rerank. Deterministic codebook (per-dimension min/max), so the whole
+# quantize → approx-rank → rerank pipeline is oracle-checkable.
+# --------------------------------------------------------------------
+
+_DIM = 64
+SQ_CAND = 25
+
+_SQ_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+    ), stats AS (
+        SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        FROM c, unnest(generate_series(1, {_DIM})) AS t(i)
+        GROUP BY i
+    ), packed AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM stats
+    ), coded AS (
+        SELECT c.vec_id, c.v,
+               list_transform(generate_series(1, {_DIM}), i ->
+                   mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0.0
+                             ELSE least(255.0, greatest(0.0,
+                                  floor((v[i] - mns[i])
+                                        / (mxs[i] - mns[i]) * 256))) END
+                             + 0.5) * (mxs[i] - mns[i]) / 256) AS rv
+        FROM c, packed
+    ), approx AS (
+        SELECT q.query_id, coded.vec_id AS neighbor_id, coded.v, q.qv,
+               ROUND(list_dot_product(q.qv, coded.rv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(coded.rv, coded.rv))),
+                     6) AS ascore
+        FROM q, coded
+    ), cand AS (
+        SELECT query_id, neighbor_id, v, qv FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY ascore DESC, neighbor_id) AS rn
+            FROM approx) WHERE rn <= {SQ_CAND}
+    ), exact AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, v)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(v, v))), 6) AS cosine
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact) WHERE rn <= {TOP_K}
+"""
+
+
+@query("v5_sq_topk", oracle=_SQ_ORACLE)
+def v5_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN: per-dimension [min, max] over the
+    corpus defines a 256-level uniform grid (the codebook — two
+    64-float arrays, bytes per vector at rest vs 8 bytes/dim raw);
+    approximate scores are computed asymmetrically (full-precision
+    query against reconstructed bin centers), the top {SQ_CAND}
+    candidates per query are exactly reranked, top {TOP_K} emitted.
+
+    The codebook is computed IN-PLAN (posexplode → per-dim min/max →
+    collect_list into two arrays on a single row → broadcast cross
+    join) — no driver collect, unlike a trained k-means codebook. At
+    100 TB: the stats pass is one map-side-combinable aggregate with
+    {_DIM} groups; codes are 16× smaller than the raw vectors, so the
+    scan side of every probe shrinks by that factor; reconstruction
+    is a per-row expression, never a shuffle. Complements v3 (IVF
+    prunes WHICH vectors are scored; SQ shrinks the COST of scoring
+    each one — production engines stack them)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+
+    stats = (corpus.select(F.posexplode("v").alias("dim", "x"))
+             .groupBy("dim")
+             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    packed = (
+        stats.agg(F.array_sort(
+            F.collect_list(F.struct("dim", "mn", "mx"))).alias("s"))
+        .select(F.transform("s", lambda t: t["mn"]).alias("mns"),
+                F.transform("s", lambda t: t["mx"]).alias("mxs"))
+    )
+
+    def _recon(x, i):
+        mn = F.element_at(F.col("mns"), i + 1)
+        mx = F.element_at(F.col("mxs"), i + 1)
+        code = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.least(F.lit(255.0), F.greatest(
+                F.lit(0.0), F.floor((x - mn) / (mx - mn) * 256))))
+        return mn + (code + 0.5) * (mx - mn) / 256
+
+    coded = (corpus.crossJoin(F.broadcast(packed))
+             .select("vec_id", "v",
+                     F.transform("v", _recon).alias("rv")))
+    approx = (
+        coded.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "v", "qv", "qn",
+            F.round(
+                _dot(F.col("qv"), F.col("rv"))
+                / (F.col("qn") * F.sqrt(_dot(F.col("rv"), F.col("rv")))),
+                6).alias("ascore"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("ascore"), F.asc("neighbor_id"))
+    cand = (approx.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= SQ_CAND)
+            .select("query_id", "neighbor_id", "v", "qv", "qn"))
+    exact = cand.select(
+        "query_id", "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v"))
+            / (F.col("qn") * F.sqrt(_dot(F.col("v"), F.col("v")))),
+            6).alias("cosine"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (exact.withColumn("rn", F.row_number().over(we))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine"))

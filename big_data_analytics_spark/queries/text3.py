@@ -30,7 +30,9 @@ from big_data_analytics_spark.queries import query
 _STEPS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql() -> tuple[str, str]:
+    """The shared WITH-chain (t0, p1, t1, …, p_N, t_N) and the name of
+    the final rewritten-corpus CTE."""
     body = """
     WITH t0 AS (
         SELECT doc_id, text FROM documents
@@ -54,10 +56,29 @@ def _bpe_oracle() -> str:
         FROM {prev} CROSS JOIN p{i} p
     )"""
         prev = f"t{i}"
+    return body, prev
+
+
+def _bpe_oracle() -> str:
+    body, _ = _bpe_chain_sql()
     union = "\n    UNION ALL\n".join(
         f"    SELECT {i} AS step, a AS left_tok, b AS right_tok, n"
         f" FROM p{i}" for i in range(1, _STEPS + 1))
     return body + "\n" + union
+
+
+#: bpe2 output is bounded to this id range (the merges are still
+#: learned from the FULL corpus — only the emitted encoding sample is
+#: cut, keeping the graded row count stable).
+_ENCODE_SAMPLE = 50
+
+
+def _bpe_encode_oracle() -> str:
+    body, final = _bpe_chain_sql()
+    return body + f"""
+    SELECT doc_id, text AS encoded,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM {final} WHERE doc_id < {_ENCODE_SAMPLE}"""
 
 
 @query("bpe1_merge_steps", oracle=_bpe_oracle())
@@ -72,7 +93,17 @@ def bpe1_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the corpus — no driver round-trip, no shuffle of the
     text. A real trainer runs thousands of steps with batched rule
     application; the per-step dataflow is this one."""
-    cur = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = _bpe_steps(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_steps(cur: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run the ``_STEPS`` merge-learn/rewrite rounds; return the
+    per-step 1-row merge tables and the final rewritten corpus."""
     merges = []
     for i in range(1, _STEPS + 1):
         toks = F.split("text", " ")
@@ -115,7 +146,25 @@ def bpe1_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             # would recompute pass 1's rewrite inside pass 2 and 3
             # (1+2+3 corpus scans instead of 3)
             cur = cur.localCheckpoint()
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return merges, cur
+
+
+@query("bpe2_encode", oracle=_bpe_encode_oracle())
+def bpe2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: the corpus re-encoded with the {_STEPS} merges
+    bpe1 learns (merged pairs joined with '+'), emitting a bounded
+    sample of encoded texts plus their post-merge token counts —
+    i.e. the train-then-encode round trip of a BPE tokenizer, with
+    the encode step graded byte-for-byte against DuckDB.
+
+    Scale: identical dataflow to bpe1 (the rewrite IS the encoding);
+    the sample filter cuts only the emitted rows, after the merges
+    are learned from the full corpus. Production encoding with a
+    full merge table applies rule batches in one generated
+    expression chain per batch — the per-rule string map is this
+    exact shape."""
+    _, encoded = _bpe_steps(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return (encoded.filter(F.col("doc_id") < _ENCODE_SAMPLE)
+            .select("doc_id", F.col("text").alias("encoded"),
+                    F.size(F.split("text", " ")).alias("n_tokens")))

@@ -354,3 +354,32 @@ def test_d7_delta_side_broadcasts(spark):
     plan = _plan(spark, "d7_incremental_dedup")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_v5_sq_quantize_broadcasts(spark):
+    """SQ8 ANN: the 1-row codebook and the query set ride broadcasts;
+    the corpus is never shuffled for ranking (WindowGroupLimit prunes
+    per partition) and nothing falls back to Python or sort-merge."""
+    plan = _plan(spark, "v5_sq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cc1_components_checkpointed(spark):
+    """Transitive dedup clusters: the label-propagation fixed point is
+    consumed from checkpointed lineage (no re-derivation of the pair
+    join per downstream action) and stays JVM-side."""
+    plan = _plan(spark, "cc1_dedup_clusters")
+    assert "EvalPython" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_bpe2_rule_broadcasts(spark):
+    """BPE encode: each merge rule is a 1-row broadcast into a string
+    map over the corpus — never a shuffle of the text."""
+    plan = _plan(spark, "bpe2_encode")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
