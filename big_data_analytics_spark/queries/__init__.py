@@ -74,6 +74,8 @@ GRADE_HEAD = [
     "bpe2_encode",
     "v5_sq_topk",
     "sql1_revenue_by_state_sqlapi",
+    "sm1_stream_daily_metrics",
+    "ml1_ols_inference",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -101,8 +103,6 @@ GRADE_HEAD = [
     "a5_monthly_revenue",
     "a7_order_priority_counts",
     "a8_percentiles",
-    "a9_quantity_moments",
-    "a10_corr_regression",
     "a12_event_daily_metrics",
     "g1_rollup_revenue",
     "g2_cube_counts",
@@ -152,6 +152,7 @@ def load_all() -> dict[str, Query]:
         corpus_queries,
         bloom_queries,
         clustering_queries,
+        streaming_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -328,3 +328,110 @@ def st2_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
     return j.select("n_a", "conv_a", "n_b", "conv_b",
                     F.round(z, 4).alias("z_stat"))
+
+
+@query(
+    "ml1_ols_inference",
+    oracle="""
+    WITH rows_i AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x * x AS HUGEINT)) AS sxx,
+               SUM(CAST(x * y AS HUGEINT)) AS sxy,
+               SUM(CAST(y * y AS HUGEINT)) AS syy
+        FROM rows_i GROUP BY l_returnflag
+    ), d AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        FROM s
+    ), fit AS (
+        SELECT l_returnflag, n, nd, syd, sxd, sxyd, syyd,
+               (nd * sxyd - sxd * syd) AS num,
+               (nd * sxxd - sxd * sxd) AS den
+        FROM d
+    ), coef AS (
+        SELECT *, num / den AS slope_c,
+               (syd - (num / den) * sxd) / nd AS a_c
+        FROM fit
+    )
+    SELECT l_returnflag, n,
+           ROUND(slope_c / 100.0, 6) AS slope,
+           ROUND(a_c / 100.0, 4) AS intercept,
+           ROUND((num * num) / (den * (nd * syyd - syd * syd)), 6) AS r2,
+           ROUND(sqrt(((syyd - a_c * syd - slope_c * sxyd) / (nd - 2.0))
+                      * nd / den) / 100.0, 6) AS se_slope,
+           ROUND(slope_c / sqrt(((syyd - a_c * syd - slope_c * sxyd)
+                                 / (nd - 2.0)) * nd / den), 4) AS t_slope
+    FROM coef
+    """,
+)
+def ml1_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS WITH inference (SURVEY §2.9 M1 — the
+    reference's ``sm.OLS(...).fit(); model.summary()``,
+    /root/reference/codes_in_book_of_statisct.ipynb:6488-6577) as a
+    driver-graded query: per-returnflag slope, intercept, R², slope
+    standard error, and t-statistic for price ~ quantity, from ONE
+    pass of six sufficient statistics.
+
+    Determinism at 1000 executors: a parallel double Σy² is
+    order-dependent, so every sum is exact integer arithmetic —
+    quantities as BIGINT, prices as integer cents, accumulated in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB), converted to double
+    exactly once before the closed-form algebra (identical
+    expression tree on both engines). The ml/ module's regression
+    surface fits the same closed form; this query pins it to an
+    independent engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xl = F.col("l_quantity").cast("long")
+    yl = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    dec = "decimal(38,0)"
+    s = (li.select("l_returnflag", xl.alias("x"), yl.alias("y"))
+         .groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("x").cast(dec)).alias("sx"),
+              F.sum(F.col("y").cast(dec)).alias("sy"),
+              F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+              F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+              F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy")))
+    d = s.select(
+        "l_returnflag", "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.col("syy").cast("double").alias("syyd"))
+    fit = d.select(
+        "*",
+        (F.col("nd") * F.col("sxyd") - F.col("sxd") * F.col("syd"))
+        .alias("num"),
+        (F.col("nd") * F.col("sxxd") - F.col("sxd") * F.col("sxd"))
+        .alias("den"))
+    coef = fit.select(
+        "*",
+        (F.col("num") / F.col("den")).alias("slope_c"),
+        ((F.col("syd") - (F.col("num") / F.col("den")) * F.col("sxd"))
+         / F.col("nd")).alias("a_c"))
+    sigma_term = (((F.col("syyd") - F.col("a_c") * F.col("syd")
+                    - F.col("slope_c") * F.col("sxyd"))
+                   / (F.col("nd") - F.lit(2.0)))
+                  * F.col("nd") / F.col("den"))
+    return coef.select(
+        "l_returnflag", "n",
+        F.round(F.col("slope_c") / 100.0, 6).alias("slope"),
+        F.round(F.col("a_c") / 100.0, 4).alias("intercept"),
+        F.round((F.col("num") * F.col("num"))
+                / (F.col("den") * (F.col("nd") * F.col("syyd")
+                                   - F.col("syd") * F.col("syd"))), 6)
+        .alias("r2"),
+        F.round(F.sqrt(sigma_term) / 100.0, 6).alias("se_slope"),
+        F.round(F.col("slope_c") / F.sqrt(sigma_term), 4).alias("t_slope"))

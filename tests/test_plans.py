@@ -383,3 +383,12 @@ def test_bpe2_rule_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ml1_single_pass_sufficient_stats(spark):
+    """OLS inference: six sufficient statistics in ONE partial+final
+    aggregation — exactly one exchange, no joins, no Python."""
+    plan = _plan(spark, "ml1_ols_inference")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
