@@ -76,6 +76,9 @@ GRADE_HEAD = [
     "sql1_revenue_by_state_sqlapi",
     "sm1_stream_daily_metrics",
     "ml1_ols_inference",
+    "gr4_bfs_hops",
+    "st3_mann_whitney_u",
+    "w12_cumulative_distinct_users",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -98,10 +101,7 @@ GRADE_HEAD = [
     "j7_regional_supplier_volume",
     "w4_latest_order_per_customer",
     "w5_customer_running_spend",
-    "wr_rank_functions",
-    "w1_event_lag_delta",
     "a5_monthly_revenue",
-    "a7_order_priority_counts",
     "a8_percentiles",
     "a12_event_daily_metrics",
     "g1_rollup_revenue",

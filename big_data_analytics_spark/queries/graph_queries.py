@@ -327,3 +327,54 @@ def gr3_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select(F.col("node").alias("l_partkey"),
                     F.col("rank").alias("rank_micro")))
+
+
+def _bfs_oracle() -> str:
+    return """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), seed AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src < 10
+    ), reach(node, hops) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node AS l_partkey, MIN(hops) AS hops
+    FROM reach GROUP BY node
+    """
+
+
+@query("gr4_bfs_hops", oracle=_bfs_oracle())
+def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤ 3) from a seed part set over the
+    co-purchase graph — frontier-expansion BFS, the traversal
+    primitive under "related products within k steps" and
+    neighborhood-sampling features.
+
+    Scale: semi-naive evaluation — each hop joins ONLY the newly
+    discovered frontier against the shared session-cached edge
+    relation (never the accumulated set), anti-joins out known nodes,
+    and checkpoints the per-hop result so lineage stays flat. State
+    per hop is one hash join + distinct, all keyed on node. The
+    oracle is DuckDB's recursive CTE over the same edges (UNION
+    dedup = the same semi-naive frontier)."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    seed = (edges.select(F.col("src").alias("node")).distinct()
+            .filter(F.col("node") < 10))
+    known = seed.select("node", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = known.select("node")
+    for h in range(1, 4):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(known.select("node"), "node", "left_anti")
+               .select("node", F.lit(h).alias("hops"))
+               .localCheckpoint())
+        known = known.unionByName(nxt)
+        frontier = nxt.select("node")
+    return known.select(F.col("node").alias("l_partkey"), "hops")

@@ -435,3 +435,87 @@ def ml1_ols_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2"),
         F.round(F.sqrt(sigma_term) / 100.0, 6).alias("se_slope"),
         F.round(F.col("slope_c") / F.sqrt(sigma_term), 4).alias("t_slope"))
+
+
+@query(
+    "st3_mann_whitney_u",
+    oracle="""
+    WITH xs AS (
+        SELECT CAST(l.l_quantity AS BIGINT) AS v,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+        SELECT v, SUM(ia) AS a, SUM(ib) AS b FROM xs GROUP BY v
+    ), cw AS (
+        SELECT v, a, b,
+               SUM(b) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - b AS cb
+        FROM pv
+    ), agg AS (
+        SELECT SUM(a * (2 * cb + b)) AS u2x,
+               SUM(a) AS n1, SUM(b) AS n2,
+               SUM((a + b) * (a + b) * (a + b) - (a + b)) AS ts
+        FROM cw
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(CAST(u2x AS DOUBLE) / 2.0, 1) AS u1,
+           ROUND((CAST(u2x AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                        * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                           - CAST(ts AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * (CAST(n1 + n2 AS DOUBLE) - 1.0)))), 4)
+               AS z_stat
+    FROM agg
+    """,
+)
+def st3_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test with tie correction: do URGENT
+    and LOW-priority orders draw line quantities from the same
+    distribution? The nonparametric complement to st2's z-test
+    (SURVEY §2.9 notebook stats surface).
+
+    Scale: NOT computed via global ranks (a partitionless rank over
+    the fact table is a single-task sort). U reduces to pair counts
+    over the per-value histogram: one hash aggregate to (value, a, b)
+    — the window then runs over |distinct values| rows (50 here;
+    integer-valued metrics keep this bounded), and everything stays
+    exact integer until one final double formula (2·U1 is integral;
+    ties via Σ(t³−t))."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("v"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    xs = (li.join(o, "l_orderkey")
+          .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(
+              "v",
+              F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+              .otherwise(0).alias("ia"),
+              F.when(F.col("o_orderpriority") == "5-LOW", 1)
+              .otherwise(0).alias("ib")))
+    pv = xs.groupBy("v").agg(F.sum("ia").alias("a"), F.sum("ib").alias("b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cw = pv.select(
+        "a", "b", (F.sum("b").over(w) - F.col("b")).alias("cb"))
+    agg = cw.agg(
+        F.sum(F.col("a") * (2 * F.col("cb") + F.col("b"))).alias("u2x"),
+        F.sum("a").alias("n1"), F.sum("b").alias("n2"),
+        F.sum((F.col("a") + F.col("b")) * (F.col("a") + F.col("b"))
+              * (F.col("a") + F.col("b"))
+              - (F.col("a") + F.col("b"))).alias("ts"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = F.col("u2x").cast("double") / 2.0
+    var = (n1d * n2d / 12.0) * ((nd + 1.0)
+                                - F.col("ts").cast("double")
+                                / (nd * (nd - 1.0)))
+    return agg.select(
+        "n1", "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - n1d * n2d / 2.0) / F.sqrt(var), 4).alias("z_stat"))

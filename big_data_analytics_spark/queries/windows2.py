@@ -173,3 +173,39 @@ def w11_session_duration_percentiles(spark: SparkSession,
         F.round(F.percentile(mins, F.lit(0.9)), 4).alias("p90_min"),
         F.round(F.percentile(mins, F.lit(0.99)), 4).alias("p99_min"),
     )
+
+
+@query(
+    "w12_cumulative_distinct_users",
+    oracle="""
+    WITH fu AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+        FROM events GROUP BY user_id
+    ), nd AS (
+        SELECT d0, COUNT(*) AS new_users FROM fu GROUP BY d0
+    )
+    SELECT strftime(d0, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d0
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM nd
+    """,
+)
+def w12_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the cumulative distinct-user count — the
+    growth-curve query. A naive per-day COUNT(DISTINCT ... WHERE ts <=
+    day) rescans the fact table once per day; this reduces it to
+    first-touch attribution (min day per user: ONE hash aggregate),
+    a per-day count, and a running sum over |days| rows. The only
+    unpartitioned window runs over the day axis (bounded: 30 here,
+    3650 for a decade of data), never over users or events."""
+    ev = load_table(spark, sf_dir, "events")
+    fu = (ev.groupBy("user_id")
+          .agg(F.min(F.date_trunc("day", "ts")).alias("d0")))
+    nd = fu.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return nd.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"))

@@ -223,3 +223,18 @@ def test_pq_identity_vector_is_top1(spark):
     # itself is the table minimum sum; it must be the top hit
     for r in top1:
         assert r["vec_id"] == r["qid"], r
+
+
+def test_sq_topk_recall_vs_brute_force(spark):
+    """SQ8 candidates + exact rerank must recover most of the true
+    top-k: recall@5 vs the v1 brute-force baseline at sf0.001."""
+    from big_data_analytics_spark.queries import load_all
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in reg["v1_cosine_topk"].spark_fn(spark, sf).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in reg["v5_sq_topk"].spark_fn(spark, sf).collect()}
+    assert len(truth) > 0
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
