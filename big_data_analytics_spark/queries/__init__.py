@@ -79,6 +79,8 @@ GRADE_HEAD = [
     "gr4_bfs_hops",
     "st3_mann_whitney_u",
     "w12_cumulative_distinct_users",
+    "ml2_anova_f",
+    "st4_ks_two_sample",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -105,8 +107,6 @@ GRADE_HEAD = [
     "a8_percentiles",
     "a12_event_daily_metrics",
     "g1_rollup_revenue",
-    "g2_cube_counts",
-    "pv1_status_pivot",
     "u1_union_distinct",
 ]
 

@@ -519,3 +519,150 @@ def st3_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1", "n2",
         F.round(u1, 1).alias("u1"),
         F.round((u1 - n1d * n2d / 2.0) / F.sqrt(var), 4).alias("z_stat"))
+
+
+@query(
+    "ml2_anova_f",
+    oracle="""
+    WITH rows_i AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), per_g AS (
+        SELECT g, COUNT(*) AS n,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(y * y AS HUGEINT)) AS syy
+        FROM rows_i GROUP BY g
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sy) AS DOUBLE) AS syd,
+               CAST(SUM(syy) AS DOUBLE) AS syyd,
+               SUM(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS sgm
+        FROM per_g
+    )
+    SELECT k, n,
+           ROUND((sgm - syd * syd / CAST(n AS DOUBLE)) / 10000.0, 2)
+               AS ss_between,
+           ROUND((syyd - sgm) / 10000.0, 2) AS ss_within,
+           ROUND(((sgm - syd * syd / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((syyd - sgm) / (CAST(n AS DOUBLE)
+                                    - CAST(k AS DOUBLE))), 6) AS f_stat
+    FROM tot
+    """,
+)
+def ml2_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (SURVEY §2.9 M20 — the reference's
+    ``anova_lm``): does mean price differ across return flags?
+    SS_between / SS_within / F from per-group (n, Σy, Σy²) — ONE
+    partial-combined aggregate over the fact table plus a 3-row
+    reduction, with cents-exact integer sums converted to double
+    once (order-independent at any parallelism). SS columns are
+    reported in dollars² (/10000)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yl = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    dec = "decimal(38,0)"
+    per_g = (li.select(F.col("l_returnflag").alias("g"), yl.alias("y"))
+             .groupBy("g")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("y").cast(dec)).alias("sy"),
+                  F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy")))
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("sy").cast("double").alias("syd"),
+        F.sum("syy").cast("double").alias("syyd"),
+        F.sum(F.col("sy").cast("double") * F.col("sy").cast("double")
+              / F.col("n").cast("double")).alias("sgm"))
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = F.col("sgm") - F.col("syd") * F.col("syd") / nd
+    ssw = F.col("syyd") - F.col("sgm")
+    return tot.select(
+        "k", "n",
+        F.round(ssb / 10000.0, 2).alias("ss_between"),
+        F.round(ssw / 10000.0, 2).alias("ss_within"),
+        F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias("f_stat"))
+
+
+@query(
+    "st4_ks_two_sample",
+    oracle="""
+    WITH xs AS (
+        SELECT CAST(l.l_quantity AS BIGINT) AS v,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+        SELECT v, SUM(ia) AS a, SUM(ib) AS b FROM xs GROUP BY v
+    ), cum AS (
+        SELECT v,
+               CAST(SUM(a) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS ca,
+               CAST(SUM(b) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cb
+        FROM pv
+    ), tot AS (
+        SELECT MAX(ca) AS n1, MAX(cb) AS n2 FROM cum
+    ), d AS (
+        SELECT MAX(ABS(CAST(ca AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cb AS DOUBLE) / CAST(n2 AS DOUBLE))) AS dmax,
+               MAX(n1) AS n1, MAX(n2) AS n2
+        FROM cum, tot
+    )
+    SELECT n1, n2, ROUND(dmax, 6) AS d_stat,
+           ROUND(dmax * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))),
+                 4) AS ks_z
+    FROM d
+    """,
+)
+def st4_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov: max ECDF gap between URGENT and
+    LOW-priority quantity distributions, plus the scaled KS statistic
+    D·√(n1n2/(n1+n2)).
+
+    Same scale discipline as st3: the ECDFs come from the per-value
+    histogram (one hash aggregate), cumulated over |distinct values|
+    rows — integer counts until the two final divisions, so both
+    engines compute identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("v"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    xs = (li.join(o, "l_orderkey")
+          .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(
+              "v",
+              F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+              .otherwise(0).alias("ia"),
+              F.when(F.col("o_orderpriority") == "5-LOW", 1)
+              .otherwise(0).alias("ib")))
+    pv = xs.groupBy("v").agg(F.sum("ia").alias("a"), F.sum("ib").alias("b"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(F.sum("a").over(w).alias("ca"),
+                    F.sum("b").over(w).alias("cb"))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    cum2 = cum.select(
+        "ca", "cb",
+        F.max("ca").over(wall).alias("n1"),
+        F.max("cb").over(wall).alias("n2"))
+    d = cum2.agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("ca").cast("double")
+                    / F.col("n1").cast("double")
+                    - F.col("cb").cast("double")
+                    / F.col("n2").cast("double"))).alias("dmax"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return d.select(
+        "n1", "n2",
+        F.round(F.col("dmax"), 6).alias("d_stat"),
+        F.round(F.col("dmax") * F.sqrt(n1d * n2d / (n1d + n2d)), 4)
+        .alias("ks_z"))
