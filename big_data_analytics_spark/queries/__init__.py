@@ -81,6 +81,7 @@ GRADE_HEAD = [
     "w12_cumulative_distinct_users",
     "ml2_anova_f",
     "st4_ks_two_sample",
+    "ml3_ols_multiple",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -103,7 +104,6 @@ GRADE_HEAD = [
     "j7_regional_supplier_volume",
     "w4_latest_order_per_customer",
     "w5_customer_running_spend",
-    "a5_monthly_revenue",
     "a8_percentiles",
     "a12_event_daily_metrics",
     "g1_rollup_revenue",

@@ -666,3 +666,133 @@ def st4_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dmax"), 6).alias("d_stat"),
         F.round(F.col("dmax") * F.sqrt(n1d * n2d / (n1d + n2d)), 4)
         .alias("ks_z"))
+
+
+@query(
+    "ml3_ols_multiple",
+    oracle="""
+    WITH rows_i AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x1 AS HUGEINT)) AS s1,
+               SUM(CAST(x2 AS HUGEINT)) AS s2,
+               SUM(CAST(x1 * x1 AS HUGEINT)) AS s11,
+               SUM(CAST(x2 * x2 AS HUGEINT)) AS s22,
+               SUM(CAST(x1 * x2 AS HUGEINT)) AS s12,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x1 * y AS HUGEINT)) AS s1y,
+               SUM(CAST(x2 * y AS HUGEINT)) AS s2y,
+               SUM(CAST(y * y AS HUGEINT)) AS syy
+        FROM rows_i
+    ), d AS (
+        SELECT CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) AS a12, CAST(s2 AS DOUBLE) AS a13,
+               CAST(s11 AS DOUBLE) AS a22, CAST(s12 AS DOUBLE) AS a23,
+               CAST(s22 AS DOUBLE) AS a33,
+               CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+               CAST(s2y AS DOUBLE) AS b3,
+               CAST(syy AS DOUBLE) AS syyd, n
+        FROM s
+    ), det AS (
+        SELECT *,
+               nd * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS dd
+        FROM d
+    ), coef AS (
+        SELECT *,
+               (b1 * (a22 * a33 - a23 * a23)
+                - a12 * (b2 * a33 - a23 * b3)
+                + a13 * (b2 * a23 - a22 * b3)) / dd AS b0,
+               (nd * (b2 * a33 - a23 * b3)
+                - b1 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * b3 - b2 * a13)) / dd AS bq,
+               (nd * (a22 * b3 - b2 * a23)
+                - a12 * (a12 * b3 - b2 * a13)
+                + b1 * (a12 * a23 - a22 * a13)) / dd AS bd
+        FROM det
+    )
+    SELECT n,
+           ROUND(b0 / 100.0, 4) AS intercept,
+           ROUND(bq / 100.0, 6) AS coef_quantity,
+           ROUND(bd / 100.0, 6) AS coef_discount_pct,
+           ROUND(1.0 - (syyd - b0 * b1 - bq * b2 - bd * b3)
+                       / (syyd - b1 * b1 / nd), 6) AS r2
+    FROM coef
+    """,
+)
+def ml3_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE linear regression, driver-graded (SURVEY §2.9 M1's
+    general form): price ~ quantity + discount via the 3×3 normal
+    equations solved in closed form (Cramer's rule spelled out
+    identically on both engines). All ten sufficient statistics are
+    exact integers — quantity as BIGINT, discount and price as
+    integer hundredths/cents, accumulated decimal(38)/HUGEINT — so
+    the normal-equation matrix is bit-identical at any parallelism;
+    doubles appear only in the final solve. R² from the same sums
+    (1 − SSE/SST with SSE = Σy² − βᵀXᵀy). The ml/ module's
+    matrix-free ols_fit computes the same estimator iteratively;
+    this pins the closed form to an independent engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100.0 + 0.5)
+    y = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    dec = "decimal(38,0)"
+    rows_i = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    s = rows_i.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("s22"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("s12"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))
+    d = s.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("a12"),
+        F.col("s2").cast("double").alias("a13"),
+        F.col("s11").cast("double").alias("a22"),
+        F.col("s12").cast("double").alias("a23"),
+        F.col("s22").cast("double").alias("a33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("s1y").cast("double").alias("b2"),
+        F.col("s2y").cast("double").alias("b3"),
+        F.col("syy").cast("double").alias("syyd"))
+    c = {k: F.col(k) for k in
+         ("nd", "a12", "a13", "a22", "a23", "a33", "b1", "b2", "b3")}
+    det = d.select("*", (
+        c["nd"] * (c["a22"] * c["a33"] - c["a23"] * c["a23"])
+        - c["a12"] * (c["a12"] * c["a33"] - c["a23"] * c["a13"])
+        + c["a13"] * (c["a12"] * c["a23"] - c["a22"] * c["a13"])
+    ).alias("dd"))
+    coef = det.select("*", (
+        (c["b1"] * (c["a22"] * c["a33"] - c["a23"] * c["a23"])
+         - c["a12"] * (c["b2"] * c["a33"] - c["a23"] * c["b3"])
+         + c["a13"] * (c["b2"] * c["a23"] - c["a22"] * c["b3"]))
+        / F.col("dd")).alias("b0"), (
+        (c["nd"] * (c["b2"] * c["a33"] - c["a23"] * c["b3"])
+         - c["b1"] * (c["a12"] * c["a33"] - c["a23"] * c["a13"])
+         + c["a13"] * (c["a12"] * c["b3"] - c["b2"] * c["a13"]))
+        / F.col("dd")).alias("bq"), (
+        (c["nd"] * (c["a22"] * c["b3"] - c["b2"] * c["a23"])
+         - c["a12"] * (c["a12"] * c["b3"] - c["b2"] * c["a13"])
+         + c["b1"] * (c["a12"] * c["a23"] - c["a22"] * c["a13"]))
+        / F.col("dd")).alias("bd"))
+    return coef.select(
+        "n",
+        F.round(F.col("b0") / 100.0, 4).alias("intercept"),
+        F.round(F.col("bq") / 100.0, 6).alias("coef_quantity"),
+        F.round(F.col("bd") / 100.0, 6).alias("coef_discount_pct"),
+        F.round(1.0 - (F.col("syyd") - F.col("b0") * F.col("b1")
+                       - F.col("bq") * F.col("b2")
+                       - F.col("bd") * F.col("b3"))
+                / (F.col("syyd") - F.col("b1") * F.col("b1") / F.col("nd")),
+                6).alias("r2"))
