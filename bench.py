@@ -59,6 +59,7 @@ HEADLINE = [
     "up1_orders_upsert",
     "at1_time_decay_attribution",
     "v5_sq_topk",
+    "ml3_ols_multiple",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
@@ -68,7 +69,11 @@ HEADLINE = [
 #: its warm number below excludes it — the delta is the amortized
 #: build cost that lp1/gr2/gr3 no longer pay.
 COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
-        "gr1_part_pagerank", "bpe1_merge_steps"]
+        "gr1_part_pagerank", "bpe1_merge_steps",
+        # real streaming execution: first run includes the one-off
+        # stream-fixture split + checkpoint init; every run pays the
+        # micro-batch scheduling the warm section would hide
+        "sm1_stream_daily_metrics"]
 
 
 def _run(q, spark, sf_dir) -> float:

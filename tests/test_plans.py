@@ -392,3 +392,34 @@ def test_ml1_single_pass_sufficient_stats(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml2_ml3_single_exchange_no_join(spark):
+    """ANOVA and multiple regression: one partial+final aggregation
+    over the fact table (plus scalar reductions) — no joins, no
+    Python, at most two exchanges end-to-end."""
+    for name in ("ml2_anova_f", "ml3_ols_multiple"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 2, name
+
+
+def test_st3_st4_histogram_before_window(spark):
+    """Rank statistics must aggregate to the per-value histogram
+    BEFORE any unpartitioned window: the window input is |distinct
+    values| rows, never the fact table. Guard: the orders join
+    broadcasts and no global sort precedes the aggregation."""
+    for name in ("st3_mann_whitney_u", "st4_ks_two_sample"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_gr4_bfs_checkpointed_frontier(spark):
+    """BFS consumes checkpointed per-hop frontiers (flat lineage) and
+    stays JVM-side."""
+    plan = _plan(spark, "gr4_bfs_hops")
+    assert "EvalPython" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
