@@ -82,6 +82,7 @@ GRADE_HEAD = [
     "ml2_anova_f",
     "st4_ks_two_sample",
     "ml3_ols_multiple",
+    "v6_pq_adc_topk",
     # (b) correctness contract changed this round (r2 rows were
     # rows-only; these are now value-hash oracled)
     "v3_lsh_ann_topk",
@@ -99,7 +100,6 @@ GRADE_HEAD = [
     # covering the join / window / agg / rollup / set-op plan shapes
     # (everything rotated out re-verifies locally every pytest run)
     "j1_revenue_by_nation",
-    "o1_top_orders_by_revenue",
     "j2_customer_order_stats",
     "j7_regional_supplier_volume",
     "w4_latest_order_per_customer",

@@ -440,3 +440,174 @@ def v5_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.withColumn("rn", F.row_number().over(we))
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "neighbor_id", "cosine"))
+
+
+# --------------------------------------------------------------------
+# V6 — product quantization (PQ) ANN with a deterministic codebook and
+# asymmetric-distance (ADC) scoring, fully oracle-checkable: codewords
+# are an id-slice of the corpus (the v3 trick applied to PQ), encoding
+# is per-subspace argmin, scoring sums per-subspace distance-table
+# lookups, and the top candidates are exactly reranked.
+# --------------------------------------------------------------------
+
+M_SUB = 8        # subspaces
+SUB_DIM = 8      # dims per subspace (8×8 = 64)
+K_CODE = 16      # codewords per subspace
+PQ_CAND = 25
+
+#: codebook source vectors: the K_CODE lowest corpus ids.
+_CB_LO = N_QUERY_VECS
+_CB_HI = N_QUERY_VECS + K_CODE
+
+_PQ_L2 = ("ROUND(list_sum(list_transform(generate_series(1, {d}), i ->"
+          " ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)")
+
+_PQ_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+    ), cb AS (
+        SELECT vec_id - {_CB_LO} AS j, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE vec_id >= {_CB_LO} AND vec_id < {_CB_HI}
+    ), subs AS (
+        SELECT unnest(generate_series(0, {M_SUB - 1})) AS s
+    ), csub AS (
+        SELECT c.vec_id, subs.s,
+               c.v[subs.s * {SUB_DIM} + 1 : subs.s * {SUB_DIM} + {SUB_DIM}]
+                   AS sub
+        FROM c, subs
+    ), cbsub AS (
+        SELECT cb.j, subs.s,
+               cb.v[subs.s * {SUB_DIM} + 1 : subs.s * {SUB_DIM} + {SUB_DIM}]
+                   AS sub
+        FROM cb, subs
+    ), enc AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT csub.vec_id, csub.s, cbsub.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY csub.vec_id, csub.s
+                       ORDER BY {_PQ_L2.format(d=SUB_DIM, a="csub.sub",
+                                               b="cbsub.sub")} ASC,
+                                cbsub.j ASC) AS rn
+            FROM csub JOIN cbsub USING (s)) WHERE rn = 1
+    ), qsub AS (
+        SELECT q.query_id, subs.s,
+               q.qv[subs.s * {SUB_DIM} + 1 : subs.s * {SUB_DIM} + {SUB_DIM}]
+                   AS sub
+        FROM q, subs
+    ), dtab AS (
+        SELECT qsub.query_id, qsub.s, cbsub.j,
+               {_PQ_L2.format(d=SUB_DIM, a="qsub.sub", b="cbsub.sub")} AS dq
+        FROM qsub JOIN cbsub USING (s)
+    ), adist AS (
+        SELECT d.query_id, e.vec_id AS neighbor_id, SUM(d.dq) AS ad
+        FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.j
+        GROUP BY d.query_id, e.vec_id
+    ), cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY ad ASC, neighbor_id ASC) AS rn
+            FROM adist) WHERE rn <= {PQ_CAND}
+    ), exact AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROUND(list_dot_product(q.qv, c.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        FROM cand
+        JOIN q ON q.query_id = cand.query_id
+        JOIN c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact) WHERE rn <= {TOP_K}
+"""
+
+
+def _l2_6(a, b):
+    """Sequential-fold squared L2 distance, rounded to 6 dp (the
+    engine-portable argmin/ranking key)."""
+    return F.round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+@query("v6_pq_adc_topk", oracle=_PQ_ORACLE)
+def v6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with asymmetric-distance scoring, driver-graded: 64-dim
+    vectors split into {M_SUB} subspaces of {SUB_DIM} dims; each
+    subvector encodes to its nearest of {K_CODE} codewords (1 byte of
+    {M_SUB} per vector — 64× smaller than raw); per query, a
+    {M_SUB}×{K_CODE} distance table is computed ONCE and scoring a
+    candidate is {M_SUB} table lookups + a sum, never a vector read.
+    Top {PQ_CAND} by ADC distance are exactly reranked.
+
+    The codebook is a deterministic id-slice of the corpus (the same
+    move that makes v3's IVF quantizer oracle-checkable) instead of
+    per-subspace k-means — same dataflow, portable truth; the trained
+    variant lives in operators/similarity.py:pq_build. Scale: the
+    encode pass is corpus × {M_SUB} rows against a broadcast
+    {M_SUB * K_CODE}-row codebook (map-side min_by, no shuffle of
+    vectors); ADC is a broadcast join of the per-query table against
+    codes, partial-aggregated per (query, vector). With v3 (prune
+    cells) and v5 (shrink scans) this completes the production
+    IVF/SQ/PQ toolkit, every layer hash-graded."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cb = emb.filter((F.col("vec_id") >= _CB_LO)
+                    & (F.col("vec_id") < _CB_HI)).select(
+        (F.col("vec_id") - _CB_LO).alias("j"), "v")
+
+    def subspaces(df, id_cols, vec):
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+            lambda s: F.slice(vec, s * SUB_DIM + 1, SUB_DIM))
+        return df.select(*id_cols, F.posexplode(chunks).alias("s", "sub"))
+
+    csub = subspaces(corpus, ["vec_id"], F.col("v"))
+    cbsub = subspaces(cb, ["j"], F.col("v")).withColumnRenamed("sub", "cbs")
+    qsub = subspaces(q, ["query_id"], F.col("qv"))
+
+    # encode: nearest codeword per (vector, subspace) — map-side
+    # min_by against the broadcast codebook, ties to the lowest j
+    enc = (csub.join(F.broadcast(cbsub), "s")
+           .groupBy("vec_id", "s")
+           .agg(F.min_by(
+               F.col("j"),
+               F.struct(_l2_6(F.col("sub"), F.col("cbs")).alias("d"),
+                        F.col("j"))).alias("code")))
+    # per-query distance tables (M_SUB × K_CODE rows per query)
+    dtab = (qsub.join(F.broadcast(cbsub), "s")
+            .select("query_id", "s", "j",
+                    _l2_6(F.col("sub"), F.col("cbs")).alias("dq")))
+    adist = (enc.join(F.broadcast(dtab),
+                      (enc.s == dtab.s) & (enc.code == dtab.j))
+             .groupBy("query_id", "vec_id")
+             .agg(F.sum("dq").alias("ad")))
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("ad"), F.asc("vec_id"))
+    cand = (adist.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= PQ_CAND)
+            .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    exact = (cand.join(F.broadcast(q), "query_id")
+             .join(corpus.withColumnRenamed("vec_id", "neighbor_id"),
+                   "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     F.round(
+                         _dot(F.col("qv"), F.col("v"))
+                         / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                            * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                         6).alias("cosine")))
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (exact.withColumn("rn", F.row_number().over(we))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine"))

@@ -310,3 +310,38 @@ def test_ols_rejects_regularization(reg_data):
     df, *_ = reg_data
     with pytest.raises(ValueError, match="inference"):
         regression.ols_fit(df, ["x1", "x2"], "y", reg=0.1)
+
+
+def test_graded_ols_queries_match_ml_module(spark):
+    """The driver-graded regression rows (ml1 simple, ml3 multiple)
+    and the ml/ module's MLlib normal-equation fit are two
+    implementations of the same estimator — they must agree on the
+    same data. Ties the graded surface to the notebook-parity ML
+    surface."""
+    from big_data_analytics_spark.ml.regression import ols_fit
+    from big_data_analytics_spark.queries import load_all
+    sf = "/root/testdata/sf0.01"
+    reg = load_all()
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_quantity", "l_extendedprice",
+                  "l_discount"))
+
+    # ml1: per-returnflag simple regression price ~ quantity
+    graded = {r["l_returnflag"]: r
+              for r in reg["ml1_ols_inference"].spark_fn(spark, sf).collect()}
+    for flag, row in graded.items():
+        fit = ols_fit(li.filter(F.col("l_returnflag") == flag),
+                      ["l_quantity"], "l_extendedprice")
+        assert abs(fit.coef["l_quantity"] - row["slope"]) < 1e-3, flag
+        assert abs(fit.coef["intercept"] - row["intercept"]) < 1e-1, flag
+        assert abs(fit.r2 - row["r2"]) < 1e-4, flag
+        assert abs(fit.std_err["l_quantity"] - row["se_slope"]) < 1e-3, flag
+
+    # ml3: whole-table multiple regression price ~ quantity + discount
+    m3 = reg["ml3_ols_multiple"].spark_fn(spark, sf).collect()[0]
+    fit = ols_fit(li.withColumn("disc_pct", F.col("l_discount") * 100.0),
+                  ["l_quantity", "disc_pct"], "l_extendedprice")
+    assert abs(fit.coef["l_quantity"] - m3["coef_quantity"]) < 1e-3
+    assert abs(fit.coef["disc_pct"] - m3["coef_discount_pct"]) < 1e-2
+    assert abs(fit.coef["intercept"] - m3["intercept"]) < 1e-1
+    assert abs(fit.r2 - m3["r2"]) < 1e-4

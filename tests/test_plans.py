@@ -423,3 +423,13 @@ def test_gr4_bfs_checkpointed_frontier(spark):
     plan = _plan(spark, "gr4_bfs_hops")
     assert "EvalPython" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_v6_pq_codebook_broadcasts(spark):
+    """PQ ADC: the codebook and per-query distance tables ride
+    broadcasts; vectors are never shuffled for scoring and nothing
+    falls back to Python or sort-merge."""
+    plan = _plan(spark, "v6_pq_adc_topk")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
