@@ -49,6 +49,18 @@ def query(name: str, oracle: Optional[str] = None):
 #: rows are three rounds old (everything below the fold re-verifies
 #: locally every run via tests/test_queries_vs_duckdb.py).
 GRADE_HEAD = [
+    # (a0) round-5 additions, never graded: market-basket + item-item
+    # CF, gap-fill + rolling-zscore time series, Welch t, corpus
+    # chunk dedup, and the three new streaming-engine rows
+    "mb1_association_rules",
+    "cf1_item_item_cosine",
+    "ts2_hourly_gap_fill",
+    "ts3_rolling_zscore",
+    "st5_welch_t_test",
+    "t13_chunk_dedup",
+    "sm2_stream_sessions",
+    "sm3_stream_dedup_ingest",
+    "sm4_stream_stream_join",
     # (a) never graded in any round
     "d2b_minhash_portable",
     "d5_containment_pairs",
@@ -93,21 +105,12 @@ GRADE_HEAD = [
     "gr1_part_pagerank",
     "lp1_part_communities",
     "rc1_hierarchy_rollup",
-    # (d) standing canaries (scan-agg, sessionization)
+    # (d) standing canaries (scan-agg, sessionization); the round-4
+    # rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1) moved below the
+    # fold to make room for the 9 round-5 additions — all of it
+    # re-verifies locally every pytest run
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (e) rotation: round-1-green rows not re-graded since round 1,
-    # covering the join / window / agg / rollup / set-op plan shapes
-    # (everything rotated out re-verifies locally every pytest run)
-    "j1_revenue_by_nation",
-    "j2_customer_order_stats",
-    "j7_regional_supplier_volume",
-    "w4_latest_order_per_customer",
-    "w5_customer_running_spend",
-    "a8_percentiles",
-    "a12_event_daily_metrics",
-    "g1_rollup_revenue",
-    "u1_union_distinct",
 ]
 
 
@@ -153,6 +156,10 @@ def load_all() -> dict[str, Query]:
         bloom_queries,
         clustering_queries,
         streaming_queries,
+        market,
+        timeseries2,
+        stats_ext,
+        text4,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

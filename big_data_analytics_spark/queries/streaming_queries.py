@@ -22,6 +22,7 @@ backfill mode of the identical query.
 from __future__ import annotations
 
 import itertools
+import os
 import tempfile
 from pathlib import Path
 
@@ -30,7 +31,11 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
-from big_data_analytics_spark.streaming.events import daily_event_counts
+from big_data_analytics_spark.streaming.events import (
+    daily_event_counts,
+    session_windows,
+    view_purchase_interval_join,
+)
 
 _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 _QNAME = itertools.count()
@@ -49,6 +54,64 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> Path:
             crc.unlink()
         (root / "_DONE").touch()
     return root
+
+
+def _events_stream_dir_ordered(spark: SparkSession, sf_dir: str,
+                               copies: int = 1) -> Path:
+    """An EVENT-TIME-ORDERED multi-file Parquet copy of the events
+    table: 4 files per copy, file k covering the k-th quarter of the
+    time span, written sequentially with strictly increasing mtimes so
+    the file source (which orders by modification time) replays them
+    in event-time order. This models the bounded-disorder arrival a
+    Kafka source with time-ordered partitions provides — the
+    precondition for watermark-correct sessionization and stream-
+    stream joins (a randomly-split directory makes 3/4 of the data
+    arrive behind the watermark and silently drop as late).
+
+    ``copies=2`` appends the same four ranges a second time (every
+    event exactly twice) — the at-least-once redelivery fixture for
+    the streaming dedup query."""
+    tag = f"events_stream_ordered{'_x2' if copies == 2 else ''}"
+    root = _FIXTURE_ROOT / f"{tag}_{Path(sf_dir).name}"
+    data = root / "data"
+    if not (root / "_DONE").exists():
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                   ).collect()[0]
+        span = (b.hi - b.lo) / 4
+        seen: set[Path] = set()
+        base = 1_700_000_000
+        step = 0
+        for _copy in range(copies):
+            for i in range(4):
+                lo = b.lo + i * span
+                hi_cond = (F.col("ts") <= F.lit(b.hi)) if i == 3 else (
+                    F.col("ts") < F.lit(b.lo + (i + 1) * span))
+                (ev.filter((F.col("ts") >= F.lit(lo)) & hi_cond)
+                 .coalesce(1).write.mode("append").parquet(str(data)))
+                now = set(data.glob("*.parquet"))
+                for f in now - seen:
+                    os.utime(f, (base + step, base + step))
+                seen = now
+                step += 1
+        for crc in root.rglob("*.crc"):
+            crc.unlink()
+        (root / "_DONE").touch()
+    return root
+
+
+def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> str:
+    """Start ``df`` as an availableNow stream into a memory sink and
+    block to completion; returns the sink table name."""
+    qname = f"{prefix}_{next(_QNAME)}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    q = (df.writeStream.format("memory").queryName(qname)
+         .outputMode(mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return qname
 
 
 @query(
@@ -95,3 +158,154 @@ def sm1_stream_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select(
         F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
         "event_type", "n_events", "value_sum")
+
+
+@query(
+    "sm2_stream_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                         <= 1800000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_seq
+        FROM flagged
+    ), sess AS (
+        SELECT user_id,
+               MIN(ts) AS st,
+               MAX(ts) + INTERVAL 30 MINUTE AS en,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_seq
+    ), wm AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) AS w FROM events
+    )
+    SELECT user_id,
+           strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(en, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           n_events
+    FROM sess, wm WHERE en <= w
+    """,
+)
+def sm2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization computed BY THE STREAMING ENGINE:
+    ``session_window`` state across 4 event-time-ordered micro-
+    batches, watermark delay 0, append mode — so the emitted rows are
+    exactly the sessions the engine FINALIZED (evicted) by the end of
+    the backfill.
+
+    The oracle states the append-mode contract precisely: a session
+    is emitted iff its window end (last event + 30 min gap) is <= the
+    final watermark, which Spark truncates to whole milliseconds.
+    Everything else — here, sessions still open in the last 30+ min
+    of the fixture — remains in state awaiting more data, exactly as
+    an unbounded deployment would hold it. The time-ordered source
+    matters: with randomly-split files 3/4 of events arrive behind
+    the watermark and are dropped as late (measured: 4,878 of 9,549
+    sessions emitted), which is the documented late-data semantics,
+    not a correctness escape — Kafka/file sources in production are
+    time-ordered per partition, the case modeled here.
+
+    Streaming restatement of w7_sessionize_events; stream==batch
+    equivalence for the helper is separately pytest-asserted
+    (tests/test_streaming.py)."""
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    sess = session_windows(src, gap="30 minutes", watermark="0 seconds")
+    qname = _run_to_memory(sess, "append", "sm2_mem")
+    return spark.table(qname).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        "n_events")
+
+
+@query(
+    "sm3_stream_dedup_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sm3_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest over an at-least-once source: the stream
+    directory contains EVERY EVENT TWICE (a full redelivery), the
+    plan chains streaming dropDuplicates(event_id) into a running
+    per-type aggregate, and the finished stream must equal the
+    batch aggregate over each event ONCE — which is what the oracle
+    states. 8 micro-batches, two stateful operators chained
+    (dedup feeding aggregation), complete mode.
+
+    Unbounded deployments swap the plain dropDuplicates for
+    dropDuplicatesWithinWatermark (streaming/events.py:72) so dedup
+    state is bounded by the redelivery horizon instead of the key
+    space; for an availableNow backfill the full-state form is the
+    exact contract."""
+    root = _events_stream_dir_ordered(spark, sf_dir, copies=2)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    deduped = src.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)).cast("double")
+         / 10000.0).alias("value_sum"))
+    qname = _run_to_memory(agg, "complete", "sm3_mem")
+    return spark.table(qname)
+
+
+@query(
+    "sm4_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def sm4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed BY THE STREAMING ENGINE:
+    views and purchases are two watermarked streams over the same
+    event-time-ordered source; every (view, purchase-within-30-min)
+    pair must come out, hash-equal to the batch interval join.
+
+    Why no pair can be lost to state eviction: files are time-
+    ordered, the watermark delay (1 h) exceeds the join horizon
+    (30 min), and a view's state is only evicted once the watermark
+    passes view_ts + horizon — any purchase that could still match
+    arrives before that, because it is at most 30 min younger than
+    the view while the watermark lags the newest data by a full
+    hour. That inequality (delay > horizon + max disorder) is the
+    production sizing rule this query certifies; ij1 grades the
+    identical join shape in batch."""
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    joined = view_purchase_interval_join(
+        src, horizon="30 minutes", watermark="1 hour")
+    qname = _run_to_memory(joined, "append", "sm4_mem")
+    return spark.table(qname).select(
+        "view_id", "purchase_id", "user_id", "gap_us", "purchase_value")

@@ -1,0 +1,192 @@
+"""Time-series surface, wave 2: regular-grid resampling with linear
+gap interpolation (ts2) and rolling-window z-score anomaly detection
+(ts3). Complements ts1's per-key EMA (operators/timeseries.py).
+
+Both are single-exchange window plans: one shuffle on user_id, then
+ordered window functions within each partition — the shape that holds
+at 100 TB because state per key is bounded (ts2: the per-user hour
+grid; ts3: a 20-row frame). The anomaly test is carried out entirely
+in integer arithmetic (see ts3) so the >3-sigma decision is
+bit-identical on any engine at any parallelism — no floating-point
+variance/stddev accumulation order to worry about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+
+@query(
+    "ts2_hourly_gap_fill",
+    oracle="""
+    WITH known AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS vc
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM known GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    ), joined AS (
+        SELECT g.user_id, g.h,
+               CAST(epoch(g.h) AS BIGINT) / 3600 AS hi, k.vc
+        FROM grid g LEFT JOIN known k
+          ON g.user_id = k.user_id AND g.h = k.h
+    ), ctx AS (
+        SELECT user_id, h, hi, vc,
+               last_value(vc IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN vc IS NOT NULL THEN hi END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(vc IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN vc IS NOT NULL THEN hi END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), filled AS (
+        SELECT user_id, vc,
+               CASE WHEN vc IS NOT NULL THEN vc
+                    ELSE CAST(FLOOR(
+                        CAST(pv AS DOUBLE)
+                        + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                          * (CAST(hi AS DOUBLE) - CAST(ph AS DOUBLE))
+                          / (CAST(nh AS DOUBLE) - CAST(ph AS DOUBLE))
+                        + 0.5) AS BIGINT)
+               END AS fc
+        FROM ctx
+    )
+    SELECT user_id,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN vc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+           CAST(SUM(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_filled,
+           ROUND(CAST(SUM(fc) AS DOUBLE) / 100.0, 2) AS total_value
+    FROM filled GROUP BY user_id
+    """,
+)
+def ts2_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream to an hourly grid over their
+    observed span and LINEARLY INTERPOLATE missing hours, reporting
+    per-user grid size, observed/filled counts, and the exact total.
+
+    Plan: one aggregate to hourly cents (exact integers), a per-user
+    span aggregate whose `sequence()` explode builds the grid
+    driver-free, a co-partitioned left join back to the hourly
+    values, and two frame-complementary windows (last/first with
+    ignorenulls) that provide the bracketing observations for each
+    gap — all on the single user_id exchange. Interior gaps always
+    have both brackets because the grid spans exactly [min, max]
+    observed hours. The interpolated value is computed in an
+    expression written identically in both engines (same IEEE op
+    order), then fixed-pointed per row with floor(x+0.5) so the
+    per-user SUM is an order-independent integer."""
+    ev = load_table(spark, sf_dir, "events")
+    known = (ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+             .alias("vc")))
+    span = known.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+        .alias("h"))
+    joined = (grid.join(known, ["user_id", "h"], "left")
+              .select("user_id", "h",
+                      (F.unix_timestamp("h") / 3600).cast("long")
+                      .alias("hi"),
+                      "vc"))
+    w_prev = (Window.partitionBy("user_id").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy("user_id").orderBy("h")
+              .rowsBetween(0, Window.unboundedFollowing))
+    hi_obs = F.when(F.col("vc").isNotNull(), F.col("hi"))
+    ctx = joined.select(
+        "user_id", "vc", "hi",
+        F.last("vc", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(hi_obs, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("vc", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(hi_obs, ignorenulls=True).over(w_next).alias("nh"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    interp = (d("pv") + (d("nv") - d("pv")) * (d("hi") - d("ph"))
+              / (d("nh") - d("ph")))
+    fc = F.when(F.col("vc").isNotNull(), F.col("vc")).otherwise(
+        F.floor(interp + 0.5).cast("long"))
+    return (ctx.select("user_id", "vc", fc.alias("fc"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.sum(F.col("vc").isNotNull().cast("long"))
+                 .cast("long").alias("n_observed"),
+                 F.sum(F.col("vc").isNull().cast("long"))
+                 .cast("long").alias("n_gap_filled"),
+                 F.round(F.sum("fc").cast("double") / 100.0, 2)
+                 .alias("total_value")))
+
+
+@query(
+    "ts3_rolling_zscore",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), frames AS (
+        SELECT user_id, vc,
+               COUNT(vc) OVER w AS n,
+               SUM(vc) OVER w AS s,
+               SUM(vc * vc) OVER w AS s2
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_evaluated,
+           CAST(SUM(CASE WHEN n >= 10
+                          AND (n - 1) * (n * vc - s) * (n * vc - s)
+                              > 9 * n * (n * s2 - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM frames GROUP BY user_id
+    """,
+)
+def ts3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: for each event, compare its
+    value against the mean/stddev of the user's previous 20 events
+    (frame excludes the current row; evaluated only once 10 history
+    rows exist) and count |z| > 3 anomalies per user.
+
+    The >3-sigma test is algebraically cleared of divisions:
+    z^2 > 9 <=> (n-1)(n*v - S)^2 > 9n(n*S2 - S^2) with S, S2 exact
+    integer cents sums over the frame — no floating point anywhere,
+    so the decision is bit-identical across engines and
+    partitionings (the floating z-score would flip near the
+    boundary under different summation orders). One exchange on
+    user_id; the frame is O(20) state per row, streaming-friendly
+    (the same statistic runs under applyInPandasWithState)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vc"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    frames = v.select(
+        "user_id", "vc",
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"))
+    n, s, s2, vc = (F.col(c) for c in ("n", "s", "s2", "vc"))
+    dev = n * vc - s
+    is_anom = (n >= 10) & ((n - 1) * dev * dev > 9 * n * (n * s2 - s * s))
+    return frames.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((n >= 10).cast("long")).cast("long").alias("n_evaluated"),
+        F.sum(is_anom.cast("long")).cast("long").alias("n_anomalies"))
