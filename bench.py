@@ -60,6 +60,13 @@ HEADLINE = [
     "at1_time_decay_attribution",
     "v5_sq_topk",
     "ml3_ols_multiple",
+    # round 5: co-occurrence pair generation (self-join + pair agg),
+    # grid resample + interpolation windows, integer rolling frames,
+    # corpus-wide chunk dedup (explode + text-keyed window)
+    "cf1_item_item_cosine",
+    "ts2_hourly_gap_fill",
+    "ts3_rolling_zscore",
+    "t13_chunk_dedup",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
@@ -73,7 +80,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # real streaming execution: first run includes the one-off
         # stream-fixture split + checkpoint init; every run pays the
         # micro-batch scheduling the warm section would hide
-        "sm1_stream_daily_metrics"]
+        "sm1_stream_daily_metrics",
+        # stream-stream interval join: 4 micro-batches, two stateful
+        # sides + watermark-driven state eviction per trigger
+        "sm4_stream_stream_join"]
 
 
 def _run(q, spark, sf_dir) -> float:

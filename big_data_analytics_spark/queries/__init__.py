@@ -61,6 +61,8 @@ GRADE_HEAD = [
     "sm2_stream_sessions",
     "sm3_stream_dedup_ingest",
     "sm4_stream_stream_join",
+    "x11_grouped_streaks",
+    "x12_arrow_cents_buckets",
     # (a) never graded in any round
     "d2b_minhash_portable",
     "d5_containment_pairs",
@@ -105,12 +107,11 @@ GRADE_HEAD = [
     "gr1_part_pagerank",
     "lp1_part_communities",
     "rc1_hierarchy_rollup",
-    # (d) standing canaries (scan-agg, sessionization); the round-4
-    # rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1) moved below the
-    # fold to make room for the 9 round-5 additions — all of it
-    # re-verifies locally every pytest run
-    "a1_pricing_summary",
-    "w7_sessionize_events",
+    # (d) the round-4 rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1)
+    # and both standing canaries (a1, w7) moved below the fold to
+    # make room for the 11 round-5 additions — every displaced row is
+    # multi-round driver-green AND re-verifies locally every pytest
+    # run via tests/test_queries_vs_duckdb.py
 ]
 
 
@@ -160,6 +161,7 @@ def load_all() -> dict[str, Query]:
         timeseries2,
         stats_ext,
         text4,
+        udf_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -73,10 +73,20 @@ def test_partial_aggregation_present(spark):
 
 def test_no_python_udfs_in_hot_paths(spark):
     """Every oracle-backed query must stay JVM-side: no Python row/
-    Arrow evaluation nodes in any executed plan."""
+    Arrow evaluation nodes in any executed plan. The x11/x12 UDF-tier
+    certification queries (queries/udf_queries.py) are the sanctioned
+    exceptions — they exist precisely to grade the Arrow tiers and
+    are asserted to use them (ArrowEval/FlatMapGroupsInPandas),
+    never row-at-a-time BatchEvalPython."""
     offenders = []
     for name, q in REGISTRY.items():
         if not q.oracle:
+            continue
+        if name.startswith("x1"):
+            plan = _plan(spark, name)
+            assert "BatchEvalPython" not in plan, name
+            assert ("ArrowEvalPython" in plan
+                    or "FlatMapGroupsInPandas" in plan), name
             continue
         plan = _plan(spark, name)
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
@@ -433,3 +443,66 @@ def test_v6_pq_codebook_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mb1_pair_join_no_cartesian(spark):
+    """Association rules: the basket self-join is an equi-join on the
+    order key (quadratic only per basket), the one-row totals ride a
+    broadcast, and the pair counts partial-aggregate. No cartesian
+    product, no Python, top-k without a global sort."""
+    plan = _plan(spark, "mb1_association_rules")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cf1_pair_join_no_cartesian(spark):
+    """Item-item CF: same co-occurrence shape as mb1 — equi self-join
+    on the customer key, never a cross product; norms join the pruned
+    pair relation."""
+    plan = _plan(spark, "cf1_item_item_cosine")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ts2_grid_is_generated_not_joined(spark):
+    """Gap fill: the hour grid comes from sequence()+explode
+    (Generate) inside the plan — no driver loop, no cartesian against
+    a calendar table — and both bracketing windows share the user
+    partitioning."""
+    plan = _plan(spark, "ts2_hourly_gap_fill")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ts3_single_exchange_integer_frame(spark):
+    """Rolling z-score: one user_id exchange feeds the frame window
+    and the final per-user aggregate; the 3-sigma test stays in
+    integer arithmetic (no Python, no join)."""
+    plan = _plan(spark, "ts3_rolling_zscore")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_st5_single_pass_sufficient_stats(spark):
+    """Welch t: all six sufficient statistics in ONE aggregation over
+    one scan — no join, no window, no second pass."""
+    plan = _plan(spark, "st5_welch_t_test")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_t13_chunk_window_total_order(spark):
+    """Chunk dedup: explode is linear (Generate), the only wide
+    shuffle carries (chunk, doc_id, ci), and keep-first is a window
+    row_number — no self-join, no cartesian."""
+    plan = _plan(spark, "t13_chunk_dedup")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
