@@ -63,6 +63,7 @@ GRADE_HEAD = [
     "sm4_stream_stream_join",
     "x11_grouped_streaks",
     "x12_arrow_cents_buckets",
+    "ml4_ridge_regression",
     # (a) never graded in any round
     "d2b_minhash_portable",
     "d5_containment_pairs",
@@ -106,7 +107,8 @@ GRADE_HEAD = [
     # relation + auto-guarded operators; 18-level ancestor bound)
     "gr1_part_pagerank",
     "lp1_part_communities",
-    "rc1_hierarchy_rollup",
+    # rc1_hierarchy_rollup (r3-green; r4 change was the ancestor
+    # bound only) rotated below the fold for ml4
     # (d) the round-4 rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1)
     # and both standing canaries (a1, w7) moved below the fold to
     # make room for the 11 round-5 additions — every displaced row is

@@ -104,3 +104,112 @@ def st5_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (se1c * se1c / (F.col("n1").cast("double") - 1.0)
                    + se2c * se2c / (F.col("n2").cast("double") - 1.0)), 2)
         .alias("welch_df"))
+
+
+@query(
+    "ml4_ridge_regression",
+    oracle="""
+    WITH rows_i AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x1 AS HUGEINT)) AS s1,
+               SUM(CAST(x2 AS HUGEINT)) AS s2,
+               SUM(CAST(x1 * x1 AS HUGEINT)) AS s11,
+               SUM(CAST(x2 * x2 AS HUGEINT)) AS s22,
+               SUM(CAST(x1 * x2 AS HUGEINT)) AS s12,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x1 * y AS HUGEINT)) AS s1y,
+               SUM(CAST(x2 * y AS HUGEINT)) AS s2y
+        FROM rows_i
+    ), d AS (
+        SELECT n, CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+               CAST(s12 AS DOUBLE) AS s12d, CAST(sy AS DOUBLE) AS syd,
+               CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd
+        FROM s
+    ), m AS (
+        SELECT n, nd, s1d, s2d, syd,
+               s11d - s1d * s1d / nd + 1000.0 AS a11,
+               s22d - s2d * s2d / nd + 1000.0 AS a22,
+               s12d - s1d * s2d / nd AS a12,
+               s1yd - s1d * syd / nd AS c1,
+               s2yd - s2d * syd / nd AS c2
+        FROM d
+    ), coef AS (
+        SELECT n, nd, s1d, s2d, syd,
+               (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+               (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS b2
+        FROM m
+    )
+    SELECT n,
+           ROUND((syd - b1 * s1d - b2 * s2d) / nd / 100.0, 4) AS intercept,
+           ROUND(b1 / 100.0, 6) AS coef_quantity,
+           ROUND(b2 / 100.0, 6) AS coef_discount_pct
+    FROM coef
+    """,
+)
+def ml4_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2-penalized) regression in closed form: price ~
+    quantity + discount on CENTERED predictors with lambda = 1000
+    added to the centered Gram diagonal, intercept recovered
+    unpenalized — the textbook ridge convention. Identical
+    sufficient-stats discipline as ml3 (exact integer sums,
+    decimal(38)/HUGEINT accumulators, doubles only in the 2x2
+    Cramer solve written with the same op order in both engines);
+    with lambda -> 0 this reproduces ml3's OLS coefficients, which
+    the ml/ module's tests pin independently."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100.0 + 0.5)
+    y = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    dec = "decimal(38,0)"
+    rows_i = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    s = rows_i.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum((F.col("x1") * F.col("x1")).cast(dec)).alias("s11"),
+        F.sum((F.col("x2") * F.col("x2")).cast(dec)).alias("s22"),
+        F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("s12"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x1") * F.col("y")).cast(dec)).alias("s1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(dec)).alias("s2y"))
+    d = s.select(
+        "n", F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("s11").cast("double").alias("s11d"),
+        F.col("s22").cast("double").alias("s22d"),
+        F.col("s12").cast("double").alias("s12d"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("s1y").cast("double").alias("s1yd"),
+        F.col("s2y").cast("double").alias("s2yd"))
+    nd = F.col("nd")
+    m = d.select(
+        "n", "nd", "s1d", "s2d", "syd",
+        (F.col("s11d") - F.col("s1d") * F.col("s1d") / nd + 1000.0)
+        .alias("a11"),
+        (F.col("s22d") - F.col("s2d") * F.col("s2d") / nd + 1000.0)
+        .alias("a22"),
+        (F.col("s12d") - F.col("s1d") * F.col("s2d") / nd).alias("a12"),
+        (F.col("s1yd") - F.col("s1d") * F.col("syd") / nd).alias("c1"),
+        (F.col("s2yd") - F.col("s2d") * F.col("syd") / nd).alias("c2"))
+    det = (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+    coef = m.select(
+        "n", "nd", "s1d", "s2d", "syd",
+        ((F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12")) / det)
+        .alias("b1"),
+        ((F.col("a11") * F.col("c2") - F.col("a12") * F.col("c1")) / det)
+        .alias("b2"))
+    return coef.select(
+        "n",
+        F.round((F.col("syd") - F.col("b1") * F.col("s1d")
+                 - F.col("b2") * F.col("s2d")) / F.col("nd") / 100.0, 4)
+        .alias("intercept"),
+        F.round(F.col("b1") / 100.0, 6).alias("coef_quantity"),
+        F.round(F.col("b2") / 100.0, 6).alias("coef_discount_pct"))
