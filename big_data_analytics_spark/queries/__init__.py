@@ -64,6 +64,7 @@ GRADE_HEAD = [
     "x11_grouped_streaks",
     "x12_arrow_cents_buckets",
     "ml4_ridge_regression",
+    "mm2_frame_samples",
     # (a) never graded in any round
     "d2b_minhash_portable",
     "d5_containment_pairs",
@@ -105,10 +106,11 @@ GRADE_HEAD = [
     "dq3_contamination_check",
     # (c) implementation changed this round (shared cached edge
     # relation + auto-guarded operators; 18-level ancestor bound)
-    "gr1_part_pagerank",
+    # gr1_part_pagerank (r3-green) rotated below the fold for mm2 —
+    # its r4 impl change (shared cached edge build) is exercised by
+    # gr2/gr3/lp1 above; rc1 (r3-green; r4 change was the ancestor
+    # bound only) rotated for ml4
     "lp1_part_communities",
-    # rc1_hierarchy_rollup (r3-green; r4 change was the ancestor
-    # bound only) rotated below the fold for ml4
     # (d) the round-4 rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1)
     # and both standing canaries (a1, w7) moved below the fold to
     # make room for the 11 round-5 additions — every displaced row is

@@ -161,3 +161,62 @@ def mm1_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_samples", "total_duration_us", "sum_amp",
     )
     return img_stats.unionByName(aud_stats)
+
+
+_N_VID = 100
+
+
+@query(
+    "mm2_frame_samples",
+    oracle=f"""
+    WITH vids AS (
+        SELECT i,
+               (500 + 137 * (i % 11)) % 300 + 30 AS n_frames
+        FROM range(0, {_N_VID}) t(i)
+    )
+    SELECT i AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((n_frames - 1) // 30 + 1 AS BIGINT) AS n_sampled,
+           CAST(30 * ((n_frames - 1) // 30) AS BIGINT)
+               AS last_sampled_idx
+    FROM vids
+    """,
+)
+def mm2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out, certified exactly: 100 synthetic
+    "videos" (opaque byte payloads of deterministic length — the
+    codec stage is the honestly-stubbed boundary, no ffmpeg in this
+    environment), frame_sample_plan explodes every-30th frame
+    indexes per video, and the per-video rollup (frame count, sampled
+    count, last sampled index) must hash-match the closed form DuckDB
+    computes from the generation formula. This pins the Spark-side
+    plumbing the prompt-level operator needs at 100 TB: metadata-only
+    fan-out (payload bytes never shuffled — one row per SAMPLED frame,
+    not per frame), partitionable downstream by (media_id, frame_idx)
+    for the real decode stage."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        frame_sample_plan,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                content = b"\x00" * (500 + 137 * (i % 11))
+                rows.append({
+                    "media_id": i, "media_type": "video",
+                    "content": content,
+                    "meta": {"source": f"src{i % 5}",
+                             "byte_size": len(content),
+                             "mime": "video/x-synthetic"},
+                })
+            yield pd.DataFrame(rows)
+
+    vids = spark.range(_N_VID).mapInPandas(gen, MEDIA_SCHEMA)
+    sampled = frame_sample_plan(vids, every_n=30)
+    return (sampled.groupBy("media_id")
+            .agg(F.max("n_frames").cast("long").alias("n_frames"),
+                 F.count(F.lit(1)).cast("long").alias("n_sampled"),
+                 F.max("frame_idx").cast("long")
+                 .alias("last_sampled_idx")))
