@@ -166,6 +166,7 @@ def load_all() -> dict[str, Query]:
         stats_ext,
         text4,
         udf_queries,
+        ml_queries,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

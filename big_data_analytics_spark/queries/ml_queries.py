@@ -1,0 +1,739 @@
+"""Driver-graded ML queries: the SURVEY §2.9 surface (M3/M5/M6/M7/
+M11/M12 — reference notebooks BasicsDecisionTree.ipynb, KNN/NB/
+clustering notebooks) re-expressed as oracle-checkable distributed
+plans. Until this wave, the ML components were validated by
+closed-form pytest parity only; these queries give each family a
+DuckDB-hash-graded driver row.
+
+Engine-portability discipline (same as st1-st5 / ml1-ml4): every
+accumulated quantity is an exact integer (micro-unit fixed point,
+BIGINT/decimal(38,0) accumulators) so partial-aggregation order can
+never change a result; doubles appear only in final per-row formulas
+written with identical operation order in both engines and rounded
+before comparison. Transcendentals (ln/exp) follow the t12 precedent
+(both engines' libm agree to well under the ROUND(. ,6) margin).
+
+Scale notes per query in each docstring; the shared principle: train
+steps are map-side-combinable aggregations over fixed small group
+counts (K x dims, labels x dims, thresholds), predict/assign steps
+are broadcast-model map-only passes — the 100 TB shape for all of
+classical ML-on-Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+#: Embedding micro-unit quantization scale (matches d2b/v5/v6 lineage:
+#: float32 -> double is exact widening, *1e6 and FLOOR are identical
+#: IEEE ops in both engines).
+_EMB_SCALE = 1_000_000.0
+_DIM = 64
+
+
+def _quantized(col: Column) -> Column:
+    """array<float> -> array<long> micro-units, exact and portable."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(_EMB_SCALE))
+        .cast("long"))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two micro-unit
+    arrays. Max per-dim diff ~2e6 squared = 4e12, x64 dims < 2^63."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+_SQ_DIST_SQL = ("list_sum(list_transform(generate_series(1, {d}), "
+                "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+# --------------------------------------------------------------------
+# ml5 — k-means (M11): K=4, 3 Lloyd iterations, deterministic seeding
+# --------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    d = _SQ_DIST_SQL.format(d=_DIM, a="v.vq", b="c.c")
+    sql = f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x * {_EMB_SCALE}) AS BIGINT)) AS vq
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cluster_id, vq AS c FROM v
+        WHERE vec_id < {_KM_K}
+    )"""
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""", a{it} AS (
+        SELECT vec_id, vq, cluster_id, d FROM (
+            SELECT v.vec_id, v.vq, c.cluster_id, {d} AS d,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d}, c.cluster_id) AS rn
+            FROM v, {prev} c) WHERE rn = 1
+    ), c{it} AS (
+        SELECT cluster_id, list(cd ORDER BY dim) AS c FROM (
+            SELECT cluster_id, i AS dim,
+                   CAST(FLOOR(CAST(SUM(vq[i]) AS DOUBLE)
+                              / COUNT(*)) AS BIGINT) AS cd
+            FROM a{it}, unnest(generate_series(1, {_DIM})) AS t(i)
+            GROUP BY cluster_id, i)
+        GROUP BY cluster_id
+    )"""
+        prev = f"c{it}"
+    last = _KM_ITERS
+    sql += f"""
+    SELECT s.cluster_id, t.i - 1 AS dim, c.c[t.i] AS c_micro,
+           s.n_members, s.ss_err
+    FROM (SELECT cluster_id, COUNT(*) AS n_members,
+                 CAST(SUM(d) AS BIGINT) AS ss_err
+          FROM a{last} GROUP BY cluster_id) s
+    JOIN c{last} c USING (cluster_id),
+         unnest(generate_series(1, {_DIM})) AS t(i)
+    ORDER BY cluster_id, dim
+    """
+    return sql
+
+
+@query("ml5_kmeans", oracle=_kmeans_oracle())
+def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) on the 64-d embedding corpus:
+    K={K} centroids seeded from the K lowest vec_ids, {I} exact
+    iterations, emitting the final centroids (exploded to one row per
+    (cluster, dim)) with member counts and within-cluster squared
+    error. Mirrors the reference's clustering notebook surface
+    (SURVEY §2.9 M11) with a fully deterministic, oracle-checkable
+    variant: vectors live on an integer micro-unit grid, distances
+    are exact integer sums, and centroid updates floor-divide exact
+    integer sums — so assignment ties and all arithmetic are
+    engine-portable.
+
+    Plan shape per iteration: ASSIGN is a map-only pass (the K
+    centroids collapse to a single-row array that is broadcast-cross-
+    joined; argmin is a per-row fold — no shuffle, no window);
+    UPDATE is posexplode -> groupBy(cluster, dim) partial-aggregated
+    sum with K*{D} groups. At 100 TB that is the canonical k-means||
+    shape: per-iteration cost = one scan + one tiny mergeable agg;
+    centroid state is O(K*{D}) and never leaves the plan. (At BIGINT
+    corpus scale the per-(cluster,dim) sums would move to
+    decimal(38,0) accumulators — at the tested scales the long sum
+    is exact by a wide margin.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", _quantized(F.col("embedding")).alias("vq"))
+    cents = (v.filter(F.col("vec_id") < _KM_K)
+             .select(F.col("vec_id").alias("cluster_id"),
+                     F.col("vq").alias("c")))
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        cent_row = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cluster_id", "c")))
+            .alias("cents"))
+        init = F.struct(
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("d"))
+
+        def _better(acc, ct):
+            d = _sq_dist(F.col("vq"), ct["c"])
+            take = acc["cid"].isNull() | (d < acc["d"])
+            return F.when(take, F.struct(
+                ct["cluster_id"].alias("cid"), d.alias("d"))
+            ).otherwise(acc)
+
+        assigned = (
+            v.crossJoin(F.broadcast(cent_row))
+            .select("vec_id", "vq",
+                    F.aggregate(F.col("cents"), init, _better)
+                    .alias("best"))
+            .select("vec_id", "vq", F.col("best.cid").alias("cluster_id"),
+                    F.col("best.d").alias("d")))
+        cents = (
+            assigned.select("cluster_id",
+                            F.posexplode("vq").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.floor(F.sum("x").cast("double") / F.count("*"))
+                 .cast("long").alias("cd"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cd")))
+                 .alias("s"))
+            .select("cluster_id",
+                    F.transform("s", lambda t: t["cd"]).alias("c")))
+
+    stats = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("d").alias("ss_err"))
+    return (
+        stats.join(cents, "cluster_id")
+        .select("cluster_id", F.posexplode("c").alias("dim", "c_micro"),
+                "n_members", "ss_err")
+        .select("cluster_id", "dim", "c_micro", "n_members", "ss_err")
+        .orderBy("cluster_id", "dim"))
+
+
+ml5_kmeans.__doc__ = ml5_kmeans.__doc__.format(
+    K=_KM_K, I=_KM_ITERS, D=_DIM)
+
+
+# --------------------------------------------------------------------
+# ml6 — kNN classification (M5): exact integer distances, majority vote
+# --------------------------------------------------------------------
+
+_KNN_Q = 25   # vec_id < Q are the query points
+_KNN_K = 10
+
+_KNN_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x * {_EMB_SCALE}) AS BIGINT)) AS vq
+        FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, vq AS qv FROM v
+             WHERE vec_id < {_KNN_Q}),
+    c AS (SELECT vec_id, label, vq FROM v WHERE vec_id >= {_KNN_Q}),
+    nn AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQ_DIST_SQL.format(d=_DIM, a='q.qv',
+                                                     b='c.vq')},
+                                c.vec_id) AS rn
+            FROM q, c) WHERE rn <= {_KNN_K}
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS votes
+        FROM nn GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY votes DESC, label) AS rn
+        FROM votes) WHERE rn = 1
+    ORDER BY query_id
+"""
+
+
+@query("ml6_knn_classify", oracle=_KNN_ORACLE)
+def ml6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification (SURVEY §2.9 M5, reference
+    KNN notebook): each of the {Q} query vectors is labeled by the
+    majority label of its {K} nearest corpus vectors under exact
+    squared L2 on the micro-unit integer grid (ties: lower vec_id,
+    then lower label — deterministic in both engines).
+
+    Plan: the {Q} queries broadcast against the corpus scan; per-row
+    integer distance fold; WindowGroupLimit keeps the per-query top
+    {K} without a global sort; the vote is a {Q}x|labels| mergeable
+    count. At 100 TB the corpus side stays partition-parallel with no
+    shuffle of the corpus itself — the same v1_cosine_topk shape, so
+    the brute-force cost model (and the v3/v5/v6 ANN escape hatches)
+    carry over unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label",
+                   _quantized(F.col("embedding")).alias("vq"))
+    q = (v.filter(F.col("vec_id") < _KNN_Q)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("vq").alias("qv")))
+    c = v.filter(F.col("vec_id") >= _KNN_Q)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "label", "vec_id",
+        _sq_dist(F.col("qv"), F.col("vq")).alias("d"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    nn = (scored.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= _KNN_K))
+    votes = nn.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label"))
+    return (votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "votes")
+            .orderBy("query_id"))
+
+
+ml6_knn_classify.__doc__ = ml6_knn_classify.__doc__.format(
+    Q=_KNN_Q, K=_KNN_K)
+
+
+# --------------------------------------------------------------------
+# ml7 — Gaussian naive Bayes (M6): exact moment training, log-density
+# argmax prediction
+# --------------------------------------------------------------------
+
+_NB_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x * {_EMB_SCALE}) AS BIGINT)) AS vq
+        FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, vq FROM v
+             WHERE vec_id < {_KNN_Q}),
+    c AS (SELECT label, vq FROM v WHERE vec_id >= {_KNN_Q}),
+    st AS (
+        SELECT label, i AS dim, COUNT(*) AS n,
+               CAST(SUM(vq[i]) AS BIGINT) AS s,
+               CAST(SUM(vq[i] * vq[i]) AS BIGINT) AS qq
+        FROM c, unnest(generate_series(1, {_DIM})) AS t(i)
+        GROUP BY label, i
+    ), packed AS (
+        SELECT label, MAX(n) AS n,
+               list(CAST(s AS DOUBLE) / n ORDER BY dim) AS mus,
+               list((CAST(qq AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                    / (n - 1) ORDER BY dim) AS vrs
+        FROM st GROUP BY label
+    ), tot AS (SELECT SUM(n) AS total FROM (
+        SELECT MAX(n) AS n FROM st GROUP BY label)),
+    scored AS (
+        SELECT q.query_id, p.label,
+               ROUND(ln(CAST(p.n AS DOUBLE) / total)
+                     + list_sum(list_transform(
+                           generate_series(1, {_DIM}), i ->
+                           -0.5 * ln(2.0 * pi()
+                                     * (vrs[i] / {_EMB_SCALE}
+                                        / {_EMB_SCALE}))
+                           - (CAST(q.vq[i] AS DOUBLE) / {_EMB_SCALE}
+                              - mus[i] / {_EMB_SCALE})
+                             * (CAST(q.vq[i] AS DOUBLE) / {_EMB_SCALE}
+                                - mus[i] / {_EMB_SCALE})
+                             / (2.0 * (vrs[i] / {_EMB_SCALE}
+                                       / {_EMB_SCALE})))),
+                     6) AS score
+        FROM q, packed p, tot
+    )
+    SELECT query_id, label AS predicted_label, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, label) AS rn
+        FROM scored) WHERE rn = 1
+    ORDER BY query_id
+"""
+
+
+@query("ml7_gaussian_nb", oracle=_NB_ORACLE)
+def ml7_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian naive Bayes (SURVEY §2.9 M6, reference NB notebook):
+    train per-(label, dim) means/variances from exact integer moment
+    sums over the corpus (vec_id >= {Q}), then label each query
+    vector by the max posterior log-density (class prior + sum of
+    per-dim Gaussian log-likelihoods). Scores are rounded to 6
+    decimals BEFORE the argmax in both engines, so the comparison —
+    and any tie — is on identical values (ties break to the lower
+    label).
+
+    Training is one posexplode + groupBy(label, dim) mergeable agg
+    (|labels| x {D} groups) — a single map-side-combinable pass at
+    any scale. The fitted model is |labels| rows of two {D}-arrays,
+    broadcast to a map-only scoring pass over the queries: model
+    state never exceeds O(labels x dims) regardless of corpus size,
+    which is the 100 TB shape for all sufficient-statistics models
+    (same anatomy as ml1/ml3/ml4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label",
+                   _quantized(F.col("embedding")).alias("vq"))
+    q = (v.filter(F.col("vec_id") < _KNN_Q)
+         .select(F.col("vec_id").alias("query_id"), "vq"))
+    c = v.filter(F.col("vec_id") >= _KNN_Q)
+    st = (c.select("label", F.posexplode("vq").alias("dim0", "x"))
+          .groupBy("label", "dim0")
+          .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+               F.sum(F.col("x") * F.col("x")).alias("qq")))
+    nd = F.col("n").cast("double")
+    packed = (st.select(
+        "label", "dim0", "n",
+        (F.col("s").cast("double") / nd).alias("mu"),
+        ((F.col("qq").cast("double")
+          - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+         / (nd - F.lit(1).cast("double"))).alias("vr"))
+        .groupBy("label")
+        .agg(F.max("n").alias("n"),
+             F.array_sort(F.collect_list(F.struct("dim0", "mu", "vr")))
+             .alias("sv"))
+        .select("label", "n",
+                F.transform("sv", lambda t: t["mu"]).alias("mus"),
+                F.transform("sv", lambda t: t["vr"]).alias("vrs")))
+    tot = packed.agg(F.sum("n").alias("total"))
+
+    two_pi = 2.0 * 3.141592653589793
+    sc = F.lit(_EMB_SCALE)
+
+    def _term(acc, i):
+        xd = F.element_at(F.col("vq"), i).cast("double") / sc
+        mu = F.element_at(F.col("mus"), i) / sc
+        va = F.element_at(F.col("vrs"), i) / sc / sc
+        return (acc - 0.5 * F.log(F.lit(two_pi) * va)
+                - (xd - mu) * (xd - mu) / (2.0 * va))
+
+    scored = (
+        q.crossJoin(F.broadcast(packed)).crossJoin(F.broadcast(tot))
+        .select(
+            "query_id", "label",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("total"))
+                + F.aggregate(F.sequence(F.lit(1), F.lit(_DIM)),
+                              F.lit(0.0), _term), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("label"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("label").alias("predicted_label"),
+                    "score")
+            .orderBy("query_id"))
+
+
+ml7_gaussian_nb.__doc__ = ml7_gaussian_nb.__doc__.format(
+    Q=_KNN_Q, D=_DIM)
+
+
+# --------------------------------------------------------------------
+# ml8 — decision stump (M7): exact-count Gini best split per feature
+# --------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+    WITH f AS (
+        SELECT 'quantity' AS feature, CAST(l_quantity AS BIGINT) AS val,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_cents',
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        FROM lineitem
+    ), g AS (
+        SELECT feature, val, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM f GROUP BY feature, val
+    ), cum AS (
+        SELECT feature, val,
+               CAST(SUM(n) OVER w AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER w AS BIGINT) AS posl,
+               CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+               CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT)
+                   AS post,
+               MAX(val) OVER (PARTITION BY feature) AS vmax
+        FROM g
+        WINDOW w AS (PARTITION BY feature ORDER BY val
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+        SELECT feature, val AS threshold, nl AS n_left,
+               nt - nl AS n_right,
+               ROUND((CAST(nl AS DOUBLE)
+                      * (1.0 - (CAST(posl AS DOUBLE) / nl)
+                              * (CAST(posl AS DOUBLE) / nl)
+                            - (CAST(nl - posl AS DOUBLE) / nl)
+                              * (CAST(nl - posl AS DOUBLE) / nl))
+                      + CAST(nt - nl AS DOUBLE)
+                      * (1.0 - (CAST(post - posl AS DOUBLE) / (nt - nl))
+                              * (CAST(post - posl AS DOUBLE) / (nt - nl))
+                            - (CAST((nt - nl) - (post - posl) AS DOUBLE)
+                               / (nt - nl))
+                              * (CAST((nt - nl) - (post - posl) AS DOUBLE)
+                                 / (nt - nl))))
+                     / CAST(nt AS DOUBLE), 6) AS gini
+        FROM cum WHERE val < vmax
+    )
+    SELECT feature, threshold, gini, n_left, n_right FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                      ORDER BY gini, threshold) AS rn
+        FROM scored) WHERE rn = 1
+    ORDER BY feature
+"""
+
+
+@query("ml8_decision_stump", oracle=_STUMP_ORACLE)
+def ml8_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision-tree split search (SURVEY §2.9 M7, reference
+    BasicsDecisionTree.ipynb): for each candidate feature (integer
+    quantity, discount cents) find the threshold minimizing weighted
+    Gini impurity of the split x <= t predicting returnflag == 'R'.
+    All class counts are exact integers; the Gini formula runs on
+    identical doubles and is rounded before the argmin (ties: lower
+    threshold).
+
+    This is the inner loop of distributed tree building (MLlib does
+    the same): one groupBy(feature, value) histogram pass — mergeable,
+    map-side combined, |features| x |distinct values| groups — then a
+    window cumulative sum over the tiny histogram relation. The scan
+    cost is ONE pass over the fact table regardless of how many
+    thresholds are evaluated; at 100 TB the histogram (~60 rows here)
+    is the only shuffled state. Extending to depth-d trees repeats
+    the pass per level with a node-id column (ml/pruning.py holds the
+    exact cost-complexity machinery)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_returnflag")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    f = li.select(F.explode(F.array(
+        F.struct(F.lit("quantity").alias("feature"),
+                 F.col("l_quantity").cast("long").alias("val")),
+        F.struct(F.lit("discount_cents").alias("feature"),
+                 F.floor(F.col("l_discount") * 100.0 + 0.5)
+                 .cast("long").alias("val")),
+    )).alias("fv"), y.alias("y")).select("fv.feature", "fv.val", "y")
+    g = f.groupBy("feature", "val").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos"))
+    wcum = (Window.partitionBy("feature").orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("feature")
+    cum = g.select(
+        "feature", "val",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("pos").over(wcum).alias("posl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("pos").over(wtot).alias("post"),
+        F.max("val").over(wtot).alias("vmax"))
+
+    def _gini(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        np_ = (n - pos).cast("double") / n.cast("double")
+        return 1.0 - p * p - np_ * np_
+
+    nl, posl = F.col("nl"), F.col("posl")
+    nr, posr = F.col("nt") - F.col("nl"), F.col("post") - F.col("posl")
+    scored = (cum.filter(F.col("val") < F.col("vmax"))
+              .select("feature", F.col("val").alias("threshold"),
+                      nl.alias("n_left"), nr.alias("n_right"),
+                      F.round((nl.cast("double") * _gini(posl, nl)
+                               + nr.cast("double") * _gini(posr, nr))
+                              / F.col("nt").cast("double"), 6)
+                      .alias("gini")))
+    w = Window.partitionBy("feature").orderBy("gini", "threshold")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("feature", "threshold", "gini", "n_left", "n_right")
+            .orderBy("feature"))
+
+
+# --------------------------------------------------------------------
+# ml9 — logistic regression via quantized gradient descent (M3)
+# --------------------------------------------------------------------
+
+_LR_ITERS = 3
+_LR_RATE = 1.0
+_GRAD_SCALE = 1_000_000.0
+
+
+def _logreg_oracle() -> str:
+    sql = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+               l_discount * 10.0 AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+    ), n AS (SELECT COUNT(*) AS n FROM r),
+    b0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    prev = "b0"
+    for it in range(1, _LR_ITERS + 1):
+        sql += f""",
+    g{it} AS (
+        SELECT CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-(b.b0 + b.b1 * r.x1
+                                                       + b.b2 * r.x2)))
+                                    - r.y) * {_GRAD_SCALE})
+                             AS BIGINT)) AS BIGINT) AS g0,
+               CAST(SUM(CAST(FLOOR(((1.0 / (1.0 + exp(-(b.b0 + b.b1 * r.x1
+                                                        + b.b2 * r.x2)))
+                                     - r.y) * r.x1) * {_GRAD_SCALE})
+                             AS BIGINT)) AS BIGINT) AS g1,
+               CAST(SUM(CAST(FLOOR(((1.0 / (1.0 + exp(-(b.b0 + b.b1 * r.x1
+                                                        + b.b2 * r.x2)))
+                                     - r.y) * r.x2) * {_GRAD_SCALE})
+                             AS BIGINT)) AS BIGINT) AS g2
+        FROM r, {prev} b
+    ), b{it} AS (
+        SELECT b.b0 - {_LR_RATE} * (CAST(g.g0 AS DOUBLE)
+                                    / {_GRAD_SCALE}) / n.n AS b0,
+               b.b1 - {_LR_RATE} * (CAST(g.g1 AS DOUBLE)
+                                    / {_GRAD_SCALE}) / n.n AS b1,
+               b.b2 - {_LR_RATE} * (CAST(g.g2 AS DOUBLE)
+                                    / {_GRAD_SCALE}) / n.n AS b2
+        FROM {prev} b, g{it} g, n
+    )"""
+        prev = f"b{it}"
+    sql += f"""
+    SELECT ROUND(b.b0, 6) AS beta0, ROUND(b.b1, 6) AS beta1,
+           ROUND(b.b2, 6) AS beta2, n.n AS n_rows,
+           CAST((SELECT SUM(CASE WHEN (b.b0 + b.b1 * r.x1 + b.b2 * r.x2
+                                       >= 0.0) = (r.y = 1.0)
+                                 THEN 1 ELSE 0 END) FROM r) AS BIGINT)
+               AS n_correct
+    FROM {prev} b, n
+    """
+    return sql
+
+
+@query("ml9_logistic_gd", oracle=_logreg_oracle())
+def ml9_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by full-batch gradient descent (SURVEY
+    §2.9 M3, reference logistic notebook): predict returnflag == 'R'
+    from scaled quantity and discount, {I} iterations at rate {LR},
+    emitting the coefficients and the training-set decision accuracy
+    numerator. The distributed-SGD portability problem — summing
+    60k+ per-row double gradients gives order-dependent last bits —
+    is solved the integer-PageRank way: each row's gradient
+    contribution is floor-quantized to 1e-6 grid units and summed
+    EXACTLY as integers, so the coefficient trajectory is identical
+    in any engine and under any partitioning.
+
+    Per iteration: one scan + a 3-value mergeable aggregate (the
+    model broadcast back as a single-row cross join). At 100 TB this
+    is textbook distributed full-batch GD — per-iteration cost is
+    one map pass, model state is O(features), and nothing ever
+    shuffles but three partial sums per task."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        .alias("y"))
+    n = li.agg(F.count("*").alias("n"))
+    b = n.select(F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"),
+                 F.lit(0.0).alias("b2"))
+    gs = F.lit(_GRAD_SCALE)
+    for _ in range(_LR_ITERS):
+        z = F.col("b0") + F.col("b1") * F.col("x1") \
+            + F.col("b2") * F.col("x2")
+        resid = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        g = (li.crossJoin(F.broadcast(b))
+             .agg(F.sum(F.floor(resid * gs).cast("long")).alias("g0"),
+                  F.sum(F.floor((resid * F.col("x1")) * gs)
+                        .cast("long")).alias("g1"),
+                  F.sum(F.floor((resid * F.col("x2")) * gs)
+                        .cast("long")).alias("g2")))
+        b = (b.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(n))
+             .select(
+                 (F.col("b0") - _LR_RATE * (F.col("g0").cast("double")
+                                            / gs) / F.col("n"))
+                 .alias("b0"),
+                 (F.col("b1") - _LR_RATE * (F.col("g1").cast("double")
+                                            / gs) / F.col("n"))
+                 .alias("b1"),
+                 (F.col("b2") - _LR_RATE * (F.col("g2").cast("double")
+                                            / gs) / F.col("n"))
+                 .alias("b2")))
+    zf = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+    acc = (li.crossJoin(F.broadcast(b))
+           .agg(F.sum(F.when((zf >= 0.0) == (F.col("y") == 1.0), 1)
+                      .otherwise(0)).alias("n_correct")))
+    return (b.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(acc))
+            .select(F.round("b0", 6).alias("beta0"),
+                    F.round("b1", 6).alias("beta1"),
+                    F.round("b2", 6).alias("beta2"),
+                    F.col("n").alias("n_rows"),
+                    F.col("n_correct")))
+
+
+ml9_logistic_gd.__doc__ = ml9_logistic_gd.__doc__.format(
+    I=_LR_ITERS, LR=_LR_RATE)
+
+
+# --------------------------------------------------------------------
+# ml10 — PCA on two features: closed-form 2x2 eigendecomposition (M12)
+# --------------------------------------------------------------------
+
+_PCA_ORACLE = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12
+        FROM r
+    ), cov AS (
+        SELECT n,
+               (CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) / n) / (n - 1) AS a,
+               (CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                * CAST(s2 AS DOUBLE) / n) / (n - 1) AS b,
+               (CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                * CAST(s2 AS DOUBLE) / n) / (n - 1) AS c
+        FROM s
+    ), eig AS (
+        SELECT n, a, b, c,
+               (a + c) / 2.0 + sqrt((a - c) / 2.0 * ((a - c) / 2.0)
+                                    + b * b) AS l1,
+               (a + c) / 2.0 - sqrt((a - c) / 2.0 * ((a - c) / 2.0)
+                                    + b * b) AS l2
+        FROM cov
+    )
+    SELECT n AS n_rows, ROUND(a, 6) AS var_x1, ROUND(c, 6) AS var_x2,
+           ROUND(b, 6) AS cov_x1x2,
+           ROUND(l1, 6) AS lambda1, ROUND(l2, 6) AS lambda2,
+           ROUND(l1 / (l1 + l2), 6) AS explained_ratio,
+           ROUND(CASE WHEN b < 0.0 THEN -b ELSE b END
+                 / sqrt(b * b + (l1 - a) * (l1 - a)), 6) AS pc1_x,
+           ROUND(CASE WHEN b < 0.0 THEN -(l1 - a) ELSE (l1 - a) END
+                 / sqrt(b * b + (l1 - a) * (l1 - a)), 6) AS pc1_y
+    FROM eig
+"""
+
+
+@query("ml10_pca_2feature", oracle=_PCA_ORACLE)
+def ml10_pca_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over (quantity, discount-cents) via the closed-form 2x2
+    eigendecomposition (SURVEY §2.9 M12, reference PCA notebook):
+    exact integer moment sums -> sample covariance matrix -> the
+    quadratic-formula eigenvalues, explained-variance ratio, and the
+    first principal component (sign normalized so pc1_x >= 0). Every
+    input to the double-precision formulas is an exact BIGINT, and
+    the formulas are written with identical operation order in both
+    engines — the same discipline that makes ml1/ml3/ml4 hash-match.
+
+    One scan, one 6-value mergeable aggregate, one row of final
+    arithmetic: the canonical sufficient-statistics PCA that MLlib's
+    RowMatrix.computeCovariance runs at any scale (the general d-dim
+    eigensolve lives in ml/cluster.py via numpy on the d x d driver
+    matrix — d x d is driver-sized even at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"))
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("q11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("q22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("q12"))
+    nd = F.col("n").cast("double")
+    a = ((F.col("q11").cast("double")
+          - F.col("s1").cast("double") * F.col("s1").cast("double") / nd)
+         / (nd - 1))
+    bb = ((F.col("q12").cast("double")
+           - F.col("s1").cast("double") * F.col("s2").cast("double") / nd)
+          / (nd - 1))
+    c = ((F.col("q22").cast("double")
+          - F.col("s2").cast("double") * F.col("s2").cast("double") / nd)
+         / (nd - 1))
+    cov = s.select("n", a.alias("a"), bb.alias("b"), c.alias("c"))
+    half = (F.col("a") + F.col("c")) / 2.0
+    rad = F.sqrt((F.col("a") - F.col("c")) / 2.0
+                 * ((F.col("a") - F.col("c")) / 2.0)
+                 + F.col("b") * F.col("b"))
+    eig = cov.select("n", "a", "b", "c",
+                     (half + rad).alias("l1"), (half - rad).alias("l2"))
+    bneg = F.col("b") < 0.0
+    vx = F.when(bneg, -F.col("b")).otherwise(F.col("b"))
+    vy = F.when(bneg, -(F.col("l1") - F.col("a"))) \
+        .otherwise(F.col("l1") - F.col("a"))
+    norm = F.sqrt(F.col("b") * F.col("b")
+                  + (F.col("l1") - F.col("a"))
+                  * (F.col("l1") - F.col("a")))
+    return eig.select(
+        F.col("n").alias("n_rows"),
+        F.round("a", 6).alias("var_x1"),
+        F.round("c", 6).alias("var_x2"),
+        F.round("b", 6).alias("cov_x1x2"),
+        F.round("l1", 6).alias("lambda1"),
+        F.round("l2", 6).alias("lambda2"),
+        F.round(F.col("l1") / (F.col("l1") + F.col("l2")), 6)
+        .alias("explained_ratio"),
+        F.round(vx / norm, 6).alias("pc1_x"),
+        F.round(vy / norm, 6).alias("pc1_y"))

@@ -506,3 +506,66 @@ def test_t13_chunk_window_total_order(spark):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml5_kmeans_broadcast_centroids_no_python(spark):
+    """k-means: every ASSIGN step must broadcast the single-row
+    centroid array (BroadcastNestedLoopJoin per iteration) — a
+    shuffled join of the corpus against centroids would shuffle the
+    fact side per iteration. Argmin is a per-row fold: no Python, no
+    sort-merge join anywhere."""
+    plan = _plan(spark, "ml5_kmeans")
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml6_knn_broadcast_queries_group_limit(spark):
+    """kNN: the query side broadcasts against the corpus scan and the
+    per-query top-k must be a WindowGroupLimit (rank pushed down), not
+    a global sort."""
+    plan = _plan(spark, "ml6_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml7_nb_broadcast_model(spark):
+    """Gaussian NB: the fitted model (|labels| rows of arrays) must
+    broadcast to the scoring pass; training is mergeable aggregation —
+    no sort-merge join, no Python."""
+    plan = _plan(spark, "ml7_gaussian_nb")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml8_stump_single_scan_histogram(spark):
+    """Decision stump: both features' histograms come from ONE scan of
+    lineitem (in-plan explode, not a self-union of two scans), and the
+    split search runs over the tiny histogram relation."""
+    plan = _plan(spark, "ml8_decision_stump")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml9_logreg_broadcast_model_no_shuffle_join(spark):
+    """Logistic GD: each iteration is scan + 3-value aggregate with
+    the single-row model broadcast back — no shuffled joins, no
+    Python, and no hash-partition exchange at all (scalar aggregates
+    only)."""
+    plan = _plan(spark, "ml9_logistic_gd")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_ml10_pca_single_pass(spark):
+    """2-feature PCA: one scan, one partial+final 6-stat aggregate,
+    closed-form tail — no joins, no Python."""
+    plan = _plan(spark, "ml10_pca_2feature")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
