@@ -67,6 +67,12 @@ HEADLINE = [
     "ts2_hourly_gap_fill",
     "ts3_rolling_zscore",
     "t13_chunk_dedup",
+    # round 6: iterative broadcast-model ML (Lloyd assign/update),
+    # inverted-index retrieval scoring, cluster-partitioned pairwise
+    # semantic dedup
+    "ml5_kmeans",
+    "ir1_bm25_topk",
+    "d8_semantic_dedup",
 ]
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
@@ -83,7 +89,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         "sm1_stream_daily_metrics",
         # stream-stream interval join: 4 micro-batches, two stateful
         # sides + watermark-driven state eviction per trigger
-        "sm4_stream_stream_join"]
+        "sm4_stream_stream_join",
+        # 3 Lloyd iterations of 64-wide integer folds: first run pays
+        # the codegen compile of the unrolled distance expressions
+        "ml5_kmeans"]
 
 
 def _run(q, spark, sf_dir) -> float:

@@ -167,6 +167,8 @@ def load_all() -> dict[str, Query]:
         text4,
         udf_queries,
         ml_queries,
+        retrieval,
+        semantic_dedup,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

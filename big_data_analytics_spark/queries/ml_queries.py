@@ -62,7 +62,13 @@ _KM_K = 4
 _KM_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
+def lloyd_cte_sql(k: int, iters: int) -> str:
+    """DuckDB CTE prefix for `iters` exact Lloyd iterations over the
+    micro-unit-quantized embeddings: defines relations ``v`` (vec_id,
+    vq), ``a{iters}`` (final assignment with distance ``d``) and
+    ``c{iters}`` (final centroids). Shared by ml5_kmeans and
+    d8_semantic_dedup so both oracles state the identical clustering
+    semantics."""
     d = _SQ_DIST_SQL.format(d=_DIM, a="v.vq", b="c.c")
     sql = f"""
     WITH v AS (
@@ -72,10 +78,10 @@ def _kmeans_oracle() -> str:
         FROM embeddings
     ), c0 AS (
         SELECT vec_id AS cluster_id, vq AS c FROM v
-        WHERE vec_id < {_KM_K}
+        WHERE vec_id < {k}
     )"""
     prev = "c0"
-    for it in range(1, _KM_ITERS + 1):
+    for it in range(1, iters + 1):
         sql += f""", a{it} AS (
         SELECT vec_id, vq, cluster_id, d FROM (
             SELECT v.vec_id, v.vq, c.cluster_id, {d} AS d,
@@ -92,7 +98,12 @@ def _kmeans_oracle() -> str:
         GROUP BY cluster_id
     )"""
         prev = f"c{it}"
+    return sql
+
+
+def _kmeans_oracle() -> str:
     last = _KM_ITERS
+    sql = lloyd_cte_sql(_KM_K, _KM_ITERS)
     sql += f"""
     SELECT s.cluster_id, t.i - 1 AS dim, c.c[t.i] AS c_micro,
            s.n_members, s.ss_err
@@ -106,37 +117,21 @@ def _kmeans_oracle() -> str:
     return sql
 
 
-@query("ml5_kmeans", oracle=_kmeans_oracle())
-def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (Lloyd) on the 64-d embedding corpus:
-    K={K} centroids seeded from the K lowest vec_ids, {I} exact
-    iterations, emitting the final centroids (exploded to one row per
-    (cluster, dim)) with member counts and within-cluster squared
-    error. Mirrors the reference's clustering notebook surface
-    (SURVEY §2.9 M11) with a fully deterministic, oracle-checkable
-    variant: vectors live on an integer micro-unit grid, distances
-    are exact integer sums, and centroid updates floor-divide exact
-    integer sums — so assignment ties and all arithmetic are
-    engine-portable.
-
-    Plan shape per iteration: ASSIGN is a map-only pass (the K
-    centroids collapse to a single-row array that is broadcast-cross-
-    joined; argmin is a per-row fold — no shuffle, no window);
-    UPDATE is posexplode -> groupBy(cluster, dim) partial-aggregated
-    sum with K*{D} groups. At 100 TB that is the canonical k-means||
-    shape: per-iteration cost = one scan + one tiny mergeable agg;
-    centroid state is O(K*{D}) and never leaves the plan. (At BIGINT
-    corpus scale the per-(cluster,dim) sums would move to
-    decimal(38,0) accumulators — at the tested scales the long sum
-    is exact by a wide margin.)"""
+def lloyd_assign(spark: SparkSession, sf_dir: str, k: int,
+                 iters: int) -> tuple[DataFrame, DataFrame]:
+    """Spark-side twin of ``lloyd_cte_sql``: `iters` exact Lloyd
+    iterations, returning (assigned, centroids) where assigned =
+    (vec_id, vq, cluster_id, d) and centroids = (cluster_id, c).
+    ASSIGN broadcasts the K centroids as one array row (map-only,
+    per-row argmin fold); UPDATE is a K*dims-group mergeable agg."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _quantized(F.col("embedding")).alias("vq"))
-    cents = (v.filter(F.col("vec_id") < _KM_K)
+    cents = (v.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("cluster_id"),
                      F.col("vq").alias("c")))
 
     assigned = None
-    for _ in range(_KM_ITERS):
+    for _ in range(iters):
         cent_row = cents.agg(
             F.array_sort(F.collect_list(F.struct("cluster_id", "c")))
             .alias("cents"))
@@ -169,7 +164,33 @@ def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("s"))
             .select("cluster_id",
                     F.transform("s", lambda t: t["cd"]).alias("c")))
+    return assigned, cents
 
+
+@query("ml5_kmeans", oracle=_kmeans_oracle())
+def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) on the 64-d embedding corpus:
+    K={K} centroids seeded from the K lowest vec_ids, {I} exact
+    iterations, emitting the final centroids (exploded to one row per
+    (cluster, dim)) with member counts and within-cluster squared
+    error. Mirrors the reference's clustering notebook surface
+    (SURVEY §2.9 M11) with a fully deterministic, oracle-checkable
+    variant: vectors live on an integer micro-unit grid, distances
+    are exact integer sums, and centroid updates floor-divide exact
+    integer sums — so assignment ties and all arithmetic are
+    engine-portable.
+
+    Plan shape per iteration: ASSIGN is a map-only pass (the K
+    centroids collapse to a single-row array that is broadcast-cross-
+    joined; argmin is a per-row fold — no shuffle, no window);
+    UPDATE is posexplode -> groupBy(cluster, dim) partial-aggregated
+    sum with K*{D} groups. At 100 TB that is the canonical k-means||
+    shape: per-iteration cost = one scan + one tiny mergeable agg;
+    centroid state is O(K*{D}) and never leaves the plan. (At BIGINT
+    corpus scale the per-(cluster,dim) sums would move to
+    decimal(38,0) accumulators — at the tested scales the long sum
+    is exact by a wide margin.)"""
+    assigned, cents = lloyd_assign(spark, sf_dir, _KM_K, _KM_ITERS)
     stats = assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.sum("d").alias("ss_err"))
@@ -737,3 +758,351 @@ def ml10_pca_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("explained_ratio"),
         F.round(vx / norm, 6).alias("pc1_x"),
         F.round(vy / norm, 6).alias("pc1_y"))
+
+
+# --------------------------------------------------------------------
+# ml11 — linear discriminant analysis, 2 features / 2 classes (M4)
+# --------------------------------------------------------------------
+
+_LDA_ORACLE = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS n1,
+               CAST(SUM(1 - y) AS BIGINT) AS n0,
+               CAST(SUM(y * x1) AS BIGINT) AS s1p,
+               CAST(SUM(y * x2) AS BIGINT) AS s2p,
+               CAST(SUM((1 - y) * x1) AS BIGINT) AS s1n,
+               CAST(SUM((1 - y) * x2) AS BIGINT) AS s2n,
+               CAST(SUM(y * x1 * x1) AS BIGINT) AS q11p,
+               CAST(SUM(y * x2 * x2) AS BIGINT) AS q22p,
+               CAST(SUM(y * x1 * x2) AS BIGINT) AS q12p,
+               CAST(SUM((1 - y) * x1 * x1) AS BIGINT) AS q11n,
+               CAST(SUM((1 - y) * x2 * x2) AS BIGINT) AS q22n,
+               CAST(SUM((1 - y) * x1 * x2) AS BIGINT) AS q12n
+        FROM r
+    ), m AS (
+        SELECT n1, n0,
+               CAST(s1p AS DOUBLE) / n1 AS m1p,
+               CAST(s2p AS DOUBLE) / n1 AS m2p,
+               CAST(s1n AS DOUBLE) / n0 AS m1n,
+               CAST(s2n AS DOUBLE) / n0 AS m2n,
+               ((CAST(q11p AS DOUBLE) - CAST(s1p AS DOUBLE)
+                 * CAST(s1p AS DOUBLE) / n1)
+                + (CAST(q11n AS DOUBLE) - CAST(s1n AS DOUBLE)
+                   * CAST(s1n AS DOUBLE) / n0)) / (n1 + n0 - 2) AS sa,
+               ((CAST(q12p AS DOUBLE) - CAST(s1p AS DOUBLE)
+                 * CAST(s2p AS DOUBLE) / n1)
+                + (CAST(q12n AS DOUBLE) - CAST(s1n AS DOUBLE)
+                   * CAST(s2n AS DOUBLE) / n0)) / (n1 + n0 - 2) AS sb,
+               ((CAST(q22p AS DOUBLE) - CAST(s2p AS DOUBLE)
+                 * CAST(s2p AS DOUBLE) / n1)
+                + (CAST(q22n AS DOUBLE) - CAST(s2n AS DOUBLE)
+                   * CAST(s2n AS DOUBLE) / n0)) / (n1 + n0 - 2) AS sc
+        FROM s
+    ), w AS (
+        SELECT n1, n0, m1p, m2p, m1n, m2n,
+               (sc * (m1p - m1n) - sb * (m2p - m2n))
+                   / (sa * sc - sb * sb) AS w1,
+               (sa * (m2p - m2n) - sb * (m1p - m1n))
+                   / (sa * sc - sb * sb) AS w2
+        FROM m
+    ), model AS (
+        SELECT n1, n0, w1, w2,
+               w1 * ((m1p + m1n) / 2.0) + w2 * ((m2p + m2n) / 2.0)
+               - ln(CAST(n1 AS DOUBLE) / n0) AS thr
+        FROM w
+    )
+    SELECT model.n1 AS n_pos, model.n0 AS n_neg,
+           ROUND(model.w1, 6) AS w1, ROUND(model.w2, 6) AS w2,
+           ROUND(model.thr, 6) AS threshold,
+           CAST((SELECT SUM(CASE WHEN (model.w1 * r.x1 + model.w2 * r.x2
+                                       > model.thr) = (r.y = 1)
+                                 THEN 1 ELSE 0 END) FROM r) AS BIGINT)
+               AS n_correct
+    FROM model
+"""
+
+
+@query("ml11_lda_2feature", oracle=_LDA_ORACLE)
+def ml11_lda_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-class linear discriminant analysis on (quantity, discount
+    cents) predicting returnflag == 'R' (SURVEY §2.9 M4, reference
+    LDA notebook): class means and the pooled covariance come from
+    ONE pass of 12 exact integer sufficient statistics; the 2x2
+    inverse and the discriminant w = S^-1 (mu1 - mu0) are closed-form
+    doubles with identical op order; the decision threshold folds in
+    the log prior ratio. A second broadcast-model pass counts the
+    training decisions that match the labels.
+
+    Training is a single mergeable 12-stat aggregate (the LDA
+    sufficient-statistics identity — no per-class scan), scoring is
+    map-only with a single-row model: both passes keep their cost
+    linear in the scan at any scale, the same anatomy as ml1/ml3."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    yv, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    s = li.agg(
+        F.sum(yv).cast("long").alias("n1"),
+        F.sum(1 - yv).cast("long").alias("n0"),
+        F.sum(yv * x1).alias("s1p"), F.sum(yv * x2).alias("s2p"),
+        F.sum((1 - yv) * x1).alias("s1n"),
+        F.sum((1 - yv) * x2).alias("s2n"),
+        F.sum(yv * x1 * x1).alias("q11p"),
+        F.sum(yv * x2 * x2).alias("q22p"),
+        F.sum(yv * x1 * x2).alias("q12p"),
+        F.sum((1 - yv) * x1 * x1).alias("q11n"),
+        F.sum((1 - yv) * x2 * x2).alias("q22n"),
+        F.sum((1 - yv) * x1 * x2).alias("q12n"))
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+
+    def _c(q, sa, sb, na, nb=None):
+        nb = na if nb is None else nb
+        return (F.col(q).cast("double")
+                - F.col(sa).cast("double") * F.col(sb).cast("double") / na)
+
+    pooled = (n1d + n0d - 2)
+    m = s.select(
+        "n1", "n0",
+        (F.col("s1p").cast("double") / n1d).alias("m1p"),
+        (F.col("s2p").cast("double") / n1d).alias("m2p"),
+        (F.col("s1n").cast("double") / n0d).alias("m1n"),
+        (F.col("s2n").cast("double") / n0d).alias("m2n"),
+        ((_c("q11p", "s1p", "s1p", n1d) + _c("q11n", "s1n", "s1n", n0d))
+         / pooled).alias("sa"),
+        ((_c("q12p", "s1p", "s2p", n1d) + _c("q12n", "s1n", "s2n", n0d))
+         / pooled).alias("sb"),
+        ((_c("q22p", "s2p", "s2p", n1d) + _c("q22n", "s2n", "s2n", n0d))
+         / pooled).alias("sc"))
+    det = F.col("sa") * F.col("sc") - F.col("sb") * F.col("sb")
+    dm1, dm2 = F.col("m1p") - F.col("m1n"), F.col("m2p") - F.col("m2n")
+    w = m.select(
+        "n1", "n0", "m1p", "m2p", "m1n", "m2n",
+        ((F.col("sc") * dm1 - F.col("sb") * dm2) / det).alias("w1"),
+        ((F.col("sa") * dm2 - F.col("sb") * dm1) / det).alias("w2"))
+    model = w.select(
+        "n1", "n0", "w1", "w2",
+        (F.col("w1") * ((F.col("m1p") + F.col("m1n")) / 2.0)
+         + F.col("w2") * ((F.col("m2p") + F.col("m2n")) / 2.0)
+         - F.log(F.col("n1").cast("double") / F.col("n0").cast("double")))
+        .alias("thr"))
+    correct = (li.crossJoin(F.broadcast(model))
+               .agg(F.sum(F.when(
+                   (F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+                    > F.col("thr")) == (F.col("y") == 1), 1)
+                   .otherwise(0)).alias("n_correct")))
+    return (model.crossJoin(F.broadcast(correct))
+            .select(F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+                    F.round("w1", 6).alias("w1"),
+                    F.round("w2", 6).alias("w2"),
+                    F.round("thr", 6).alias("threshold"),
+                    "n_correct"))
+
+
+# --------------------------------------------------------------------
+# ml12 — linear SVM via quantized subgradient descent (M10)
+# --------------------------------------------------------------------
+
+_SVM_ITERS = 3
+_SVM_LAMBDA = 0.01
+_SVM_RATE = 0.5
+
+
+def _svm_oracle() -> str:
+    sql = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+               l_discount * 10.0 AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END AS y
+        FROM lineitem
+    ), n AS (SELECT COUNT(*) AS n FROM r),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    prev = "w0"
+    marg = "r.y * (w.w0 + w.w1 * r.x1 + w.w2 * r.x2) < 1.0"
+    for it in range(1, _SVM_ITERS + 1):
+        sql += f""",
+    g{it} AS (
+        SELECT CAST(SUM(CAST(FLOOR((CASE WHEN {marg} THEN -r.y
+                                    ELSE 0.0 END) * 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS g0,
+               CAST(SUM(CAST(FLOOR((CASE WHEN {marg} THEN -r.y * r.x1
+                                    ELSE 0.0 END) * 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS g1,
+               CAST(SUM(CAST(FLOOR((CASE WHEN {marg} THEN -r.y * r.x2
+                                    ELSE 0.0 END) * 1000000.0)
+                             AS BIGINT)) AS BIGINT) AS g2
+        FROM r, {prev} w
+    ), w{it} AS (
+        SELECT w.w0 - {_SVM_RATE} * ((CAST(g.g0 AS DOUBLE) / 1000000.0)
+                                     / n.n) AS w0,
+               w.w1 - {_SVM_RATE} * ({_SVM_LAMBDA} * w.w1
+                                     + (CAST(g.g1 AS DOUBLE) / 1000000.0)
+                                       / n.n) AS w1,
+               w.w2 - {_SVM_RATE} * ({_SVM_LAMBDA} * w.w2
+                                     + (CAST(g.g2 AS DOUBLE) / 1000000.0)
+                                       / n.n) AS w2
+        FROM {prev} w, g{it} g, n
+    )"""
+        prev = f"w{it}"
+    sql += f"""
+    SELECT ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1,
+           ROUND(w.w2, 6) AS w2, n.n AS n_rows,
+           CAST((SELECT SUM(CASE WHEN r.y * (w.w0 + w.w1 * r.x1
+                                             + w.w2 * r.x2) < 1.0
+                                 THEN 1 ELSE 0 END) FROM r) AS BIGINT)
+               AS n_margin_violations
+    FROM {prev} w, n
+    """
+    return sql
+
+
+@query("ml12_svm_subgradient", oracle=_svm_oracle())
+def ml12_svm_subgradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear soft-margin SVM by full-batch subgradient descent
+    (SURVEY §2.9 M10, reference SVM notebook): hinge loss + L2
+    (lambda={L}), {I} iterations at rate {R}, unregularized bias.
+    Same portability move as ml9: each row's subgradient contribution
+    is floor-quantized to the 1e-6 grid and summed exactly, so the
+    weight trajectory is partitioning-independent; the L2 term is
+    driver-free single-row arithmetic. Emits the weights and the
+    final margin-violation count.
+
+    Per iteration: one scan + a 3-value mergeable aggregate with the
+    single-row model broadcast back — identical 100 TB anatomy to
+    ml9 (and to Spark MLlib's own LinearSVC aggregator)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("double") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(-1.0)
+        .alias("y"))
+    n = li.agg(F.count("*").alias("n"))
+    w = n.select(F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"),
+                 F.lit(0.0).alias("w2"))
+    gs = F.lit(1_000_000.0)
+    for _ in range(_SVM_ITERS):
+        z = F.col("w0") + F.col("w1") * F.col("x1") \
+            + F.col("w2") * F.col("x2")
+        viol = F.col("y") * z < 1.0
+
+        def _g(expr):
+            return F.sum(F.floor(
+                F.when(viol, expr).otherwise(0.0) * gs).cast("long"))
+
+        g = (li.crossJoin(F.broadcast(w))
+             .agg(_g(-F.col("y")).alias("g0"),
+                  _g(-F.col("y") * F.col("x1")).alias("g1"),
+                  _g(-F.col("y") * F.col("x2")).alias("g2")))
+        nd = F.col("n").cast("double")
+        w = (w.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(n))
+             .select(
+                 (F.col("w0") - _SVM_RATE
+                  * ((F.col("g0").cast("double") / gs) / nd)).alias("w0"),
+                 (F.col("w1") - _SVM_RATE
+                  * (_SVM_LAMBDA * F.col("w1")
+                     + (F.col("g1").cast("double") / gs) / nd))
+                 .alias("w1"),
+                 (F.col("w2") - _SVM_RATE
+                  * (_SVM_LAMBDA * F.col("w2")
+                     + (F.col("g2").cast("double") / gs) / nd))
+                 .alias("w2")))
+    zf = F.col("w0") + F.col("w1") * F.col("x1") \
+        + F.col("w2") * F.col("x2")
+    viols = (li.crossJoin(F.broadcast(w))
+             .agg(F.sum(F.when(F.col("y") * zf < 1.0, 1).otherwise(0))
+                  .alias("n_margin_violations")))
+    return (w.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(viols))
+            .select(F.round("w0", 6).alias("w0"),
+                    F.round("w1", 6).alias("w1"),
+                    F.round("w2", 6).alias("w2"),
+                    F.col("n").alias("n_rows"),
+                    "n_margin_violations"))
+
+
+ml12_svm_subgradient.__doc__ = ml12_svm_subgradient.__doc__.format(
+    L=_SVM_LAMBDA, I=_SVM_ITERS, R=_SVM_RATE)
+
+
+# --------------------------------------------------------------------
+# ml13 — exact ties-corrected ROC AUC from the value histogram (M19)
+# --------------------------------------------------------------------
+
+_AUC_ORACLE = """
+    WITH r AS (
+        SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), h AS (
+        SELECT v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM r GROUP BY v
+    ), cum AS (
+        SELECT v, n, pos,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS below
+        FROM h
+    ), u AS (
+        SELECT CAST(SUM(pos * (2 * below + n + 1)) AS BIGINT)
+                   AS two_rank_sum,
+               CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(n - pos) AS BIGINT) AS n0
+        FROM cum
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND((CAST(two_rank_sum AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+                    / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
+               AS auc,
+           ROUND(2.0 * ((CAST(two_rank_sum AS DOUBLE) / 2.0
+                         - CAST(n1 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                        / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+                 - 1.0, 6) AS gini_coeff
+    FROM u
+"""
+
+
+@query("ml13_roc_auc", oracle=_AUC_ORACLE)
+def ml13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ties-corrected ROC AUC (SURVEY §2.9 M19; the rank-sum
+    identity behind evaluate.roc_auc) of discount-as-score predicting
+    returnflag == 'R': AUC = (R1 - n1(n1+1)/2) / (n1 n0) with R1 the
+    midrank sum of positives. Midranks are half-integers, so the
+    query carries 2*R1 as an exact BIGINT (pos_v * (2*below_v + n_v
+    + 1) per value) — everything up to the final division is integer
+    arithmetic.
+
+    The st3/st4 histogram-first discipline: aggregate to the
+    |distinct score| histogram BEFORE any unpartitioned window, so
+    the window input is ~11 rows regardless of fact-table size. One
+    scan, one mergeable agg, O(|values|) tail — AUC at 100 TB costs
+    the same as a count(*)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    h = li.groupBy("v").agg(F.count("*").alias("n"),
+                            F.sum("y").cast("long").alias("pos"))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "v", "n", "pos",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).cast("long")
+        .alias("below"))
+    u = cum.agg(
+        F.sum(F.col("pos") * (2 * F.col("below") + F.col("n") + 1))
+        .cast("long").alias("two_rank_sum"),
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("n0"))
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    auc = ((F.col("two_rank_sum").cast("double") / 2.0
+            - n1d * (n1d + 1.0) / 2.0) / (n1d * n0d))
+    return u.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini_coeff"))

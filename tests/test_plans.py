@@ -569,3 +569,50 @@ def test_ml10_pca_single_pass(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_ir1_bm25_postings_filter_and_topk(spark):
+    """BM25: the term filter must prune postings before any shuffle,
+    the df/stats relations broadcast, and the final cut must be
+    TakeOrderedAndProject — no global sort, no Python."""
+    plan = _plan(spark, "ir1_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_d8_semantic_dedup_no_cartesian(spark):
+    """Semantic dedup: the pair join must be an equi-join on
+    cluster_id (cluster-partitioned pairwise), never a cartesian
+    product over the corpus; no Python anywhere."""
+    plan = _plan(spark, "d8_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml11_lda_single_pass_training(spark):
+    """LDA: all 12 sufficient statistics in one scalar aggregation —
+    no per-class scans, no shuffled joins, no hash exchange."""
+    plan = _plan(spark, "ml11_lda_2feature")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml12_svm_broadcast_model(spark):
+    """SVM subgradient: iteration = scan + 3-value scalar aggregate
+    with the single-row model broadcast back; zero hash exchanges."""
+    plan = _plan(spark, "ml12_svm_subgradient")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml13_auc_histogram_before_window(spark):
+    """AUC: aggregate to the |distinct score| histogram before the
+    unpartitioned rank window — exactly one hash exchange (the
+    histogram groupBy); the window sees ~11 rows."""
+    plan = _plan(spark, "ml13_roc_auc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
