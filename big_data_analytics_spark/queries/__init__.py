@@ -169,6 +169,7 @@ def load_all() -> dict[str, Query]:
         ml_queries,
         retrieval,
         semantic_dedup,
+        ml_prep,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

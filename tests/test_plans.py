@@ -616,3 +616,43 @@ def test_ml13_auc_histogram_before_window(spark):
     plan = _plan(spark, "ml13_roc_auc")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_te1_single_stats_pass(spark):
+    """Target encoding: the groupBy(category) exchange carries every
+    encoder statistic (two plan branches share it — at most 2 hash
+    exchanges appear pre-AQE-reuse); the global prior is a broadcast
+    scalar, never a shuffled join."""
+    plan = _plan(spark, "te1_target_encoding")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fh1_no_vocabulary_state(spark):
+    """Feature hashing: no join against any vocabulary relation —
+    bucket assignment is a pure map expression; the only exchanges
+    belong to the 32-group (+ distinct-expand) aggregate."""
+    plan = _plan(spark, "fh1_feature_hashing")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml14_two_scans_broadcast_betas(spark):
+    """CV ridge: the (fold x lambda) beta table must broadcast-join
+    the eval scan (a shuffled join on the 3-value fold key would
+    shuffle the fact side); no Python anywhere."""
+    plan = _plan(spark, "ml14_cv_ridge")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml15_gbt_broadcast_splits(spark):
+    """Boosted stumps: the chosen split is a single-row broadcast
+    back into the residual update (BroadcastNestedLoopJoin);
+    histograms aggregate before any window; no Python."""
+    plan = _plan(spark, "ml15_gbt_stumps")
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
