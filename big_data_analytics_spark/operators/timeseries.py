@@ -119,3 +119,48 @@ def ema_partitioned(df: DataFrame, key: str, ts: str, value: str,
                     F.col("__local") + F.col("__carry") * F.col("__decay"))
         .drop("__range", "__local", "__decay", "__carry")
     )
+
+
+def holt_linear(df: DataFrame, key: str, ts: str, value: str,
+                alpha: float, beta: float,
+                tiebreak: str | None = None) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key, ordered
+    by (ts, tiebreak): level l_0 = x_0, trend b_0 = 0, then
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Returns one row per key: (key, final_level, final_trend, n) —
+    the state a forecaster needs (h-step forecast = level +
+    h*trend). The sequential recursion is bit-reproducible across
+    engines when the operation order is spelled identically (module
+    docstring; the ts1/EMA precedent). For skewed keys the
+    ema_partitioned range-stitching generalizes: the coupled
+    recurrence is linear, so per-range 2x2 matrix carries compose —
+    not needed at the tested key cardinalities."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError(f"bad smoothing params alpha={alpha} beta={beta}")
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    schema = T.StructType([
+        df.schema[key],
+        T.StructField("final_level", T.DoubleType()),
+        T.StructField("final_trend", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(order, kind="mergesort")
+        xs = pdf[value].tolist()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            # identical op order to the oracle's list_reduce lambda
+            new_level = alpha * x + (1.0 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1.0 - beta) * trend
+            level = new_level
+        return pd.DataFrame({key: [pdf[key].iloc[0]],
+                             "final_level": [level],
+                             "final_trend": [trend],
+                             "n": [len(xs)]})
+
+    return df.groupBy(key).applyInPandas(fn, schema)

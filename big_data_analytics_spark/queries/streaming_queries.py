@@ -309,3 +309,59 @@ def sm4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = _run_to_memory(joined, "append", "sm4_mem")
     return spark.table(qname).select(
         "view_id", "purchase_id", "user_id", "gap_us", "purchase_value")
+
+
+@query(
+    "sm5_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def sm5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining canonical
+    Structured Streaming shape after sm1-sm4 (agg / sessions / dedup /
+    stream-stream): the event stream joins the STATIC customer
+    dimension inside every micro-batch, then aggregates per market
+    segment across batches. File source with 1 file per trigger (4
+    real micro-batches of accumulated state), availableNow to
+    completion, memory sink; the finished stream must equal the plain
+    batch join+aggregate — the incrementalized-batch contract, graded
+    by hash against DuckDB.
+
+    Scale: a stream-static join re-plans the static side per
+    micro-batch — Spark broadcasts the dim when it fits (asserted in
+    tests/test_plans.py for the batch twin j1), so the streaming side
+    never shuffles; dimension updates between batches are picked up
+    on re-plan, which is exactly how slowly-changing enrichment dims
+    behave in production. State kept by the engine is only the
+    |segments|-row aggregate."""
+    root = _events_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    enriched = src.join(F.broadcast(cust),
+                        src.user_id == cust.c_custkey)
+    agg = (enriched.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 10000.0 + 0.5)
+                      .cast("long")).alias("_vq"))
+           .select("mktsegment", "n_events",
+                   (F.col("_vq").cast("double") / 10000.0)
+                   .alias("value_sum")))
+    qname = f"sm5_mem_{next(_QNAME)}"
+    ckpt = tempfile.mkdtemp(prefix="sm5_ckpt_")
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(qname)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
-from big_data_analytics_spark.operators.timeseries import ema
+from big_data_analytics_spark.operators.timeseries import ema, holt_linear
 from big_data_analytics_spark.queries import query
 
 
@@ -54,3 +54,61 @@ def ts1_ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("final_ema"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_HOLT_A = 0.4
+_HOLT_B = 0.3
+
+
+@query(
+    "ts4_holt_trend",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               list_reduce(
+                   list([value, 0.0]::DOUBLE[] ORDER BY ts, event_id),
+                   (acc, e) -> [
+                       {_HOLT_A}*e[1]
+                       + {1.0 - _HOLT_A}*(acc[1] + acc[2]),
+                       {_HOLT_B}*({_HOLT_A}*e[1]
+                                  + {1.0 - _HOLT_A}*(acc[1] + acc[2])
+                                  - acc[1])
+                       + {1.0 - _HOLT_B}*acc[2]]) AS lb,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, lb[1] AS final_level, lb[2] AS final_trend,
+           lb[1] + 3.0 * lb[2] AS forecast_3,
+           n_events
+    FROM s
+    """,
+)
+def ts4_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level+trend) exponential smoothing per user
+    (alpha={A}, beta={B}) over the event-time value series, emitting
+    the final state and the 3-step-ahead forecast. Extends ts1's
+    single-recurrence EMA to the COUPLED two-state recursion — the
+    workhorse of operational forecasting. Unrounded: the sequential
+    fold is bit-reproducible across engines when the operation order
+    is spelled identically (the DuckDB oracle's list_reduce lambda
+    recomputes the new level inside the trend update exactly as the
+    Python loop does).
+
+    Same scale anatomy as ts1: one shuffle on the key, per-key
+    sequential Arrow-batched recursion; a skewed key would use the
+    range-stitching in operators/timeseries.py (the coupled
+    recurrence is linear, so 2x2 matrix carries compose across
+    ranges)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    out = holt_linear(ev, key="user_id", ts="ts", value="value",
+                      alpha=_HOLT_A, beta=_HOLT_B, tiebreak="event_id")
+    return out.select(
+        "user_id", "final_level", "final_trend",
+        (F.col("final_level") + 3.0 * F.col("final_trend"))
+        .alias("forecast_3"),
+        F.col("n").alias("n_events"))
+
+
+ts4_holt_trend.__doc__ = ts4_holt_trend.__doc__.format(
+    A=_HOLT_A, B=_HOLT_B)
