@@ -170,6 +170,7 @@ def load_all() -> dict[str, Query]:
         retrieval,
         semantic_dedup,
         ml_prep,
+        normalize,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

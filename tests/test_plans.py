@@ -656,3 +656,22 @@ def test_ml15_gbt_broadcast_splits(spark):
     assert plan.count("BroadcastNestedLoopJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_qn1_histogram_broadcasts(spark):
+    """Quantile normalization: the global distribution must travel as
+    a broadcast histogram (range as-of join), never a shuffled join
+    against a corpus-wide ranked relation; no Python."""
+    plan = _plan(spark, "qn1_quantile_normalize")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sh1_single_scan_no_join(spark):
+    """Shard assignment: one scan, hash + NTILE + manifest aggregate —
+    no joins, no Python."""
+    plan = _plan(spark, "sh1_balanced_shards")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

@@ -82,3 +82,36 @@ def test_ema_partitioned_single_range_degenerates(spark):
     got = [r.ema for r in par.orderBy("t").collect()]
     assert got == pytest.approx(_expected_ema([5.0, 9.0, 2.0, 7.0], 0.5),
                                 abs=1e-12)
+
+
+def test_holt_linear_matches_sequential_replay(spark):
+    """holt_linear == an explicit driver-side replay of the coupled
+    recursion, independent of input partitioning."""
+    import pandas as pd
+    from big_data_analytics_spark.operators.timeseries import holt_linear
+    rows = [(k, t, float(v)) for k in (1, 2)
+            for t, v in enumerate([5, 9, 2, 7, 7, 1, 8][: 5 + k])]
+    df = spark.createDataFrame(rows, "k long, t long, value double")
+    out = {r.k: r for r in
+           holt_linear(df.repartition(7), key="k", ts="t",
+                       value="value", alpha=0.4, beta=0.3).collect()}
+    for k in (1, 2):
+        xs = [float(v) for _, t, v in
+              [r for r in rows if r[0] == k]]
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.4 * x + 0.6 * (level + trend)
+            trend = 0.3 * (nl - level) + 0.7 * trend
+            level = nl
+        assert out[k].final_level == level, k
+        assert out[k].final_trend == trend, k
+        assert out[k].n == len(xs)
+
+
+def test_holt_linear_rejects_bad_params(spark):
+    import pytest as _pytest
+    from big_data_analytics_spark.operators.timeseries import holt_linear
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, value double")
+    with _pytest.raises(ValueError):
+        holt_linear(df, key="k", ts="t", value="value",
+                    alpha=0.0, beta=0.5)
