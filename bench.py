@@ -92,7 +92,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         "sm4_stream_stream_join",
         # 3 Lloyd iterations of 64-wide integer folds: first run pays
         # the codegen compile of the unrolled distance expressions
-        "ml5_kmeans"]
+        "ml5_kmeans",
+        # cluster-partitioned pairwise cosine: cold pays the Lloyd
+        # fold codegen (K=8, 2 iters) + the pair-stage fold compile
+        "d8_semantic_dedup"]
 
 
 def _run(q, spark, sf_dir) -> float:
