@@ -259,8 +259,9 @@ def _cv_ridge_oracle() -> str:
 
 @query("ml14_cv_ridge", oracle=_cv_ridge_oracle())
 def ml14_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{K}-fold cross-validated ridge-regression grid search (SURVEY
-    §2.9 M17; the distributed form of ml/trees.grid_search_cv):
+    """{K}-fold cross-validated ridge-regression grid search (SURVEY §2.9 M17;
+    /root/reference/data_mining_Assignment1.ipynb cross_val_score —
+    the distributed form of ml/trees.grid_search_cv):
     folds come from a portable md5 row hash, each fold's model trains
     on the complement BY SUBTRACTION (total sufficient statistics
     minus the fold's — one stats scan serves all {K} folds and all
@@ -421,7 +422,9 @@ def _gbt_oracle() -> str:
 @query("ml15_gbt_stumps", oracle=_gbt_oracle())
 def ml15_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{R} rounds of gradient boosting with depth-1 regression trees
-    on line price (SURVEY §2.9 M9, reference GBT notebook; the MLlib
+    on line price (SURVEY §2.9 M9,
+    /root/reference/BasicsDecisionTree.ipynb
+    GradientBoostingClassifier; the MLlib
     GBTRegressor inner loop made oracle-checkable): each round
     histograms the current residual per (feature, value), picks the
     variance-reduction-maximizing split (gain = S_L^2/n_L +

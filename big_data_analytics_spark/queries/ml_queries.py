@@ -1,7 +1,9 @@
-"""Driver-graded ML queries: the SURVEY §2.9 surface (M3/M5/M6/M7/
-M11/M12 — reference notebooks BasicsDecisionTree.ipynb, KNN/NB/
-clustering notebooks) re-expressed as oracle-checkable distributed
-plans. Until this wave, the ML components were validated by
+"""Driver-graded ML queries: the SURVEY §2.9 surface (M3-M12, M17,
+M19 — reference notebooks /root/reference/data_mining_Assignment1.ipynb
+(KMeans/KNN/GaussianNB/PCA/roc_auc/cross_val),
+Assignment2_for_data_mining.ipynb (LDA/logistic), SVM.ipynb,
+BasicsDecisionTree.ipynb (trees/GBT)) re-expressed as
+oracle-checkable distributed plans. Until this wave, the ML components were validated by
 closed-form pytest parity only; these queries give each family a
 DuckDB-hash-graded driver row.
 
@@ -173,8 +175,8 @@ def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     K={K} centroids seeded from the K lowest vec_ids, {I} exact
     iterations, emitting the final centroids (exploded to one row per
     (cluster, dim)) with member counts and within-cluster squared
-    error. Mirrors the reference's clustering notebook surface
-    (SURVEY §2.9 M11) with a fully deterministic, oracle-checkable
+    error. Mirrors the reference's KMeans surface
+    (/root/reference/data_mining_Assignment1.ipynb, SURVEY §2.9 M11) with a fully deterministic, oracle-checkable
     variant: vectors live on an integer micro-unit grid, distances
     are exact integer sums, and centroid updates floor-divide exact
     integer sums — so assignment ties and all arithmetic are
@@ -244,8 +246,8 @@ _KNN_ORACLE = f"""
 
 @query("ml6_knn_classify", oracle=_KNN_ORACLE)
 def ml6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-nearest-neighbor classification (SURVEY §2.9 M5, reference
-    KNN notebook): each of the {Q} query vectors is labeled by the
+    """k-nearest-neighbor classification (SURVEY §2.9 M5,
+    /root/reference/data_mining_Assignment1.ipynb KNeighborsClassifier): each of the {Q} query vectors is labeled by the
     majority label of its {K} nearest corpus vectors under exact
     squared L2 on the micro-unit integer grid (ties: lower vec_id,
     then lower label — deterministic in both engines).
@@ -340,7 +342,8 @@ _NB_ORACLE = f"""
 
 @query("ml7_gaussian_nb", oracle=_NB_ORACLE)
 def ml7_gaussian_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaussian naive Bayes (SURVEY §2.9 M6, reference NB notebook):
+    """Gaussian naive Bayes (SURVEY §2.9 M6,
+    /root/reference/data_mining_Assignment1.ipynb GaussianNB):
     train per-(label, dim) means/variances from exact integer moment
     sums over the corpus (vec_id >= {Q}), then label each query
     vector by the max posterior log-density (class prior + sum of
@@ -469,8 +472,8 @@ _STUMP_ORACLE = """
 
 @query("ml8_decision_stump", oracle=_STUMP_ORACLE)
 def ml8_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Depth-1 decision-tree split search (SURVEY §2.9 M7, reference
-    BasicsDecisionTree.ipynb): for each candidate feature (integer
+    """Depth-1 decision-tree split search (SURVEY §2.9 M7,
+    /root/reference/BasicsDecisionTree.ipynb): for each candidate feature (integer
     quantity, discount cents) find the threshold minimizing weighted
     Gini impurity of the split x <= t predicting returnflag == 'R'.
     All class counts are exact integers; the Gini formula runs on
@@ -589,8 +592,9 @@ def _logreg_oracle() -> str:
 
 @query("ml9_logistic_gd", oracle=_logreg_oracle())
 def ml9_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic regression by full-batch gradient descent (SURVEY
-    §2.9 M3, reference logistic notebook): predict returnflag == 'R'
+    """Logistic regression by full-batch gradient descent (SURVEY §2.9 M3,
+    /root/reference/Assignment2_for_data_mining.ipynb
+    LogisticRegression): predict returnflag == 'R'
     from scaled quantity and discount, {I} iterations at rate {LR},
     emitting the coefficients and the training-set decision accuracy
     numerator. The distributed-SGD portability problem — summing
@@ -700,7 +704,8 @@ _PCA_ORACLE = """
 @query("ml10_pca_2feature", oracle=_PCA_ORACLE)
 def ml10_pca_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA over (quantity, discount-cents) via the closed-form 2x2
-    eigendecomposition (SURVEY §2.9 M12, reference PCA notebook):
+    eigendecomposition (SURVEY §2.9 M12,
+    /root/reference/data_mining_Assignment1.ipynb PCA):
     exact integer moment sums -> sample covariance matrix -> the
     quadratic-formula eigenvalues, explained-variance ratio, and the
     first principal component (sign normalized so pc1_x >= 0). Every
@@ -830,8 +835,9 @@ _LDA_ORACLE = """
 @query("ml11_lda_2feature", oracle=_LDA_ORACLE)
 def ml11_lda_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-class linear discriminant analysis on (quantity, discount
-    cents) predicting returnflag == 'R' (SURVEY §2.9 M4, reference
-    LDA notebook): class means and the pooled covariance come from
+    cents) predicting returnflag == 'R' (SURVEY §2.9 M4,
+    /root/reference/Assignment2_for_data_mining.ipynb
+    LinearDiscriminantAnalysis): class means and the pooled covariance come from
     ONE pass of 12 exact integer sufficient statistics; the 2x2
     inverse and the discriminant w = S^-1 (mu1 - mu0) are closed-form
     doubles with identical op order; the decision threshold folds in
@@ -965,7 +971,7 @@ def _svm_oracle() -> str:
 @query("ml12_svm_subgradient", oracle=_svm_oracle())
 def ml12_svm_subgradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear soft-margin SVM by full-batch subgradient descent
-    (SURVEY §2.9 M10, reference SVM notebook): hinge loss + L2
+    (SURVEY §2.9 M10, /root/reference/SVM.ipynb): hinge loss + L2
     (lambda={L}), {I} iterations at rate {R}, unregularized bias.
     Same portability move as ml9: each row's subgradient contribution
     is floor-quantized to the 1e-6 grid and summed exactly, so the
