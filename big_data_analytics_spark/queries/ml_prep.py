@@ -510,3 +510,116 @@ def ml15_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ml15_gbt_stumps.__doc__ = ml15_gbt_stumps.__doc__.format(
     R=_GBT_ROUNDS, LR=_GBT_LR)
+
+
+# --------------------------------------------------------------------
+# ml17 — Poisson bootstrap standard error (M18): deterministic
+# resampling via md5-derived multiplicities
+# --------------------------------------------------------------------
+
+_BOOT_B = 20
+
+def _poisson1_cdf() -> list[float]:
+    """Cumulative Poisson(1) probabilities F(0..6); multiplicities are
+    capped at 7 (tail mass < 1e-7). Computed once here and embedded
+    as identical literals in both engines."""
+    import math
+    e = math.exp(-1.0)
+    out, term, acc = [], e, 0.0
+    for k in range(7):
+        acc += term
+        out.append(acc)
+        term /= (k + 1)
+    return out
+
+
+_BOOT_CDF = _poisson1_cdf()
+
+
+def _boot_count_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_BOOT_CDF))
+    return f"CASE {branches} ELSE 7 END"
+
+
+_BOOT_ORACLE = f"""
+    WITH r AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+    ), e AS (
+        SELECT y, b,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                   || '-' || CAST(l_linenumber AS VARCHAR)
+                   || '-' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                   AS DOUBLE) / 4294967296.0 AS u
+        FROM r, unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)
+    ), c AS (
+        SELECT b, y, {_boot_count_sql('u')} AS c FROM e
+    ), rep AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS cnt,
+               CAST(SUM(c * y) AS BIGINT) AS s
+        FROM c GROUP BY b
+    ), mns AS (
+        SELECT b, CAST(s AS DOUBLE) / cnt AS m FROM rep
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bb,
+               SUM(m) AS sm, SUM(m * m) AS sq
+        FROM mns
+    )
+    SELECT bb AS n_replicates,
+           ROUND(sm / bb, 6) AS boot_mean,
+           ROUND(sqrt((sq - sm * sm / bb) / (bb - 1)), 6) AS boot_se
+    FROM agg
+"""
+
+
+@query("ml17_poisson_bootstrap", oracle=_BOOT_ORACLE)
+def ml17_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean quantity (SURVEY §2.9 M18;
+    the deterministic distributed form of ml/regression.bootstrap_se):
+    replicate b resamples each row with multiplicity ~ Poisson(1),
+    realized by inverting the Poisson CDF at an md5-derived uniform —
+    so the entire resampling plan is a pure expression, reproducible
+    across engines and partitionings, with no RNG state. {B}
+    replicate (count, weighted-sum) pairs are exact integers; the
+    replicate-mean spread gives the bootstrap SE.
+
+    This is THE bootstrap that scales: classical resampling needs n
+    draws per replicate coordinated globally, while the Poisson
+    approximation makes each row's multiplicity independent — one
+    map-side expression, one {B}-group mergeable aggregate, zero
+    shuffled rows beyond {B} partial sums per task. (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", public.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("y"))
+    e = li.select(
+        "y", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+        .alias("b"),
+        "l_orderkey", "l_linenumber")
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.col("l_orderkey"), F.col("l_linenumber"), F.col("b"))),
+        1, 8), 16, 10).cast("long").cast("double") / 4294967296.0)
+    cnt = F.lit(7)
+    for k, c in reversed(list(enumerate(_BOOT_CDF))):
+        cnt = F.when(u < F.lit(c), k).otherwise(cnt)
+    rep = (e.select("b", "y", cnt.alias("c"))
+           .groupBy("b")
+           .agg(F.sum("c").cast("long").alias("cnt"),
+                F.sum(F.col("c") * F.col("y")).cast("long").alias("s")))
+    mns = rep.select("b", (F.col("s").cast("double")
+                           / F.col("cnt")).alias("m"))
+    agg = mns.agg(F.count("*").cast("long").alias("bb"),
+                  F.sum("m").alias("sm"),
+                  F.sum(F.col("m") * F.col("m")).alias("sq"))
+    bbd = F.col("bb").cast("double")
+    return agg.select(
+        F.col("bb").alias("n_replicates"),
+        F.round(F.col("sm") / bbd, 6).alias("boot_mean"),
+        F.round(F.sqrt((F.col("sq") - F.col("sm") * F.col("sm") / bbd)
+                       / (bbd - 1)), 6).alias("boot_se"))
+
+
+ml17_poisson_bootstrap.__doc__ = ml17_poisson_bootstrap.__doc__.format(
+    B=_BOOT_B)

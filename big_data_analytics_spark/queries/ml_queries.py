@@ -1112,3 +1112,167 @@ def ml13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
         F.round(auc, 6).alias("auc"),
         F.round(2.0 * auc - 1.0, 6).alias("gini_coeff"))
+
+
+# --------------------------------------------------------------------
+# ml16 — quadratic discriminant analysis, 2 features / 2 classes (M4)
+# --------------------------------------------------------------------
+
+def _qda_class_sql(tag: str, yexpr: str) -> str:
+    """Per-class exact moment stats -> mean + covariance entries."""
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n{tag},
+               CAST(SUM(x1) AS BIGINT) AS s1{tag},
+               CAST(SUM(x2) AS BIGINT) AS s2{tag},
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11{tag},
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22{tag},
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12{tag}
+        FROM r WHERE {yexpr}"""
+
+
+_QDA_ORACLE = f"""
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), sp AS ({_qda_class_sql('p', 'y = 1')}),
+    sn AS ({_qda_class_sql('n', 'y = 0')}),
+    m AS (
+        SELECT np, nn, m1p, m2p, m1n, m2n,
+               ap, bp, cp, ap * cp - bp * bp AS detp,
+               an, bn, cn, an * cn - bn * bn AS detn
+        FROM (
+            SELECT np, nn,
+                   CAST(s1p AS DOUBLE) / np AS m1p,
+                   CAST(s2p AS DOUBLE) / np AS m2p,
+                   CAST(s1n AS DOUBLE) / nn AS m1n,
+                   CAST(s2n AS DOUBLE) / nn AS m2n,
+                   (CAST(q11p AS DOUBLE) - CAST(s1p AS DOUBLE)
+                    * CAST(s1p AS DOUBLE) / np) / (np - 1) AS ap,
+                   (CAST(q12p AS DOUBLE) - CAST(s1p AS DOUBLE)
+                    * CAST(s2p AS DOUBLE) / np) / (np - 1) AS bp,
+                   (CAST(q22p AS DOUBLE) - CAST(s2p AS DOUBLE)
+                    * CAST(s2p AS DOUBLE) / np) / (np - 1) AS cp,
+                   (CAST(q11n AS DOUBLE) - CAST(s1n AS DOUBLE)
+                    * CAST(s1n AS DOUBLE) / nn) / (nn - 1) AS an,
+                   (CAST(q12n AS DOUBLE) - CAST(s1n AS DOUBLE)
+                    * CAST(s2n AS DOUBLE) / nn) / (nn - 1) AS bn,
+                   (CAST(q22n AS DOUBLE) - CAST(s2n AS DOUBLE)
+                    * CAST(s2n AS DOUBLE) / nn) / (nn - 1) AS cn
+            FROM (SELECT np, s1p, s2p, q11p, q22p, q12p,
+                         nn, s1n, s2n, q11n, q22n, q12n
+                  FROM sp, sn))
+    ), scored AS (
+        SELECT r.y,
+               (-0.5 * ln(detp)
+                - 0.5 * (((r.x1 - m1p) * (cp * (r.x1 - m1p)
+                                          - bp * (r.x2 - m2p))
+                          + (r.x2 - m2p) * (ap * (r.x2 - m2p)
+                                            - bp * (r.x1 - m1p)))
+                         / detp)
+                + ln(CAST(np AS DOUBLE) / (np + nn)))
+               -
+               (-0.5 * ln(detn)
+                - 0.5 * (((r.x1 - m1n) * (cn * (r.x1 - m1n)
+                                          - bn * (r.x2 - m2n))
+                          + (r.x2 - m2n) * (an * (r.x2 - m2n)
+                                            - bn * (r.x1 - m1n)))
+                         / detn)
+                + ln(CAST(nn AS DOUBLE) / (np + nn))) AS margin
+        FROM r, m
+    )
+    SELECT (SELECT np FROM m) AS n_pos, (SELECT nn FROM m) AS n_neg,
+           ROUND((SELECT detp FROM m), 6) AS det_pos,
+           ROUND((SELECT detn FROM m), 6) AS det_neg,
+           CAST(SUM(CASE WHEN (margin > 0.0) = (y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN margin > 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_pos
+    FROM scored
+"""
+
+
+@query("ml16_qda_2feature", oracle=_QDA_ORACLE)
+def ml16_qda_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-class quadratic discriminant analysis on (quantity,
+    discount cents) — the per-class-covariance half of SURVEY §2.9 M4
+    (/root/reference/data_mining_Assignment1.ipynb
+    QuadraticDiscriminantAnalysis; ml11 covers the pooled/linear
+    half): per-class means and 2x2 covariances from one pass of
+    exact integer moments, the quadratic decision margin evaluated
+    with the adjugate-inverse closed form (no matrix library), and
+    training decisions counted exactly. The log-determinant and
+    Mahalanobis terms are doubles with identical op order; the margin
+    sign drives exact integer counts, so no rounding ambiguity enters
+    the output.
+
+    One 12-stat conditional aggregate (both classes in one pass on
+    the Spark side), one broadcast-model scoring pass — the ml11
+    anatomy with a quadratic instead of linear decision surface."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    yv, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    s = li.agg(
+        F.sum(yv).cast("long").alias("np"),
+        F.sum(1 - yv).cast("long").alias("nn"),
+        F.sum(yv * x1).alias("s1p"), F.sum(yv * x2).alias("s2p"),
+        F.sum((1 - yv) * x1).alias("s1n"),
+        F.sum((1 - yv) * x2).alias("s2n"),
+        F.sum(yv * x1 * x1).alias("q11p"),
+        F.sum(yv * x2 * x2).alias("q22p"),
+        F.sum(yv * x1 * x2).alias("q12p"),
+        F.sum((1 - yv) * x1 * x1).alias("q11n"),
+        F.sum((1 - yv) * x2 * x2).alias("q22n"),
+        F.sum((1 - yv) * x1 * x2).alias("q12n"))
+
+    def _cov(q, sa, sb, n):
+        return ((F.col(q).cast("double")
+                 - F.col(sa).cast("double") * F.col(sb).cast("double")
+                 / n) / (n - 1))
+
+    npd, nnd = F.col("np").cast("double"), F.col("nn").cast("double")
+    m = s.select(
+        "np", "nn",
+        (F.col("s1p").cast("double") / npd).alias("m1p"),
+        (F.col("s2p").cast("double") / npd).alias("m2p"),
+        (F.col("s1n").cast("double") / nnd).alias("m1n"),
+        (F.col("s2n").cast("double") / nnd).alias("m2n"),
+        _cov("q11p", "s1p", "s1p", npd).alias("ap"),
+        _cov("q12p", "s1p", "s2p", npd).alias("bp"),
+        _cov("q22p", "s2p", "s2p", npd).alias("cp"),
+        _cov("q11n", "s1n", "s1n", nnd).alias("an"),
+        _cov("q12n", "s1n", "s2n", nnd).alias("bn"),
+        _cov("q22n", "s2n", "s2n", nnd).alias("cn"))
+    m = m.select("*",
+                 (F.col("ap") * F.col("cp") - F.col("bp") * F.col("bp"))
+                 .alias("detp"),
+                 (F.col("an") * F.col("cn") - F.col("bn") * F.col("bn"))
+                 .alias("detn"))
+
+    def _logdens(d1, d2, a, b, c, det, n):
+        quad = (d1 * (c * d1 - b * d2) + d2 * (a * d2 - b * d1)) / det
+        return (-0.5 * F.log(det) - 0.5 * quad
+                + F.log(n / (F.col("np").cast("double")
+                             + F.col("nn").cast("double"))))
+
+    d1p, d2p = x1 - F.col("m1p"), x2 - F.col("m2p")
+    d1n, d2n = x1 - F.col("m1n"), x2 - F.col("m2n")
+    margin = (_logdens(d1p, d2p, F.col("ap"), F.col("bp"), F.col("cp"),
+                       F.col("detp"), F.col("np").cast("double"))
+              - _logdens(d1n, d2n, F.col("an"), F.col("bn"), F.col("cn"),
+                         F.col("detn"), F.col("nn").cast("double")))
+    scored = (li.crossJoin(F.broadcast(m))
+              .agg(F.sum(F.when((margin > 0.0) == (yv == 1), 1)
+                         .otherwise(0)).alias("n_correct"),
+                   F.sum(F.when(margin > 0.0, 1).otherwise(0))
+                   .alias("n_pred_pos")))
+    return (m.crossJoin(F.broadcast(scored))
+            .select(F.col("np").alias("n_pos"),
+                    F.col("nn").alias("n_neg"),
+                    F.round("detp", 6).alias("det_pos"),
+                    F.round("detn", 6).alias("det_neg"),
+                    "n_correct", "n_pred_pos"))

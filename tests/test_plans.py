@@ -675,3 +675,23 @@ def test_sh1_single_scan_no_join(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml16_qda_single_pass_training(spark):
+    """QDA: both classes' 12 moment statistics in one conditional
+    scalar aggregation; scoring is broadcast-model map-only — zero
+    hash exchanges, no shuffled joins, no Python."""
+    plan = _plan(spark, "ml16_qda_2feature")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml17_bootstrap_pure_expression(spark):
+    """Poisson bootstrap: multiplicities are pure expressions (no RNG
+    exchange, no join against a resample relation); the only hash
+    exchange is the B-group replicate aggregate."""
+    plan = _plan(spark, "ml17_poisson_bootstrap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
