@@ -623,3 +623,223 @@ def ml17_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ml17_poisson_bootstrap.__doc__ = ml17_poisson_bootstrap.__doc__.format(
     B=_BOOT_B)
+
+
+# --------------------------------------------------------------------
+# ml18 — split-conformal prediction interval (M1/M21 extension):
+# exact distributed order statistic via two-phase bucket quantile
+# --------------------------------------------------------------------
+
+_CONF_LEVEL = 0.9
+_CONF_BUCKET = 10_000  # cents per quantile bucket ($100)
+
+
+def _conformal_oracle() -> str:
+    return f"""
+    WITH r AS (
+        SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+                   % 10 AS fold,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+               CAST(SUM(x1 * y) AS BIGINT) AS q1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS q2y
+        FROM r WHERE fold <= 7
+    ), beta AS (
+        SELECT w1, w2,
+               (CAST(sy AS DOUBLE) - w1 * s1 - w2 * s2)
+                   / CAST(n AS DOUBLE) AS b0
+        FROM (
+            SELECT n, s1, s2, sy,
+                   (b1 * a22 - a12 * b2) / (a11 * a22 - a12 * a12) AS w1,
+                   (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS w2
+            FROM (
+                SELECT n, s1, s2, sy,
+                       CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                           * CAST(s1 AS DOUBLE) / n AS a11,
+                       CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                           * CAST(s2 AS DOUBLE) / n AS a22,
+                       CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                           * CAST(s2 AS DOUBLE) / n AS a12,
+                       CAST(q1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / n AS b1,
+                       CAST(q2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / n AS b2
+                FROM s))
+    ), scored AS (
+        SELECT r.fold,
+               CAST(FLOOR(ABS(CAST(r.y AS DOUBLE)
+                   - (beta.b0 + beta.w1 * r.x1 + beta.w2 * r.x2)))
+                   AS BIGINT) AS rq
+        FROM r, beta WHERE r.fold >= 8
+    ), counts AS (
+        SELECT CAST(COUNT(*) FILTER (fold = 8) AS BIGINT) AS ncal,
+               CAST(COUNT(*) FILTER (fold = 9) AS BIGINT) AS ntest
+        FROM scored
+    ), k AS (
+        SELECT CAST(CEIL({_CONF_LEVEL} * (ncal + 1)) AS BIGINT) AS k
+        FROM counts
+    ), bh AS (
+        SELECT rq // {_CONF_BUCKET} AS bucket, COUNT(*) AS cnt
+        FROM scored WHERE fold = 8 GROUP BY bucket
+    ), bc AS (
+        SELECT bucket,
+               CAST(SUM(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cend,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cstart
+        FROM bh
+    ), tb AS (
+        SELECT bc.bucket, bc.cstart FROM bc, k
+        WHERE bc.cstart < k.k AND k.k <= bc.cend
+    ), q AS (
+        SELECT rq AS q_cents FROM (
+            SELECT s2.rq, ROW_NUMBER() OVER (ORDER BY s2.rq) AS rn,
+                   k.k - tb.cstart AS off
+            FROM scored s2, tb, k
+            WHERE s2.fold = 8 AND s2.rq // {_CONF_BUCKET} = tb.bucket)
+        WHERE rn = off
+    )
+    SELECT (SELECT n FROM s) AS n_train, counts.ncal AS n_cal,
+           counts.ntest AS n_test,
+           ROUND(CAST(q.q_cents AS DOUBLE) / 100.0, 2)
+               AS interval_halfwidth_dollars,
+           CAST((SELECT COUNT(*) FROM scored, q
+                 WHERE fold = 9 AND rq <= q.q_cents) AS BIGINT)
+               AS n_covered,
+           ROUND(CAST((SELECT COUNT(*) FROM scored, q
+                       WHERE fold = 9 AND rq <= q.q_cents) AS DOUBLE)
+                 / counts.ntest, 6) AS coverage_rate
+    FROM counts, q
+"""
+
+
+@query("ml18_conformal_interval", oracle=_conformal_oracle())
+def ml18_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al., public;
+    extends SURVEY §2.9 M1/M21's parametric intervals with the
+    distribution-free guarantee): md5-hash folds split the data
+    80/10/10 into train/calibration/test, an exact-stats OLS fits on
+    train, and the interval half-width is the ceil({L}*(n+1))-th
+    smallest calibration |residual| — so P(test point covered) >=
+    {L} with NO distributional assumptions. Coverage is then
+    certified on the held-out test fold with exact counts.
+
+    The scale move is the exact ORDER STATISTIC without a global
+    sort: quantize residuals to cents, histogram $100 buckets
+    (mergeable agg), locate the k-th value's bucket via a cumsum
+    over the tiny bucket relation, then rank ONLY inside that one
+    bucket — the classic two-phase distributed quantile (same
+    family as t9/w12's stitched cumsums). Every count is exact, the
+    residual grid is part of the semantics, and the chosen order
+    statistic is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 8),
+            16, 10).cast("long") % 10).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    tr = li.filter(F.col("fold") <= 7)
+    s = tr.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("q11"), F.sum(x2 * x2).alias("q22"),
+        F.sum(x1 * x2).alias("q12"),
+        F.sum(x1 * y).alias("q1y"), F.sum(x2 * y).alias("q2y"))
+    nd = F.col("n").cast("double")
+    a11 = F.col("q11").cast("double") \
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    a22 = F.col("q22").cast("double") \
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / nd
+    a12 = F.col("q12").cast("double") \
+        - F.col("s1").cast("double") * F.col("s2").cast("double") / nd
+    b1 = F.col("q1y").cast("double") \
+        - F.col("s1").cast("double") * F.col("sy").cast("double") / nd
+    b2 = F.col("q2y").cast("double") \
+        - F.col("s2").cast("double") * F.col("sy").cast("double") / nd
+    det = a11 * a22 - a12 * a12
+    w1 = (b1 * a22 - a12 * b2) / det
+    w2 = (a11 * b2 - a12 * b1) / det
+    beta = s.select(
+        F.col("n").alias("n_train"), w1.alias("w1"), w2.alias("w2"),
+        ((F.col("sy").cast("double") - w1 * F.col("s1")
+          - w2 * F.col("s2")) / nd).alias("b0"))
+    scored = (li.filter(F.col("fold") >= 8)
+              .crossJoin(F.broadcast(beta))
+              .select("fold", "n_train",
+                      F.floor(F.abs(
+                          y.cast("double")
+                          - (F.col("b0") + F.col("w1") * x1
+                             + F.col("w2") * x2))).cast("long")
+                      .alias("rq"))
+              .localCheckpoint())
+    counts = scored.agg(
+        F.max("n_train").alias("n_train"),
+        F.sum(F.when(F.col("fold") == 8, 1).otherwise(0)).cast("long")
+        .alias("ncal"),
+        F.sum(F.when(F.col("fold") == 9, 1).otherwise(0)).cast("long")
+        .alias("ntest"))
+    k = counts.select(
+        "n_train", "ncal", "ntest",
+        F.ceil(_CONF_LEVEL * (F.col("ncal") + 1)).cast("long")
+        .alias("k"))
+    cal = scored.filter(F.col("fold") == 8)
+    bh = (cal.groupBy((F.col("rq") / _CONF_BUCKET).cast("long")
+                      .alias("bucket"))
+          .agg(F.count("*").alias("cnt")))
+    wb = Window.orderBy("bucket")
+    bc = bh.select(
+        "bucket",
+        F.sum("cnt").over(wb.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("cend"),
+        F.coalesce(F.sum("cnt").over(wb.rowsBetween(
+            Window.unboundedPreceding, -1)), F.lit(0))
+        .cast("long").alias("cstart"))
+    tb = (bc.crossJoin(F.broadcast(k))
+          .filter((F.col("cstart") < F.col("k"))
+                  & (F.col("k") <= F.col("cend")))
+          .select("bucket", "cstart", "k", "n_train", "ncal", "ntest"))
+    q = (cal.select("rq").join(F.broadcast(tb),
+                  (F.col("rq") / _CONF_BUCKET).cast("long")
+                  == F.col("bucket"))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("bucket").orderBy("rq")))
+         .filter(F.col("rn") == F.col("k") - F.col("cstart"))
+         .select(F.col("rq").alias("q_cents"),
+                 F.col("n_train").alias("n_train"),
+                 "ncal", "ntest"))
+    cov = (scored.filter(F.col("fold") == 9)
+           .crossJoin(F.broadcast(q.select("q_cents")))
+           .agg(F.sum(F.when(F.col("rq") <= F.col("q_cents"), 1)
+                      .otherwise(0)).cast("long").alias("n_covered")))
+    return (q.crossJoin(F.broadcast(cov))
+            .select(F.col("n_train"), F.col("ncal").alias("n_cal"),
+                    F.col("ntest").alias("n_test"),
+                    F.round(F.col("q_cents").cast("double") / 100.0, 2)
+                    .alias("interval_halfwidth_dollars"),
+                    "n_covered",
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("ntest").cast("double"), 6)
+                    .alias("coverage_rate")))
+
+
+ml18_conformal_interval.__doc__ = ml18_conformal_interval.__doc__.format(
+    L=_CONF_LEVEL)

@@ -695,3 +695,15 @@ def test_ml17_bootstrap_pure_expression(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml18_conformal_bucketed_order_statistic(spark):
+    """Conformal interval: the k-th calibration residual must come
+    from the two-phase bucket quantile — a keyed within-bucket window
+    after a mergeable bucket histogram, with the target bucket and
+    model broadcast — never a global sort of the calibration set; no
+    Python."""
+    plan = _plan(spark, "ml18_conformal_interval")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
