@@ -116,6 +116,12 @@ GRADE_HEAD = [
     # make room for the 11 round-5 additions — every displaced row is
     # multi-round driver-green AND re-verifies locally every pytest
     # run via tests/test_queries_vs_duckdb.py
+    # (e) the 23 round-6 additions (ml5-ml18 classical-ML surface,
+    # ir1 BM25, d8 semantic dedup, te1/fh1/qn1/sh1 feature prep,
+    # sm5 stream-static, ts4 Holt) stay below the fold this round:
+    # the head must first clear the older never-graded backlog above;
+    # all 23 hash-match their oracles in the local gate every pytest
+    # run and queue for the next head rotation.
 ]
 
 
