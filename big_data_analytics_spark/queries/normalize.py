@@ -86,15 +86,22 @@ def qn1_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = r.agg(F.count("*").alias("nt"))
     pos = F.floor((F.col("rk").cast("double") * F.col("nt")
                    + F.col("ns") - 1) / F.col("ns")).cast("long")
-    # backward as-of: smallest epos >= pos — broadcast range join over
-    # the tiny histogram, then keep the first covering interval
+    # forward as-of (smallest epos >= pos) as a MAP-ONLY fold over
+    # the broadcast sorted histogram array: a `>=` range join would
+    # emit every qualifying interval per document (O(rows x |hist|)
+    # amplification) before a rank filter — this shape touches each
+    # document exactly once and scans only the |distinct values|
+    # array per row
+    harr = hist.agg(
+        F.array_sort(F.collect_list(F.struct("epos", "v"))).alias("h"))
+    lookup = F.aggregate(
+        F.col("h"), F.lit(None).cast("long"),
+        lambda acc, e: F.when(acc.isNull() & (e["epos"] >= F.col("pos")),
+                              e["v"]).otherwise(acc))
     cand = (ranked.crossJoin(F.broadcast(nt))
             .withColumn("pos", pos)
-            .join(F.broadcast(hist), F.col("epos") >= F.col("pos"))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("source", "doc_id").orderBy("epos")))
-            .filter(F.col("rn") == 1)
-            .select("source", "doc_id", F.col("v").alias("normalized")))
+            .crossJoin(F.broadcast(harr))
+            .select("source", "doc_id", lookup.alias("normalized")))
     return (cand.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("normalized").cast("long").alias("norm_sum"),

@@ -660,8 +660,8 @@ def test_ml15_gbt_broadcast_splits(spark):
 
 def test_qn1_histogram_broadcasts(spark):
     """Quantile normalization: the global distribution must travel as
-    a broadcast histogram (range as-of join), never a shuffled join
-    against a corpus-wide ranked relation; no Python."""
+    a broadcast histogram array (map-only fold lookup), never a
+    shuffled join against a corpus-wide ranked relation; no Python."""
     plan = _plan(spark, "qn1_quantile_normalize")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
