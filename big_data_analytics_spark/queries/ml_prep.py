@@ -291,6 +291,10 @@ def ml14_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x1 * x1).alias("q11"), F.sum(x2 * x2).alias("q22"),
         F.sum(x1 * x2).alias("q12"),
         F.sum(x1 * y).alias("q1y"), F.sum(x2 * y).alias("q2y"))
+    # K rows of 9 stats: checkpoint so the stats scan runs once, not
+    # once per lineage branch (tot, trains, and the final join all
+    # read fs)
+    fs = fs.localCheckpoint()
     stat_cols = ["n", "s1", "s2", "sy", "q11", "q22", "q12", "q1y", "q2y"]
     tot = fs.agg(*[F.sum(c).cast("long").alias(c) for c in stat_cols])
     lams = li.sparkSession.createDataFrame(
@@ -326,7 +330,8 @@ def ml14_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     errs = (li.join(F.broadcast(betas), "fold")
             .groupBy("lam")
             .agg(F.sum(F.floor(errd * errd).cast("long")).alias("sse_q"),
-                 F.count("*").alias("n")))
+                 F.count("*").alias("n"))
+            .localCheckpoint())
     best = errs.agg(F.min("sse_q").alias("min_sse"))
     return (errs.crossJoin(F.broadcast(best))
             .select(F.col("lam").alias("lambda_per_row"),
@@ -594,6 +599,12 @@ def ml17_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
         F.col("l_quantity").cast("long").alias("y"))
+    # the 20x replicate explode amplifies whatever input parallelism
+    # the scan has; a single small parquet file would serialize 12M+
+    # hash evaluations onto one task — spread the source first (at
+    # cluster scale the scan is already wide and this is a no-op
+    # round-robin of the narrow 3-column relation)
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     e = li.select(
         "y", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
         .alias("b"),
