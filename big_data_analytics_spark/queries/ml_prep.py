@@ -854,3 +854,113 @@ def ml18_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ml18_conformal_interval.__doc__ = ml18_conformal_interval.__doc__.format(
     L=_CONF_LEVEL)
+
+
+# --------------------------------------------------------------------
+# fs1 — mutual-information feature scoring (feature selection)
+# --------------------------------------------------------------------
+
+_MI_Q = 1e12  # per-cell term quantization grid (nats * 1e12)
+
+
+def _mi_oracle() -> str:
+    return f"""
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) // 10 AS a, l_returnflag AS b
+        FROM lineitem
+    ), cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM r GROUP BY a, b
+    ), ma AS (
+        SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a
+    ), mb AS (
+        SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b
+    ), n AS (SELECT CAST(SUM(nab) AS BIGINT) AS nt FROM cells),
+    mi AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   (CAST(nab AS DOUBLE) / nt)
+                   * ln(CAST(nab AS DOUBLE) * nt
+                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                   * {_MI_Q}) AS BIGINT)) AS BIGINT) AS mi_q
+        FROM cells JOIN ma USING (a) JOIN mb USING (b), n
+    ), ha AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -(CAST(na AS DOUBLE) / nt)
+                   * ln(CAST(na AS DOUBLE) / nt) * {_MI_Q})
+                   AS BIGINT)) AS BIGINT) AS ha_q
+        FROM ma, n
+    ), hb AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -(CAST(nb AS DOUBLE) / nt)
+                   * ln(CAST(nb AS DOUBLE) / nt) * {_MI_Q})
+                   AS BIGINT)) AS BIGINT) AS hb_q
+        FROM mb, n
+    )
+    SELECT (SELECT nt FROM n) AS n_rows,
+           ROUND(CAST(mi_q AS DOUBLE) / {_MI_Q}, 6) AS mi_nats,
+           ROUND(CAST(ha_q AS DOUBLE) / {_MI_Q}, 6) AS h_feature,
+           ROUND(CAST(hb_q AS DOUBLE) / {_MI_Q}, 6) AS h_target,
+           ROUND(CAST(mi_q AS DOUBLE)
+                 / CAST(LEAST(ha_q, hb_q) AS DOUBLE), 6)
+               AS normalized_mi
+    FROM mi, ha, hb
+"""
+
+
+@query("fs1_mutual_information", oracle=_mi_oracle())
+def fs1_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the bucketed quantity feature and
+    the return flag — the model-free feature-selection score (what
+    sklearn's mutual_info_classif estimates; here the discrete MI is
+    EXACT). All cell/marginal counts are exact integers; each cell's
+    p*ln(...) term is floor-quantized to a 1e-12 grid and summed
+    exactly (the ml9 discipline — a float sum over cells would be
+    grouping-order-dependent), as are the marginal entropies that
+    normalize it.
+
+    One groupBy(cell) mergeable aggregate — |buckets| x |classes|
+    groups — then arithmetic over the tiny cell relation with
+    broadcast marginals. Scoring p features against a target at
+    100 TB is p such histograms from ONE scan (explode the feature
+    axis like ml8 does); no per-feature rescans, no model fits."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("long") / 10).cast("long").alias("a"),
+        F.col("l_returnflag").alias("b"))
+    cells = li.groupBy("a", "b").agg(F.count("*").cast("long")
+                                     .alias("nab"))
+    ma = cells.groupBy("a").agg(F.sum("nab").cast("long").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("nab").cast("long").alias("nb"))
+    n = cells.agg(F.sum("nab").cast("long").alias("nt"))
+    ntd = F.col("nt").cast("double")
+    joined = (cells.join(F.broadcast(ma), "a")
+              .join(F.broadcast(mb), "b")
+              .crossJoin(F.broadcast(n)))
+    mi_term = ((F.col("nab").cast("double") / ntd)
+               * F.log(F.col("nab").cast("double") * F.col("nt")
+                       / (F.col("na").cast("double")
+                          * F.col("nb").cast("double"))))
+    mi = joined.agg(F.sum(F.floor(mi_term * _MI_Q).cast("long"))
+                    .cast("long").alias("mi_q"))
+    ha = (ma.crossJoin(F.broadcast(n))
+          .agg(F.sum(F.floor(
+              -(F.col("na").cast("double") / ntd)
+              * F.log(F.col("na").cast("double") / ntd) * _MI_Q)
+              .cast("long")).cast("long").alias("ha_q")))
+    hb = (mb.crossJoin(F.broadcast(n))
+          .agg(F.sum(F.floor(
+              -(F.col("nb").cast("double") / ntd)
+              * F.log(F.col("nb").cast("double") / ntd) * _MI_Q)
+              .cast("long")).cast("long").alias("hb_q")))
+    return (n.crossJoin(F.broadcast(mi)).crossJoin(F.broadcast(ha))
+            .crossJoin(F.broadcast(hb))
+            .select(
+                F.col("nt").alias("n_rows"),
+                F.round(F.col("mi_q").cast("double") / _MI_Q, 6)
+                .alias("mi_nats"),
+                F.round(F.col("ha_q").cast("double") / _MI_Q, 6)
+                .alias("h_feature"),
+                F.round(F.col("hb_q").cast("double") / _MI_Q, 6)
+                .alias("h_target"),
+                F.round(F.col("mi_q").cast("double")
+                        / F.least(F.col("ha_q"), F.col("hb_q"))
+                        .cast("double"), 6)
+                .alias("normalized_mi")))

@@ -1276,3 +1276,237 @@ def ml16_qda_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("detp", 6).alias("det_pos"),
                     F.round("detn", 6).alias("det_neg"),
                     "n_correct", "n_pred_pos"))
+
+
+# --------------------------------------------------------------------
+# ml19 — polynomial regression (M2): quadratic fit via exact power
+# moments
+# --------------------------------------------------------------------
+
+_POLY_ORACLE = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x * x) AS BIGINT) AS s3,
+               CAST(SUM(x * x * x * x) AS BIGINT) AS s4,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS q1y,
+               CAST(SUM(x * x * y) AS BIGINT) AS q2y,
+               SUM(y * y) AS syy
+        FROM r
+    ), m AS (
+        SELECT n, s1, s2, sy, CAST(syy AS DOUBLE) AS syy,
+               CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / n AS a11,
+               CAST(s3 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS a12,
+               CAST(s4 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS a22,
+               CAST(q1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS b1,
+               CAST(q2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS b2
+        FROM s
+    ), w AS (
+        SELECT n, s1, s2, sy, syy, b1, b2, a11, a12, a22,
+               (b1 * a22 - a12 * b2) / (a11 * a22 - a12 * a12) AS w1,
+               (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS w2
+        FROM m
+    )
+    SELECT n AS n_rows,
+           ROUND((CAST(sy AS DOUBLE) - w1 * s1 - w2 * s2)
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS beta0_dollars,
+           ROUND(w1 / 100.0, 6) AS beta1_dollars,
+           ROUND(w2 / 100.0, 6) AS beta2_dollars,
+           ROUND((w1 * b1 + w2 * b2)
+                 / (syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)), 6) AS r_squared
+    FROM w
+"""
+
+
+@query("ml19_poly_regression", oracle=_POLY_ORACLE)
+def ml19_poly_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic polynomial regression of line price on quantity
+    (SURVEY §2.9 M2, the distributed form of ml/features.
+    polynomial_terms + OLS): the degree-2 fit needs only the exact
+    power moments sum(x..x^4), sum(y), sum(xy), sum(x^2 y) — one
+    mergeable 9-stat aggregate — and the centered normal equations
+    solve by Cramer's rule. R^2 comes from the explained-sum identity
+    w·b / Syy, with sum(y^2) accumulated as decimal(38,0) (cents^2
+    exceeds BIGINT at large scale factors in Spark's long sums).
+
+    Degree-d polynomial regression at 100 TB is the SAME single scan
+    with 2d+1 power moments — the feature expansion never
+    materializes, which is exactly why moment-based fitting beats
+    assembling an explicit Vandermonde matrix distributively."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"))
+    x, y = F.col("x"), F.col("y")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"), F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"), F.sum(x * x * x * x).alias("s4"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("q1y"), F.sum(x * x * y).alias("q2y"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"))
+    nd = F.col("n").cast("double")
+    a11 = F.col("s2").cast("double") \
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    a12 = F.col("s3").cast("double") \
+        - F.col("s1").cast("double") * F.col("s2").cast("double") / nd
+    a22 = F.col("s4").cast("double") \
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / nd
+    b1 = F.col("q1y").cast("double") \
+        - F.col("s1").cast("double") * F.col("sy").cast("double") / nd
+    b2 = F.col("q2y").cast("double") \
+        - F.col("s2").cast("double") * F.col("sy").cast("double") / nd
+    det = a11 * a22 - a12 * a12
+    w1 = (b1 * a22 - a12 * b2) / det
+    w2 = (a11 * b2 - a12 * b1) / det
+    syy_c = (F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double")
+             / nd)
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round((F.col("sy").cast("double") - w1 * F.col("s1")
+                 - w2 * F.col("s2")) / nd / 100.0, 6)
+        .alias("beta0_dollars"),
+        F.round(w1 / 100.0, 6).alias("beta1_dollars"),
+        F.round(w2 / 100.0, 6).alias("beta2_dollars"),
+        F.round((w1 * b1 + w2 * b2) / syy_c, 6).alias("r_squared"))
+
+
+# --------------------------------------------------------------------
+# ml20 — variance inflation factors (M20): collinearity audit from
+# one moment matrix
+# --------------------------------------------------------------------
+
+def _vif_r2_sql(j: str, a: str, b: str) -> str:
+    """R^2 of x_j regressed on (x_a, x_b) from centered moments
+    c{ij} (doubles built upstream)."""
+    return (f"((c{a}{j} * c{b}{b} - c{a}{b} * c{b}{j})"
+            f"  * c{a}{j}"
+            f" + (c{a}{a} * c{b}{j} - c{a}{b} * c{a}{j})"
+            f"  * c{b}{j})"
+            f" / ((c{a}{a} * c{b}{b} - c{a}{b} * c{a}{b}) * c{j}{j})")
+
+
+_VIF_ORACLE = f"""
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS x3
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x3) AS BIGINT) AS s3,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+               CAST(SUM(x3 * x3) AS BIGINT) AS q33,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+               CAST(SUM(x1 * x3) AS BIGINT) AS q13,
+               CAST(SUM(x2 * x3) AS BIGINT) AS q23
+        FROM r
+    ), c AS (
+        SELECT n,
+               CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / n AS c11,
+               CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c22,
+               CAST(q33 AS DOUBLE) - CAST(s3 AS DOUBLE)
+                   * CAST(s3 AS DOUBLE) / n AS c33,
+               CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c12,
+               CAST(q13 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s3 AS DOUBLE) / n AS c13,
+               CAST(q23 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s3 AS DOUBLE) / n AS c23
+        FROM s
+    ), cc AS (
+        SELECT n, c11, c22, c33, c12, c13, c23,
+               c12 AS c21, c13 AS c31, c23 AS c32
+        FROM c
+    )
+    SELECT feature, ROUND(r2, 6) AS r2_on_others,
+           ROUND(1.0 / (1.0 - r2), 6) AS vif
+    FROM (
+        SELECT 'quantity' AS feature,
+               {_vif_r2_sql('1', '2', '3')} AS r2 FROM cc
+        UNION ALL
+        SELECT 'discount_cents', {_vif_r2_sql('2', '1', '3')} FROM cc
+        UNION ALL
+        SELECT 'tax_cents', {_vif_r2_sql('3', '1', '2')} FROM cc)
+    ORDER BY feature
+"""
+
+
+@query("ml20_vif", oracle=_VIF_ORACLE)
+def ml20_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for (quantity, discount, tax)
+    (SURVEY §2.9 M20, the distributed form of ml/regression.vif):
+    VIF_j = 1/(1 - R^2_j) where R^2_j regresses feature j on the
+    other two — all three auxiliary regressions solve in closed form
+    from ONE centered moment matrix, itself one pass of 10 exact
+    integer statistics. The collinearity audit of a p-feature design
+    costs one scan + O(p^3) driver-free arithmetic at any scale —
+    never p separate regressions over the data.
+
+    Values near 1 certify the TPC-H columns are (by construction)
+    nearly orthogonal — the audit's negative result is itself
+    hash-verified."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_tax") * 100.0 + 0.5).cast("long").alias("x3"))
+    x1, x2, x3 = F.col("x1"), F.col("x2"), F.col("x3")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(x3).alias("s3"),
+        F.sum(x1 * x1).alias("q11"), F.sum(x2 * x2).alias("q22"),
+        F.sum(x3 * x3).alias("q33"),
+        F.sum(x1 * x2).alias("q12"), F.sum(x1 * x3).alias("q13"),
+        F.sum(x2 * x3).alias("q23"))
+    nd = F.col("n").cast("double")
+
+    def _c(q, sa, sb):
+        return (F.col(q).cast("double")
+                - F.col(sa).cast("double") * F.col(sb).cast("double")
+                / nd)
+
+    c = {"11": _c("q11", "s1", "s1"), "22": _c("q22", "s2", "s2"),
+         "33": _c("q33", "s3", "s3"), "12": _c("q12", "s1", "s2"),
+         "13": _c("q13", "s1", "s3"), "23": _c("q23", "s2", "s3")}
+    c["21"], c["31"], c["32"] = c["12"], c["13"], c["23"]
+
+    def _r2(j, a, b):
+        caj, cbj = c[a + j], c[b + j]
+        return (((c[a + j] * c[b + b] - c[a + b] * c[b + j]) * caj
+                 + (c[a + a] * c[b + j] - c[a + b] * c[a + j]) * cbj)
+                / ((c[a + a] * c[b + b] - c[a + b] * c[a + b])
+                   * c[j + j]))
+
+    rows = []
+    for feat, (j, a, b) in (("quantity", ("1", "2", "3")),
+                            ("discount_cents", ("2", "1", "3")),
+                            ("tax_cents", ("3", "1", "2"))):
+        r2 = _r2(j, a, b)
+        rows.append(s.select(
+            F.lit(feat).alias("feature"),
+            F.round(r2, 6).alias("r2_on_others"),
+            F.round(1.0 / (1.0 - r2), 6).alias("vif")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("feature")

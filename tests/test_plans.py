@@ -707,3 +707,32 @@ def test_ml18_conformal_bucketed_order_statistic(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml19_poly_single_pass_moments(spark):
+    """Polynomial regression: the degree-2 fit is one scan of power
+    moments — no joins, no feature-matrix materialization, no
+    Python."""
+    plan = _plan(spark, "ml19_poly_regression")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ml20_vif_no_per_feature_scans(spark):
+    """VIF: all three auxiliary regressions come from one moment
+    matrix — no shuffled joins, no hash exchange, no Python."""
+    plan = _plan(spark, "ml20_vif")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fs1_mi_broadcast_marginals(spark):
+    """Mutual information: marginals broadcast back onto the cell
+    histogram — no shuffled joins beyond the cell groupBy, no
+    Python."""
+    plan = _plan(spark, "fs1_mutual_information")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
