@@ -1510,3 +1510,312 @@ def ml20_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("feature")
+
+
+# --------------------------------------------------------------------
+# ml21 — grouped OLS: one model per key from a single keyed stats pass
+# --------------------------------------------------------------------
+
+_GOLS_ORACLE = """
+    WITH r AS (
+        SELECT n.n_name AS nation,
+               CAST(l.l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   AS y
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ), g AS (
+        SELECT nation, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM r GROUP BY nation
+    )
+    SELECT nation, n,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n) / 100.0, 6)
+               AS slope_dollars_per_unit,
+           ROUND((CAST(sy AS DOUBLE) / n
+                  - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE) / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / n))
+                    * (CAST(sx AS DOUBLE) / n)) / 100.0, 6)
+               AS intercept_dollars
+    FROM g ORDER BY nation
+"""
+
+
+@query("ml21_grouped_ols", oracle=_GOLS_ORACLE)
+def ml21_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OLS model PER GROUP — price~quantity slope and intercept
+    for every supplier nation — from a single keyed sufficient-
+    statistics pass (SURVEY §2.9 M1 x the segmentation the
+    reference's notebooks do with pandas groupby). The many-models
+    pattern: |groups| regressions cost exactly one scan + one
+    mergeable groupBy, never |groups| fits — at 100 TB this is how
+    per-customer / per-segment models are actually trained, and it
+    composes with any of the closed-form fits in this module (the
+    group key just joins the stats).
+
+    The dims broadcast into the fact scan (j1's join shape); the
+    stats relation is |nations| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    r = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+         .select(F.col("n_name").alias("nation"), "x", "y"))
+    x, y = F.col("x"), F.col("y")
+    g = r.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"))
+    nd = F.col("n").cast("double")
+    slope = ((F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double")
+              / nd)
+             / (F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / nd))
+    intercept = (F.col("sy").cast("double") / nd
+                 - slope * (F.col("sx").cast("double") / nd))
+    return (g.select("nation", "n",
+                     F.round(slope / 100.0, 6)
+                     .alias("slope_dollars_per_unit"),
+                     F.round(intercept / 100.0, 6)
+                     .alias("intercept_dollars"))
+            .orderBy("nation"))
+
+
+# --------------------------------------------------------------------
+# km1 — Kaplan-Meier survival curve (new operator class: time-to-event)
+# --------------------------------------------------------------------
+
+_KM_ORACLE = """
+    WITH r AS (
+        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS t,
+               CASE WHEN l.l_returnflag = 'R' THEN 0 ELSE 1 END AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), h AS (
+        SELECT t, COUNT(*) AS n, CAST(SUM(ev) AS BIGINT) AS d
+        FROM r GROUP BY t
+    ), steps AS (
+        SELECT t, d,
+               CAST(SUM(n) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS at_risk
+        FROM h
+    ), cum AS (
+        SELECT t, d, at_risk,
+               CAST(SUM(CASE WHEN d > 0 AND at_risk > d THEN
+                   CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE)
+                       / CAST(at_risk AS DOUBLE))
+                       * 1000000000000.0) AS BIGINT) ELSE 0 END)
+                   OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS lnq
+        FROM steps
+    )
+    SELECT t AS day, at_risk, d AS events,
+           ROUND(exp(CAST(lnq AS DOUBLE) / 1000000000000.0), 6)
+               AS survival
+    FROM cum WHERE d > 0 AND at_risk > d
+    ORDER BY day LIMIT 30
+"""
+
+
+@query("km1_survival_curve", oracle=_KM_ORACLE)
+def km1_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate over order-to-ship duration
+    (event = shipped-and-kept; returned lines treated as censored) —
+    the time-to-event operator class, new to the registry: S(t) =
+    prod_{t_i <= t} (1 - d_i / n_i) with n_i the at-risk count. The
+    running product is carried as an exactly-summed quantized
+    log-space cumulative (each ln(1 - d/n) term floor-quantized to
+    1e-12 — the ml9 discipline applied to a cumulative product), so
+    the curve is identical under any partitioning.
+
+    st3's histogram-first shape: ONE groupBy(day) pass builds the
+    event table; at-risk counts are a DESCENDING cumulative over the
+    |distinct days| relation; the window input never exceeds the
+    duration support. First 30 event days emitted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    r = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+         .select(F.datediff("l_shipdate", "o_orderdate").cast("long")
+                 .alias("t"),
+                 F.when(F.col("l_returnflag") == "R", 0).otherwise(1)
+                 .alias("ev")))
+    h = r.groupBy("t").agg(F.count("*").alias("n"),
+                           F.sum("ev").cast("long").alias("d"))
+    wdesc = (Window.orderBy(F.desc("t"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wasc = (Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    at_risk = F.sum("n").over(wdesc).cast("long")
+    step = h.select("t", "d", at_risk.alias("at_risk"))
+    lnterm = F.when(
+        (F.col("d") > 0) & (F.col("at_risk") > F.col("d")),
+        F.floor(F.log(1.0 - F.col("d").cast("double")
+                      / F.col("at_risk").cast("double"))
+                * 1_000_000_000_000.0).cast("long")).otherwise(0)
+    cum = step.select(
+        "t", "d", "at_risk",
+        F.sum(lnterm).over(wasc).cast("long").alias("lnq"))
+    return (cum.filter((F.col("d") > 0)
+                       & (F.col("at_risk") > F.col("d")))
+            .select(F.col("t").alias("day"), "at_risk",
+                    F.col("d").alias("events"),
+                    F.round(F.exp(F.col("lnq").cast("double")
+                                  / 1_000_000_000_000.0), 6)
+                    .alias("survival"))
+            .orderBy("day").limit(30))
+
+
+# --------------------------------------------------------------------
+# ml22 — Mallows Cp model selection over the nested-model lattice
+# --------------------------------------------------------------------
+
+_CP_ORACLE = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+               CAST(SUM(x1 * y) AS BIGINT) AS q1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS q2y,
+               SUM(y * y) AS syy
+        FROM r
+    ), c AS (
+        SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS cyy,
+               CAST(q11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / n AS c11,
+               CAST(q22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c22,
+               CAST(q12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / n AS c12,
+               CAST(q1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS c1y,
+               CAST(q2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS c2y
+        FROM s
+    ), rss AS (
+        SELECT n, cyy,
+               cyy AS rss0,
+               cyy - c1y * c1y / c11 AS rss1,
+               cyy - c2y * c2y / c22 AS rss2,
+               cyy - ((c1y * c22 - c12 * c2y) * c1y
+                      + (c11 * c2y - c12 * c1y) * c2y)
+                     / (c11 * c22 - c12 * c12) AS rss12
+        FROM c
+    ), models AS (
+        SELECT 'intercept_only' AS model, 1 AS n_params, rss0 AS rss,
+               n, rss12 FROM rss
+        UNION ALL
+        SELECT 'quantity', 2, rss1, n, rss12 FROM rss
+        UNION ALL
+        SELECT 'discount', 2, rss2, n, rss12 FROM rss
+        UNION ALL
+        SELECT 'quantity+discount', 3, rss12, n, rss12 FROM rss
+    ), scored AS (
+        SELECT model, n_params,
+               ROUND(rss / (rss12 / (n - 3)) - n + 2 * n_params, 4)
+                   AS mallows_cp
+        FROM models
+    )
+    SELECT model, n_params, mallows_cp,
+           CASE WHEN mallows_cp = (SELECT MIN(mallows_cp) FROM scored)
+                THEN 1 ELSE 0 END AS is_best
+    FROM scored ORDER BY model
+"""
+
+
+@query("ml22_mallows_cp", oracle=_CP_ORACLE)
+def ml22_mallows_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mallows Cp across the full nested-model lattice of (quantity,
+    discount) predicting price (SURVEY §2.9 M20, the distributed
+    form of ml/regression.mallows_cp + forward_stepwise's scoring):
+    every submodel's RSS comes in closed form from the SAME centered
+    moment matrix — intercept-only, each single regressor, and the
+    full model — so best-subset search over p features costs ONE
+    scan + 2^p driver-free arithmetic rows, not 2^p regressions.
+    Cp = RSS_m / sigma2_full - n + 2(p_m+1), rounded before the
+    argmin flag (ties deterministic).
+
+    The same anatomy as ml14/ml20: one 10-stat mergeable aggregate,
+    tiny relational tail."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("q11"), F.sum(x2 * x2).alias("q22"),
+        F.sum(x1 * x2).alias("q12"),
+        F.sum(x1 * y).alias("q1y"), F.sum(x2 * y).alias("q2y"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"))
+    nd = F.col("n").cast("double")
+
+    def _c(q, sa, sb):
+        return (F.col(q).cast("double")
+                - F.col(sa).cast("double") * F.col(sb).cast("double")
+                / nd)
+
+    cyy = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")
+           / nd)
+    c11, c22, c12 = _c("q11", "s1", "s1"), _c("q22", "s2", "s2"), \
+        _c("q12", "s1", "s2")
+    c1y, c2y = _c("q1y", "s1", "sy"), _c("q2y", "s2", "sy")
+    rss12 = cyy - ((c1y * c22 - c12 * c2y) * c1y
+                   + (c11 * c2y - c12 * c1y) * c2y) \
+        / (c11 * c22 - c12 * c12)
+    sigma2 = rss12 / (nd - 3)
+    models = [("intercept_only", 1, cyy),
+              ("quantity", 2, cyy - c1y * c1y / c11),
+              ("discount", 2, cyy - c2y * c2y / c22),
+              ("quantity+discount", 3, rss12)]
+    rows = [s.select(F.lit(name).alias("model"),
+                     F.lit(p).alias("n_params"),
+                     F.round(rss / sigma2 - nd + 2 * p, 4)
+                     .alias("mallows_cp"))
+            for name, p, rss in models]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    best = out.agg(F.min("mallows_cp").alias("mn"))
+    return (out.crossJoin(F.broadcast(best))
+            .select("model", "n_params", "mallows_cp",
+                    F.when(F.col("mallows_cp") == F.col("mn"), 1)
+                    .otherwise(0).alias("is_best"))
+            .orderBy("model"))

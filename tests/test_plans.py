@@ -736,3 +736,32 @@ def test_fs1_mi_broadcast_marginals(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ml21_grouped_ols_broadcast_dims(spark):
+    """Grouped OLS: the nation/supplier dims broadcast into the fact
+    scan (j1's shape); |groups| models come from ONE keyed stats
+    exchange — no sort-merge join, no Python."""
+    plan = _plan(spark, "ml21_grouped_ols")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_km1_histogram_before_windows(spark):
+    """Kaplan-Meier: the event table aggregates to |distinct days|
+    BEFORE the at-risk / log-survival windows; the order join
+    broadcasts; no Python."""
+    plan = _plan(spark, "km1_survival_curve")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ml22_cp_single_pass(spark):
+    """Mallows Cp: the whole nested-model lattice scores from one
+    scalar moment aggregate — zero hash exchanges, no shuffled
+    joins, no Python."""
+    plan = _plan(spark, "ml22_mallows_cp")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
