@@ -1819,3 +1819,65 @@ def ml22_mallows_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("mallows_cp") == F.col("mn"), 1)
                     .otherwise(0).alias("is_best"))
             .orderBy("model"))
+
+
+# --------------------------------------------------------------------
+# gm1 — exact Gram matrix of the embedding corpus (distributed-PCA
+# precursor; MLlib RowMatrix.computeGramianMatrix's shape)
+# --------------------------------------------------------------------
+
+_GM_ORACLE = f"""
+    WITH v AS (
+        SELECT list_transform(embedding::DOUBLE[],
+                   x -> CAST(FLOOR(x * {_EMB_SCALE}) AS BIGINT)) AS vq
+        FROM embeddings
+    )
+    SELECT t1.i AS i, t2.j AS j,
+           CAST(SUM(vq[t1.i] * vq[t2.j]) AS BIGINT) AS g
+    FROM v,
+         unnest(generate_series(1, {_DIM})) AS t1(i),
+         unnest(generate_series(t1.i, {_DIM})) AS t2(j)
+    GROUP BY t1.i, t2.j
+    ORDER BY i, j
+"""
+
+
+@query("gm1_gram_matrix", oracle=_GM_ORACLE)
+def gm1_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix X^T X of the 64-d embedding corpus on the
+    integer micro-unit grid — the {D}x{D} upper triangle ({T} rows).
+    This is the precursor every distributed PCA/linear solver
+    reduces to (MLlib's RowMatrix.computeGramianMatrix): the d x d
+    result is driver-sized no matter how many rows X has, so the
+    whole computation is ONE map-side-combinable aggregate with
+    d(d+1)/2 groups. On the integer grid the entries are exact
+    BIGINTs — the matrix is bit-identical under any partitioning,
+    unlike a float Gram accumulation.
+
+    Per row the upper-triangle products expand in-plan (nested array
+    transforms, flattened then exploded); partial aggregation
+    collapses each task's contribution to {T} cells before the
+    shuffle, so shuffled volume is O(tasks * d^2), independent of
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(_quantized(F.col("embedding")).alias("vq"))
+    seq = F.sequence(F.lit(1), F.lit(_DIM))
+
+    def _upper(i):
+        return F.transform(
+            F.sequence(i, F.lit(_DIM)),
+            lambda j: F.struct(
+                i.alias("i"), j.alias("j"),
+                (F.element_at(F.col("vq"), i)
+                 * F.element_at(F.col("vq"), j)).alias("p")))
+
+    cells = (v.select(F.explode(F.flatten(F.transform(seq, _upper)))
+                      .alias("c"))
+             .select("c.i", "c.j", "c.p"))
+    return (cells.groupBy("i", "j")
+            .agg(F.sum("p").cast("long").alias("g"))
+            .orderBy("i", "j"))
+
+
+gm1_gram_matrix.__doc__ = gm1_gram_matrix.__doc__.format(
+    D=_DIM, T=_DIM * (_DIM + 1) // 2)

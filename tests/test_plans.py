@@ -765,3 +765,13 @@ def test_ml22_cp_single_pass(spark):
     assert plan.count("Exchange hashpartitioning") == 0
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gm1_gram_partial_aggregation(spark):
+    """Gram matrix: one scan, in-plan pair expansion, partial+final
+    aggregation over d(d+1)/2 groups — no joins, no Python."""
+    plan = _plan(spark, "gm1_gram_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
