@@ -177,6 +177,7 @@ def load_all() -> dict[str, Query]:
         semantic_dedup,
         ml_prep,
         normalize,
+        monitoring,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

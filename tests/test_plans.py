@@ -775,3 +775,31 @@ def test_gm1_gram_partial_aggregation(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cal1_histogram_first(spark):
+    """Calibration table: one scan, one groupBy(bin) exchange; the
+    global totals are windows over the 11-row histogram."""
+    plan = _plan(spark, "cal1_reliability_diagram")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dr1_psi_conditional_histogram(spark):
+    """PSI: both periods' bin counts come from ONE conditional-sum
+    histogram (no per-period scans or self-union of the fact table
+    beyond the split-point reduction); no shuffled joins."""
+    plan = _plan(spark, "dr1_psi_drift")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ec1_gini_ranks_aggregate_not_facts(spark):
+    """Gini: the total-order window ranks the per-customer AGGREGATE
+    (|customers| rows), never the orders fact table — the groupBy
+    exchange precedes the window in the plan."""
+    plan = _plan(spark, "ec1_revenue_gini")
+    assert plan.count("Exchange hashpartitioning") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
