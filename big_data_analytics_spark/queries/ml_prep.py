@@ -330,8 +330,7 @@ def ml14_cv_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     errs = (li.join(F.broadcast(betas), "fold")
             .groupBy("lam")
             .agg(F.sum(F.floor(errd * errd).cast("long")).alias("sse_q"),
-                 F.count("*").alias("n"))
-            .localCheckpoint())
+                 F.count("*").alias("n")))
     best = errs.agg(F.min("sse_q").alias("min_sse"))
     return (errs.crossJoin(F.broadcast(best))
             .select(F.col("lam").alias("lambda_per_row"),
