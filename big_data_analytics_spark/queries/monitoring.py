@@ -228,3 +228,209 @@ def ec1_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev")).otherwise(0)).cast("double")
             / F.max("tot").cast("double"), 6)
         .alias("top_decile_share"))
+
+
+# --------------------------------------------------------------------
+# seg1 — RFM customer segmentation
+# --------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               CAST(NTILE(5) OVER (ORDER BY last_us, o_custkey)
+                    AS BIGINT) AS r,
+               CAST(NTILE(5) OVER (ORDER BY freq, o_custkey)
+                    AS BIGINT) AS f,
+               CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m,
+               monetary
+        FROM cust
+    )
+    SELECT CASE
+             WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+             WHEN r >= 4 AND f >= 3 THEN 'loyal'
+             WHEN r >= 4 THEN 'recent'
+             WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+             WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+             ELSE 'regular' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS BIGINT) AS revenue_cents
+    FROM scored GROUP BY segment ORDER BY segment
+"""
+
+
+@query("seg1_rfm_segmentation", oracle=_RFM_ORACLE)
+def seg1_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the reference project's core e-commerce analytics surface
+    (/root/reference/spark_processing.py's customer aggregates,
+    completed into the standard marketing segmentation): per-customer
+    last-order time, order count, and exact revenue cents, quintile-
+    scored with NTILE (ties broken by key), mapped to the
+    conventional segment rules, rolled up to segment sizes and
+    revenue. Every input to the quintile windows is an exact
+    integer, so segment membership is engine-identical.
+
+    The windows rank the per-customer AGGREGATE (|customers| rows,
+    one keyed mergeable groupBy first) — at extreme cardinality the
+    sh1 two-level NTILE stitching applies unchanged; the rule map is
+    a pure expression; the rollup is 6 groups."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate")).alias("us"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        .alias("cents"))
+    cust = o.groupBy("o_custkey").agg(
+        F.max("us").cast("long").alias("last_us"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("monetary"))
+    r = F.ntile(5).over(Window.orderBy("last_us", "o_custkey")) \
+        .cast("long")
+    f = F.ntile(5).over(Window.orderBy("freq", "o_custkey")) \
+        .cast("long")
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey")) \
+        .cast("long")
+    scored = cust.select("o_custkey", "monetary",
+                         r.alias("r"), f.alias("f"), m.alias("m"))
+    seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4)
+                  & (F.col("m") >= 4), "champion")
+           .when((F.col("r") >= 4) & (F.col("f") >= 3), "loyal")
+           .when(F.col("r") >= 4, "recent")
+           .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
+           .when((F.col("r") <= 2) & (F.col("f") <= 2), "hibernating")
+           .otherwise("regular"))
+    return (scored.select(seg.alias("segment"), "monetary")
+            .groupBy("segment")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("monetary").cast("long").alias("revenue_cents"))
+            .orderBy("segment"))
+
+
+# --------------------------------------------------------------------
+# ab1 — CUPED variance reduction for experiment readouts
+# --------------------------------------------------------------------
+
+_CUPED_ORACLE = f"""
+    WITH mid AS (
+        SELECT CAST((SELECT epoch_us(MIN(ts))
+                     + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2
+                     FROM events) AS BIGINT) AS mid_us
+    ), u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS grp,
+               CAST(SUM(CASE WHEN epoch_us(ts) < mid_us THEN
+                   CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) >= mid_us THEN
+                   CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS y
+        FROM events, mid GROUP BY user_id, grp
+    ), s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN grp = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS sy1,
+               CAST(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx1
+        FROM u
+    ), th AS (
+        SELECT n, sx, sy, n1, sy1, sx1,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / n) AS theta
+        FROM s
+    )
+    SELECT n AS n_users, n1 AS n_treatment,
+           ROUND(theta, 6) AS theta,
+           ROUND((CAST(sy1 AS DOUBLE) / n1
+                  - CAST(sy - sy1 AS DOUBLE) / (n - n1)) / 10000.0, 6)
+               AS raw_diff,
+           ROUND(((CAST(sy1 AS DOUBLE) / n1
+                   - theta * (CAST(sx1 AS DOUBLE) / n1
+                              - CAST(sx AS DOUBLE) / n))
+                  - (CAST(sy - sy1 AS DOUBLE) / (n - n1)
+                     - theta * (CAST(sx - sx1 AS DOUBLE) / (n - n1)
+                                - CAST(sx AS DOUBLE) / n)))
+                 / 10000.0, 6) AS cuped_diff
+    FROM th
+"""
+
+
+@query("ab1_cuped_adjustment", oracle=_CUPED_ORACLE)
+def ab1_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data)
+    variance reduction — the industry-standard A/B readout adjuster
+    (Deng et al., public; extends st2's proportion test): users hash
+    50/50 into arms, the pre-period per-user value sum is the
+    covariate, theta = cov(x,y)/var(x) from exact integer sums, and
+    the treatment effect is read out both raw and CUPED-adjusted
+    (y - theta * (x - mean(x))). Every sufficient statistic is an
+    exact integer; theta and both diffs are identical-op-order
+    doubles rounded at the end.
+
+    One keyed groupBy builds the per-user (pre, post) pairs; one
+    9-stat mergeable aggregate fits theta AND both arms' means — the
+    whole adjusted readout is two scans of events (one to find the
+    period split), driver-free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+        .alias("vq"))
+    b = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    mid = (F.col("lo") + F.floor((F.col("hi") - F.col("lo")) / 2)
+           .cast("long"))
+    grp = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("long") % 2)
+    u = (ev.crossJoin(F.broadcast(b.select(mid.alias("mid_us"))))
+         .groupBy("user_id")
+         .agg(F.sum(F.when(F.col("us") < F.col("mid_us"),
+                           F.col("vq")).otherwise(0)).cast("long")
+              .alias("x"),
+              F.sum(F.when(F.col("us") >= F.col("mid_us"),
+                           F.col("vq")).otherwise(0)).cast("long")
+              .alias("y"))
+         .select(grp.alias("grp"), "x", "y"))
+    g1 = (F.col("grp") == 1).cast("long")
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(g1).cast("long").alias("n1"),
+        F.sum(g1 * F.col("y")).cast("long").alias("sy1"),
+        F.sum(g1 * F.col("x")).cast("long").alias("sx1"))
+    nd = F.col("n").cast("double")
+    theta = ((F.col("sxy").cast("double")
+              - F.col("sx").cast("double") * F.col("sy").cast("double")
+              / nd)
+             / (F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / nd))
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    my1 = F.col("sy1").cast("double") / n1d
+    my0 = (F.col("sy") - F.col("sy1")).cast("double") / n0d
+    mx1 = F.col("sx1").cast("double") / n1d
+    mx0 = (F.col("sx") - F.col("sx1")).cast("double") / n0d
+    mx = F.col("sx").cast("double") / nd
+    return s.select(
+        F.col("n").alias("n_users"), F.col("n1").alias("n_treatment"),
+        F.round(theta, 6).alias("theta"),
+        F.round((my1 - my0) / 10000.0, 6).alias("raw_diff"),
+        F.round(((my1 - theta * (mx1 - mx))
+                 - (my0 - theta * (mx0 - mx))) / 10000.0, 6)
+        .alias("cuped_diff"))

@@ -803,3 +803,22 @@ def test_ec1_gini_ranks_aggregate_not_facts(spark):
     assert plan.count("Exchange hashpartitioning") >= 1
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_seg1_rfm_ranks_aggregate(spark):
+    """RFM: the quintile windows rank the per-customer aggregate
+    (groupBy exchange precedes the NTILEs); no shuffled joins, no
+    Python."""
+    plan = _plan(spark, "seg1_rfm_segmentation")
+    assert plan.count("Exchange hashpartitioning") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ab1_cuped_single_stats_pass(spark):
+    """CUPED: theta and both arms' means come from ONE 9-stat
+    aggregate over the per-user relation; no shuffled joins, no
+    Python."""
+    plan = _plan(spark, "ab1_cuped_adjustment")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
