@@ -434,3 +434,179 @@ def ab1_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((my1 - theta * (mx1 - mx))
                  - (my0 - theta * (mx0 - mx))) / 10000.0, 6)
         .alias("cuped_diff"))
+
+
+# --------------------------------------------------------------------
+# tp1 — classification threshold tuning from the score histogram
+# --------------------------------------------------------------------
+
+_TP_ORACLE = """
+    WITH r AS (
+        SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), h AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM r GROUP BY s
+    ), cum AS (
+        SELECT s,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_ge,
+               CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+               CAST(SUM(pos) OVER () AS BIGINT) AS p_tot
+        FROM h
+        WINDOW w AS (ORDER BY s DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+        SELECT s AS threshold, tp, n_ge - tp AS fp, p_tot - tp AS fn,
+               ROUND(2.0 * CAST(tp AS DOUBLE)
+                     / (CAST(n_ge AS DOUBLE) + CAST(p_tot AS DOUBLE)),
+                     6) AS f1
+        FROM cum
+    )
+    SELECT threshold, tp, fp, fn, f1 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY f1 DESC, threshold) AS rn
+        FROM scored) WHERE rn = 1
+"""
+
+
+@query("tp1_threshold_tuning", oracle=_TP_ORACLE)
+def tp1_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal classification threshold by F1 for the
+    discount-as-score classifier (completes the M19 metrics family
+    alongside ml13's AUC): ALL candidate thresholds are swept from
+    one descending cumulative over the score histogram — TP/FP at
+    threshold t are window sums, F1 = 2TP/(predicted + actual) is a
+    rounded double, the argmax tiebreaks to the lower threshold.
+    Exact counts everywhere.
+
+    The ml8/ml13 histogram-first discipline: evaluating every
+    threshold costs ONE scan + an 11-row window, not a scan per
+    candidate — threshold tuning at 100 TB is free once the score
+    histogram exists."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    h = li.groupBy("s").agg(F.count("*").cast("long").alias("n"),
+                            F.sum("y").cast("long").alias("pos"))
+    wd = (Window.orderBy(F.desc("s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    cum = h.select(
+        "s",
+        F.sum("n").over(wd).cast("long").alias("n_ge"),
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum("pos").over(wall).cast("long").alias("p_tot"))
+    f1 = F.round(2.0 * F.col("tp").cast("double")
+                 / (F.col("n_ge").cast("double")
+                    + F.col("p_tot").cast("double")), 6)
+    scored = cum.select(
+        F.col("s").alias("threshold"), "tp",
+        (F.col("n_ge") - F.col("tp")).alias("fp"),
+        (F.col("p_tot") - F.col("tp")).alias("fn"),
+        f1.alias("f1"))
+    wb = Window.orderBy(F.desc("f1"), F.asc("threshold"))
+    return (scored.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+# --------------------------------------------------------------------
+# pp1 — bigram-LM perplexity filtering (CCNet-style corpus curation)
+# --------------------------------------------------------------------
+
+_PP_TRAIN_FRAC_DOCS = 250  # doc_id < this trains the LM
+_PP_TOP = 15
+
+
+def _pp_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), lm AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM big WHERE doc_id < {_PP_TRAIN_FRAC_DOCS}
+        GROUP BY w1, w2
+    ), uni AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY w1
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM lm
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(FLOOR(ln(
+                   (CAST(COALESCE(lm.c2, 0) AS DOUBLE) + 1.0)
+                   / (CAST(COALESCE(uni.c1, 0) AS DOUBLE) + v))
+                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS lpq
+        FROM big b
+        LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        LEFT JOIN uni ON b.w1 = uni.w1, vocab
+        WHERE b.doc_id >= {_PP_TRAIN_FRAC_DOCS}
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(exp(-(CAST(lpq AS DOUBLE) / 1000000000000.0)
+                     / n_bigrams), 4) AS perplexity
+    FROM scored
+    ORDER BY perplexity DESC, doc_id LIMIT {_PP_TOP}
+"""
+
+
+@query("pp1_perplexity_filter", oracle=_pp_oracle())
+def pp1_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering (CCNet / the standard LLM-corpus quality
+    gate, public): train an add-one-smoothed bigram language model on
+    the first {TR} documents, score every other document's
+    perplexity under it, and surface the {TOP} most surprising
+    documents — the ones a curation pipeline would drop or
+    down-weight. Per-bigram log-probabilities are floor-quantized to
+    the 1e-12 grid and summed exactly per document, so the ranking is
+    partitioning-independent (exp/ln follow the t12 precedent under
+    ROUND).
+
+    Plan: the trained model is two mergeable count relations; both
+    broadcast into the scoring pass (the model side is vocabulary-
+    bounded, never corpus-bounded), which is one explode + two
+    broadcast left joins + a per-doc aggregate. At 100 TB this is
+    exactly how perplexity gates run: model state O(V^2) bounded,
+    corpus side embarrassingly parallel, one shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t"))
+    big = docs.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("bg")).select("doc_id", "bg.w1", "bg.w2")
+    lm = (big.filter(F.col("doc_id") < _PP_TRAIN_FRAC_DOCS)
+          .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")))
+    uni = lm.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = lm.agg(F.countDistinct("w1").cast("long").alias("v"))
+    lp = F.floor(
+        F.log((F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 1.0)
+              / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                 + F.col("v")))
+        * 1_000_000_000_000.0).cast("long")
+    scored = (big.filter(F.col("doc_id") >= _PP_TRAIN_FRAC_DOCS)
+              .join(F.broadcast(lm), ["w1", "w2"], "left")
+              .join(F.broadcast(uni), ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_bigrams"),
+                   F.sum(lp).cast("long").alias("lpq")))
+    return (scored.select(
+        "doc_id", "n_bigrams",
+        F.round(F.exp(-(F.col("lpq").cast("double")
+                        / 1_000_000_000_000.0)
+                      / F.col("n_bigrams").cast("double")), 4)
+        .alias("perplexity"))
+        .orderBy(F.desc("perplexity"), F.asc("doc_id"))
+        .limit(_PP_TOP))
+
+
+pp1_perplexity_filter.__doc__ = pp1_perplexity_filter.__doc__.format(
+    TR=_PP_TRAIN_FRAC_DOCS, TOP=_PP_TOP)

@@ -822,3 +822,23 @@ def test_ab1_cuped_single_stats_pass(spark):
     plan = _plan(spark, "ab1_cuped_adjustment")
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_tp1_threshold_sweep_histogram(spark):
+    """Threshold tuning: every candidate threshold evaluates from one
+    descending cumulative over the score histogram — one scan, no
+    joins, no Python."""
+    plan = _plan(spark, "tp1_threshold_tuning")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pp1_lm_broadcasts(spark):
+    """Perplexity filter: the trained bigram/unigram model relations
+    must broadcast into the scoring pass (vocabulary-bounded model
+    state, corpus side never shuffles for the joins); no Python."""
+    plan = _plan(spark, "pp1_perplexity_filter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
