@@ -610,3 +610,160 @@ def pp1_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 pp1_perplexity_filter.__doc__ = pp1_perplexity_filter.__doc__.format(
     TR=_PP_TRAIN_FRAC_DOCS, TOP=_PP_TOP)
+
+
+# --------------------------------------------------------------------
+# wp1 — weighted percentiles (revenue-weighted quantity quantiles)
+# --------------------------------------------------------------------
+
+_WP_ORACLE = """
+    WITH r AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS w
+        FROM lineitem
+    ), h AS (
+        SELECT v, CAST(SUM(w) AS BIGINT) AS wv
+        FROM r GROUP BY v
+    ), cum AS (
+        SELECT v, wv,
+               CAST(SUM(wv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cw,
+               CAST(SUM(wv) OVER () AS BIGINT) AS tw
+        FROM h
+    )
+    SELECT p.pct,
+           CAST(MIN(cum.v) AS BIGINT) AS weighted_quantile
+    FROM (SELECT 25 AS pct UNION ALL SELECT 50 UNION ALL
+          SELECT 75 UNION ALL SELECT 90) p
+    JOIN cum ON cum.cw * 100 >= CAST(p.pct AS BIGINT) * cum.tw
+    GROUP BY p.pct ORDER BY p.pct
+"""
+
+
+@query("wp1_weighted_percentiles", oracle=_WP_ORACLE)
+def wp1_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-WEIGHTED quantity percentiles (p25/50/75/90): the
+    smallest quantity v such that lines with quantity <= v carry at
+    least p% of total revenue — the weighted order statistic that
+    plain percentiles (a8) and quantile sketches (sk3) don't answer.
+    The inequality cw * 100 >= pct * tw is pure exact-integer
+    arithmetic — no division, no rounding, no float comparison
+    anywhere.
+
+    Histogram-first: one groupBy(value) weight histogram (50 rows),
+    one cumulative window over it, and a 4-row broadcast percentile
+    probe — weighted quantiles at 100 TB cost one mergeable
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("w"))
+    h = li.groupBy("v").agg(F.sum("w").cast("long").alias("wv"))
+    wc = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    cum = h.select(
+        "v",
+        F.sum("wv").over(wc).cast("long").alias("cw"),
+        F.sum("wv").over(wall).cast("long").alias("tw"))
+    pcts = li.sparkSession.createDataFrame(
+        [(25,), (50,), (75,), (90,)], "pct long")
+    return (cum.join(F.broadcast(pcts),
+                     F.col("cw") * 100 >= F.col("pct") * F.col("tw"))
+            .groupBy("pct")
+            .agg(F.min("v").cast("long").alias("weighted_quantile"))
+            .orderBy("pct"))
+
+
+# --------------------------------------------------------------------
+# oc1 — maximum concurrency via the +1/-1 interval sweep
+# --------------------------------------------------------------------
+
+_OC_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NOT NULL
+                         AND us - prev_us <= 30 * 60 * 1000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM ev
+    ), sess AS (
+        SELECT user_id, sid,
+               CAST(MIN(us) AS BIGINT) AS s,
+               CAST(MAX(us) AS BIGINT) AS e
+        FROM (
+            SELECT user_id, us,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+            FROM flagged)
+        GROUP BY user_id, sid
+    ), pts AS (
+        SELECT s AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT e + 1, -1 FROM sess
+    ), sweep AS (
+        SELECT t,
+               CAST(SUM(d) OVER (ORDER BY t, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS live
+        FROM pts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS max_concurrent,
+           CAST(MIN(t) FILTER (live = (SELECT MAX(live) FROM sweep))
+                AS BIGINT) AS first_peak_us
+    FROM sweep
+"""
+
+
+@query("oc1_max_concurrency", oracle=_OC_ORACLE)
+def oc1_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions via the classic +1/-1 interval
+    sweep: sessionize (w7's exact 30-minute-gap semantics), emit a
+    +1 point at each session start and a -1 just after each end,
+    and the running sum's maximum is the concurrency high-water mark
+    (first time it is reached reported in epoch micros). Capacity
+    planning's fundamental query, all exact integers (ties in the
+    sweep order resolve by (t, d) so ends-before-starts at the same
+    microsecond never inflate the peak... d=-1 sorts before +1).
+
+    The sweep's total order runs over SESSION ENDPOINTS (2 rows per
+    session, ~19k at sf0.1), not events — sessionization reduces
+    first. At extreme session counts the t9/w12 two-level stitched
+    cumsum replaces the single window; the sweep algebra is
+    unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(us - prev_us <= 30 * 60 * 1_000_000, 0).otherwise(1)
+    sess = (ev.withColumn("us", us)
+            .withColumn("is_new", is_new)
+            .withColumn("sid", F.sum("is_new").over(cum))
+            .groupBy("user_id", "sid")
+            .agg(F.min("us").cast("long").alias("s"),
+                 F.max("us").cast("long").alias("e")))
+    pts = (sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+           .unionByName(sess.select((F.col("e") + 1).alias("t"),
+                                    F.lit(-1).alias("d"))))
+    wsweep = (Window.orderBy("t", "d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sweep = pts.select("t", F.sum("d").over(wsweep).cast("long")
+                       .alias("live"))
+    n_sessions = sess.agg(F.count("*").cast("long").alias("n_sessions"))
+    peak = sweep.agg(F.max("live").cast("long").alias("max_concurrent"))
+    first = (sweep.join(F.broadcast(peak),
+                        F.col("live") == F.col("max_concurrent"))
+             .agg(F.min("t").cast("long").alias("first_peak_us"),
+                  F.max("live").cast("long").alias("max_concurrent")))
+    return (n_sessions.crossJoin(F.broadcast(first))
+            .select("n_sessions", "max_concurrent", "first_peak_us"))

@@ -842,3 +842,22 @@ def test_pp1_lm_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_wp1_weighted_quantile_histogram(spark):
+    """Weighted percentiles: one weight-histogram exchange, the
+    percentile probe broadcasts — no fact-table total order, no
+    Python."""
+    plan = _plan(spark, "wp1_weighted_percentiles")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_oc1_sweep_over_sessions_not_events(spark):
+    """Max concurrency: the +1/-1 sweep's total-order window runs
+    over session endpoints (sessionization aggregates first); no
+    shuffled joins, no Python."""
+    plan = _plan(spark, "oc1_max_concurrency")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
