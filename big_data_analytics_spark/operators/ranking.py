@@ -1,0 +1,149 @@
+"""Two-level "stitched" global ranking / ordering primitives.
+
+A total-order window (``Window.orderBy(...)`` with an empty partition
+spec) plans as ``Exchange SinglePartition`` — every row flows through
+ONE task, the canonical scale-killer once the windowed relation is
+unbounded (documents, customers, session endpoints). These helpers
+compute the same *exact* answers with the two-level shape already used
+by t9 sequence packing (queries/text2.py) and the gap-fill timeseries
+operators:
+
+1. assign every row to one of ``num_buckets`` value-range buckets that
+   respect the global order (a bucket is a monotone function of the
+   ordering key, so tied keys always land together and within-bucket
+   order extends to the exact global order);
+2. aggregate one tiny per-bucket totals relation (<= num_buckets rows;
+   the only total-order window in the plan runs over *it*);
+3. broadcast the per-bucket offsets back and finish with a window
+   *partitioned by bucket*.
+
+No stage ever orders more than one bucket of rows, so the shape
+survives any corpus size; ``num_buckets`` scales with cluster
+parallelism, not with data.
+
+Bucket boundaries come from one ``percentile_approx`` pass over the
+ordering key (bounded sketch state; deterministic for a fixed input),
+or from a caller-supplied monotone ``bucket_expr`` when the key is
+already uniform (e.g. an md5-derived hash: equal-width ranges are
+balanced by construction and skip the bounds pass entirely).
+Boundary placement affects only *balance*, never results. The one
+inherent caveat: a leading key with very low cardinality (heavy ties)
+degrades toward fewer effective buckets, exactly as any range
+partitioning of a near-constant column would — include a
+higher-cardinality component in ``key`` when that matters.
+
+Keys must be non-null (all call sites rank non-null aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["stitched_row_number", "stitched_ntile", "stitched_cumsum"]
+
+_BKT, _OFF, _TOT = "__srk_bkt", "__srk_off", "__srk_tot"
+
+
+def _with_bucket(df: DataFrame, key: str, num_buckets: int,
+                 bucket_expr: Optional[Column],
+                 accuracy: int = 10_000) -> DataFrame:
+    """Add a bucket id that is monotone non-decreasing in ``key``."""
+    if bucket_expr is not None:
+        return df.withColumn(_BKT, bucket_expr.cast("long"))
+    pcts = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(key, pcts, accuracy).alias("__srk_bounds"))
+    # bucket = #boundaries strictly below the key: monotone in key, and
+    # a pure function of the key value, so ties never straddle buckets.
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn(_BKT, F.aggregate(
+                "__srk_bounds", F.lit(0).cast("long"),
+                lambda acc, b: acc + F.when(F.col(key) > b, 1)
+                .otherwise(0).cast("long")))
+            .drop("__srk_bounds"))
+
+
+def _bucket_offsets(btot: DataFrame, val: str, with_total: bool) -> DataFrame:
+    w_off = (Window.orderBy(_BKT)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    sel = [F.col(_BKT),
+           F.coalesce(F.sum(val).over(w_off), F.lit(0)).cast("long")
+           .alias(_OFF)]
+    if with_total:
+        w_all = (Window.orderBy(_BKT)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        sel.append(F.sum(val).over(w_all).cast("long").alias(_TOT))
+    return btot.select(*sel)
+
+
+def stitched_row_number(df: DataFrame, key: str,
+                        tiebreaks: Sequence[str] = (),
+                        out: str = "rn", *, num_buckets: int = 64,
+                        bucket_expr: Optional[Column] = None,
+                        total_col: Optional[str] = None) -> DataFrame:
+    """Exact global ``ROW_NUMBER() OVER (ORDER BY key, *tiebreaks)``
+    without a single-partition window over ``df``. With ``total_col``
+    set, also attach the total row count (needed by NTILE) — computed
+    on the same tiny bucket-totals relation, no extra pass."""
+    b = _with_bucket(df, key, num_buckets, bucket_expr)
+    btot = b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__srk_bn"))
+    boff = _bucket_offsets(btot, "__srk_bn", total_col is not None)
+    w_in = Window.partitionBy(_BKT).orderBy(key, *tiebreaks)
+    res = (b.join(F.broadcast(boff), _BKT)
+           .withColumn(out, (F.col(_OFF)
+                             + F.row_number().over(w_in)).cast("long")))
+    if total_col is not None:
+        res = res.withColumn(total_col, F.col(_TOT)).drop(_TOT)
+    return res.drop(_BKT, _OFF)
+
+
+def stitched_ntile(df: DataFrame, n_tiles: int, key: str,
+                   tiebreaks: Sequence[str] = (),
+                   out: str = "tile", *, num_buckets: int = 64,
+                   bucket_expr: Optional[Column] = None) -> DataFrame:
+    """Exact global ``NTILE(n) OVER (ORDER BY key, *tiebreaks)`` in the
+    stitched shape. NTILE is a pure function of (row_number, total,
+    n): with q = n_rows DIV n, r = n_rows % n, the first r tiles get
+    q+1 rows — the standard definition Spark and DuckDB share, applied
+    here as an integer expression over the stitched row number."""
+    k = int(n_tiles)
+    if k <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    rn = stitched_row_number(df, key, tiebreaks, out="__srk_i",
+                             num_buckets=num_buckets,
+                             bucket_expr=bucket_expr,
+                             total_col="__srk_n")
+    # CASE branches evaluate lazily, so the ELSE division by q is never
+    # reached when q = 0 (then r = n_rows and the WHEN covers every row).
+    tile = F.expr(
+        f"CASE WHEN __srk_i <= (__srk_n % {k}) * ((__srk_n DIV {k}) + 1) "
+        f"THEN 1 + (__srk_i - 1) DIV ((__srk_n DIV {k}) + 1) "
+        f"ELSE 1 + (__srk_n % {k}) "
+        f"+ (__srk_i - 1 - (__srk_n % {k}) * ((__srk_n DIV {k}) + 1)) "
+        f"DIV (__srk_n DIV {k}) END").cast("long")
+    return rn.withColumn(out, tile).drop("__srk_i", "__srk_n")
+
+
+def stitched_cumsum(df: DataFrame, key: str,
+                    tiebreaks: Sequence[str] = (),
+                    val: str = "v", out: str = "cum", *,
+                    num_buckets: int = 64,
+                    bucket_expr: Optional[Column] = None) -> DataFrame:
+    """Exact global running sum of ``val`` in (key, *tiebreaks) order
+    (``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``),
+    stitched: per-bucket sums -> prefix over the tiny bucket relation
+    -> broadcast offsets + within-bucket cumulative window."""
+    b = _with_bucket(df, key, num_buckets, bucket_expr)
+    btot = b.groupBy(_BKT).agg(
+        F.sum(val).cast("long").alias("__srk_bv"))
+    boff = _bucket_offsets(btot, "__srk_bv", False)
+    w_in = (Window.partitionBy(_BKT).orderBy(key, *tiebreaks)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (b.join(F.broadcast(boff), _BKT)
+            .withColumn(out, (F.col(_OFF)
+                              + F.sum(val).over(w_in)).cast("long"))
+            .drop(_BKT, _OFF))

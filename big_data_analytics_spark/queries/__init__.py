@@ -37,91 +37,81 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 #: The driver harness grades registry entries head-first (exactly the
-#: first 50 each round), so ordering is the grading policy. Round-4
-#: head-50 = (a) every query that has never had a driver row
-#: (round-3's wave-4 additions + this round's new queries), (b) the
-#: three queries whose correctness CONTRACT changed this round (LSH
-#: queries flipped from rows-only to full oracles; dq3 redefined as a
-#: recall certification), (c) the three whose IMPLEMENTATION changed
-#: this round (shared edge build + operator routing for the graph
-#: pair, the rc1 ancestor-bound fix), (d) the two standing canaries,
-#: and (e) a rotating refresh of round-1-green queries whose driver
-#: rows are three rounds old (everything below the fold re-verifies
-#: locally every run via tests/test_queries_vs_duckdb.py).
+#: first 50 each round), so ordering is the grading policy. Round-5
+#: head-50 = (a) the ENTIRE never-graded backlog (39 queries: the
+#: classical-ML wave ml5-ml22, retrieval/semantic-dedup/feature-prep,
+#: the monitoring suite, ts4, sm5, and the new f17b graded twin) —
+#: after this round every registered query has a driver row at least
+#: once; (b) d6, whose implementation changed this round (single
+#: contamination-join execution); (c) the two standing canaries; and
+#: (d) a rotation of round-1-green rows whose driver evidence is four
+#: rounds old. Everything below the fold re-verifies locally every
+#: pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
-    # (a0) round-5 additions, never graded: market-basket + item-item
-    # CF, gap-fill + rolling-zscore time series, Welch t, corpus
-    # chunk dedup, and the three new streaming-engine rows
-    "mb1_association_rules",
-    "cf1_item_item_cosine",
-    "ts2_hourly_gap_fill",
-    "ts3_rolling_zscore",
-    "st5_welch_t_test",
-    "t13_chunk_dedup",
-    "sm2_stream_sessions",
-    "sm3_stream_dedup_ingest",
-    "sm4_stream_stream_join",
-    "x11_grouped_streaks",
-    "x12_arrow_cents_buckets",
-    "ml4_ridge_regression",
-    "mm2_frame_samples",
-    # (a) never graded in any round
-    "d2b_minhash_portable",
-    "d5_containment_pairs",
+    # (a) the entire never-graded backlog — every registered query
+    # gets a driver row at least once after this round. All 39 are
+    # locally hash-green vs DuckDB every pytest run
+    # (tests/test_queries_vs_duckdb.py); the driver row is the hard
+    # evidence. Includes the four queries rewritten this round onto
+    # the stitched two-level ranked-window shape (sh1/ec1/seg1/oc1,
+    # operators/ranking.py) and f17b, the new graded twin for the
+    # uuid-tier f17.
+    "ml5_kmeans",
+    "ml6_knn_classify",
+    "ml7_gaussian_nb",
+    "ml8_decision_stump",
+    "ml9_logistic_gd",
+    "ml10_pca_2feature",
+    "ml11_lda_2feature",
+    "ml12_svm_subgradient",
+    "ml13_roc_auc",
+    "ml14_cv_ridge",
+    "ml15_gbt_stumps",
+    "ml16_qda_2feature",
+    "ml17_poisson_bootstrap",
+    "ml18_conformal_interval",
+    "ml19_poly_regression",
+    "ml20_vif",
+    "ml21_grouped_ols",
+    "ml22_mallows_cp",
+    "km1_survival_curve",
+    "gm1_gram_matrix",
+    "fs1_mutual_information",
+    "ir1_bm25_topk",
+    "d8_semantic_dedup",
+    "te1_target_encoding",
+    "fh1_feature_hashing",
+    "qn1_quantile_normalize",
+    "sh1_balanced_shards",
+    "cal1_reliability_diagram",
+    "dr1_psi_drift",
+    "ec1_revenue_gini",
+    "seg1_rfm_segmentation",
+    "ab1_cuped_adjustment",
+    "tp1_threshold_tuning",
+    "pp1_perplexity_filter",
+    "wp1_weighted_percentiles",
+    "oc1_max_concurrency",
+    "ts4_holt_trend",
+    "sm5_stream_static_enrich",
+    "f17b_hash_id_generation",
+    # (b) implementation changed this round: one contamination-join
+    # execution instead of two (queries/quality.py)
     "d6_decontaminate_train",
-    "ws2_reservoir_per_group",
-    "w11_session_duration_percentiles",
-    "bm1_bitmap_segment_intersect",
-    "gr2_triangle_count",
-    "gr3_weighted_pagerank",
-    "a22_corr_matrix",
-    "rt1_weekly_retention",
-    "st1_chi_square_independence",
-    "st2_ab_test_proportions",
-    "mm1_media_stats",
-    "z1_zorder_keys",
-    "d3b_simhash_portable",
-    "mx1_mixture_budgets",
-    "d7_incremental_dedup",
-    "sj1_salted_skew_join",
-    "cp1_corpus_clean_audit",
-    "bl1_bloom_semi_join",
-    "cc1_dedup_clusters",
-    "bpe2_encode",
-    "v5_sq_topk",
-    "sql1_revenue_by_state_sqlapi",
-    "sm1_stream_daily_metrics",
-    "ml1_ols_inference",
-    "gr4_bfs_hops",
-    "st3_mann_whitney_u",
-    "w12_cumulative_distinct_users",
-    "ml2_anova_f",
-    "st4_ks_two_sample",
-    "ml3_ols_multiple",
-    "v6_pq_adc_topk",
-    # (b) correctness contract changed this round (r2 rows were
-    # rows-only; these are now value-hash oracled)
-    "v3_lsh_ann_topk",
-    "v4_embedding_near_dups",
-    "dq3_contamination_check",
-    # (c) implementation changed this round (shared cached edge
-    # relation + auto-guarded operators; 18-level ancestor bound)
-    # gr1_part_pagerank (r3-green) rotated below the fold for mm2 —
-    # its r4 impl change (shared cached edge build) is exercised by
-    # gr2/gr3/lp1 above; rc1 (r3-green; r4 change was the ancestor
-    # bound only) rotated for ml4
-    "lp1_part_communities",
-    # (d) the round-4 rotation block (j1/j2/j7/w4/w5/a8/a12/g1/u1)
-    # and both standing canaries (a1, w7) moved below the fold to
-    # make room for the 11 round-5 additions — every displaced row is
-    # multi-round driver-green AND re-verifies locally every pytest
-    # run via tests/test_queries_vs_duckdb.py
-    # (e) the 23 round-6 additions (ml5-ml18 classical-ML surface,
-    # ir1 BM25, d8 semantic dedup, te1/fh1/qn1/sh1 feature prep,
-    # sm5 stream-static, ts4 Holt) stay below the fold this round:
-    # the head must first clear the older never-graded backlog above;
-    # all 23 hash-match their oracles in the local gate every pytest
-    # run and queue for the next head rotation.
+    # (c) standing canaries — driver-green every round since r1
+    "a1_pricing_summary",
+    "w7_sessionize_events",
+    # (d) rotation: round-1-green rows whose driver evidence is four
+    # rounds old (everything below the fold still re-verifies locally
+    # every pytest run via tests/test_queries_vs_duckdb.py)
+    "j1_revenue_by_nation",
+    "o1_top_orders_by_revenue",
+    "a5_monthly_revenue",
+    "a8_percentiles",
+    "w1_event_lag_delta",
+    "g1_rollup_revenue",
+    "u1_union_distinct",
+    "f1_string_functions",
 ]
 
 

@@ -201,22 +201,28 @@ def ec1_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The total order ranks the PER-CUSTOMER aggregate, not the fact
     table — the orders scan reduces by a keyed mergeable groupBy
-    first, so the window input is |customers|. At extreme customer
-    cardinality the two-level stitched rank (t9/w12) replaces the
-    single window; the concentration math is unchanged."""
+    first (checkpointed once, so the rank and the totals share one
+    materialization). The rank itself is the two-level stitched
+    row number (operators/ranking.py): range-bucket on revenue via
+    one percentile_approx pass, rank within buckets, stitch offsets
+    — no single-task sort at any customer cardinality. n and total
+    revenue come from a plain 1-row aggregate broadcast back, not
+    from unpartitioned COUNT/SUM windows."""
+    from big_data_analytics_spark.operators.ranking import (
+        stitched_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
         .alias("cents"))
     cust = o.groupBy("o_custkey").agg(
-        F.sum("cents").cast("long").alias("rev"))
-    w = Window.orderBy("rev", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(wall).alias("n"),
-        F.sum("rev").over(wall).cast("long").alias("tot"))
+        F.sum("cents").cast("long").alias("rev")).localCheckpoint()
+    tots = cust.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("rev").cast("long").alias("tot"))
+    ranked = (stitched_row_number(cust, "rev", ["o_custkey"], out="i")
+              .crossJoin(F.broadcast(tots))
+              .select("rev", "i", "n", "tot"))
     return ranked.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.round(F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("rev"))
@@ -278,10 +284,17 @@ def seg1_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue. Every input to the quintile windows is an exact
     integer, so segment membership is engine-identical.
 
-    The windows rank the per-customer AGGREGATE (|customers| rows,
-    one keyed mergeable groupBy first) — at extreme cardinality the
-    sh1 two-level NTILE stitching applies unchanged; the rule map is
-    a pure expression; the rollup is 6 groups."""
+    The quintiles rank the per-customer AGGREGATE (|customers| rows,
+    one keyed mergeable groupBy, checkpointed once) and each runs in
+    the two-level stitched NTILE form (operators/ranking.py): range-
+    bucket on the score via percentile_approx, rank within buckets,
+    stitch offsets, NTILE as an integer formula — three bucket-
+    partitioned windows instead of three single-task global sorts.
+    The three quintile relations re-join on o_custkey (co-partitioned
+    shuffles); the rule map is a pure expression; the rollup is 6
+    groups."""
+    from big_data_analytics_spark.operators.ranking import stitched_ntile
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.unix_micros(F.col("o_orderdate")).alias("us"),
@@ -290,15 +303,16 @@ def seg1_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = o.groupBy("o_custkey").agg(
         F.max("us").cast("long").alias("last_us"),
         F.count("*").cast("long").alias("freq"),
-        F.sum("cents").cast("long").alias("monetary"))
-    r = F.ntile(5).over(Window.orderBy("last_us", "o_custkey")) \
-        .cast("long")
-    f = F.ntile(5).over(Window.orderBy("freq", "o_custkey")) \
-        .cast("long")
-    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey")) \
-        .cast("long")
-    scored = cust.select("o_custkey", "monetary",
-                         r.alias("r"), f.alias("f"), m.alias("m"))
+        F.sum("cents").cast("long").alias("monetary")).localCheckpoint()
+    r = stitched_ntile(cust, 5, "last_us", ["o_custkey"], out="r") \
+        .select("o_custkey", "r")
+    f = stitched_ntile(cust, 5, "freq", ["o_custkey"], out="f") \
+        .select("o_custkey", "f")
+    m = stitched_ntile(cust, 5, "monetary", ["o_custkey"], out="m") \
+        .select("o_custkey", "m")
+    scored = (cust.select("o_custkey", "monetary")
+              .join(r, "o_custkey").join(f, "o_custkey")
+              .join(m, "o_custkey"))
     seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4)
                   & (F.col("m") >= 4), "champion")
            .when((F.col("r") >= 4) & (F.col("f") >= 3), "loyal")
@@ -408,8 +422,13 @@ def ab1_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        # decimal(38,0) accumulators: x*x / x*y sums overflow BIGINT
+        # at larger SFs while the DuckDB oracle promotes to HUGEINT —
+        # same guard as ml19's syy handling.
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .alias("sxy"),
         F.sum(g1).cast("long").alias("n1"),
         F.sum(g1 * F.col("y")).cast("long").alias("sy1"),
         F.sum(g1 * F.col("x")).cast("long").alias("sx1"))
@@ -688,7 +707,7 @@ _OC_ORACLE = """
                    ORDER BY ts, event_id) AS prev_us
         FROM events
     ), flagged AS (
-        SELECT user_id, us,
+        SELECT user_id, us, event_id,
                CASE WHEN prev_us IS NOT NULL
                          AND us - prev_us <= 30 * 60 * 1000000
                     THEN 0 ELSE 1 END AS is_new
@@ -700,7 +719,7 @@ _OC_ORACLE = """
         FROM (
             SELECT user_id, us,
                    SUM(is_new) OVER (PARTITION BY user_id
-                       ORDER BY us
+                       ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS sid
             FROM flagged)
@@ -737,9 +756,16 @@ def oc1_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sweep's total order runs over SESSION ENDPOINTS (2 rows per
     session, ~19k at sf0.1), not events — sessionization reduces
-    first. At extreme session counts the t9/w12 two-level stitched
-    cumsum replaces the single window; the sweep algebra is
+    first (and checkpoints once, so the endpoint relation is not
+    re-sessionized per consumer). The running sum itself is the
+    two-level stitched cumsum (operators/ranking.py): range-bucket
+    on t via one percentile_approx pass, per-bucket +1/-1 sums
+    prefix-stitched over the tiny bucket relation, cumulative window
+    partitioned by bucket — no single-task sweep at any session
+    count; the sweep algebra (d=-1 sorts before +1 at equal t) is
     unchanged."""
+    from big_data_analytics_spark.operators.ranking import stitched_cumsum
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -751,14 +777,13 @@ def oc1_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("sid", F.sum("is_new").over(cum))
             .groupBy("user_id", "sid")
             .agg(F.min("us").cast("long").alias("s"),
-                 F.max("us").cast("long").alias("e")))
-    pts = (sess.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+                 F.max("us").cast("long").alias("e"))).localCheckpoint()
+    pts = (sess.select(F.col("s").alias("t"),
+                       F.lit(1).cast("long").alias("d"))
            .unionByName(sess.select((F.col("e") + 1).alias("t"),
-                                    F.lit(-1).alias("d"))))
-    wsweep = (Window.orderBy("t", "d")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sweep = pts.select("t", F.sum("d").over(wsweep).cast("long")
-                       .alias("live"))
+                                    F.lit(-1).cast("long").alias("d"))))
+    sweep = (stitched_cumsum(pts, "t", ["d"], val="d", out="live")
+             .select("t", "live"))
     n_sessions = sess.agg(F.count("*").cast("long").alias("n_sessions"))
     peak = sweep.agg(F.max("live").cast("long").alias("max_concurrent"))
     first = (sweep.join(F.broadcast(peak),

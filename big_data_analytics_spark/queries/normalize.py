@@ -142,21 +142,26 @@ def sh1_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, unlike modulo sharding, which inherits whatever
     imbalance the id distribution has.
 
-    Scale note: NTILE needs a total order over the hash, which is a
-    single-partition window at corpus scale; the production form is
-    two-level (range-partition on the hash via an approximate CDF,
-    then NTILE within ranges and stitch offsets — exactly the
-    t9/w12 two-level cumsum shape). At the graded scales the direct
-    window states the contract; the byte-balance claim it certifies
-    is scale-independent."""
+    Scale shape: the NTILE runs in the two-level stitched form
+    (operators/ranking.py) — the md5 hash is uniform in [0, 2^32),
+    so 64 equal-width hash ranges are balanced by construction and
+    the bucket assignment is a pure expression (no bounds pass);
+    per-range counts stitch into exact global row numbers and the
+    NTILE is an integer formula over them. No stage orders more than
+    one hash-range of documents; the only total-order window in the
+    plan runs over the 64-row bucket-totals relation."""
+    from big_data_analytics_spark.operators.ranking import stitched_ntile
+
     r = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars",
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                16, 10).cast("long").alias("h"))
-    w = Window.orderBy("h", "doc_id")
-    sharded = r.select(
-        "doc_id", "n_chars",
-        (F.ntile(_SH_N).over(w).cast("long") - 1).alias("shard"))
+    # h is uniform in [0, 2^32): 64 equal-width ranges, no bounds scan
+    sharded = stitched_ntile(
+        r, _SH_N, "h", ["doc_id"], out="tile",
+        bucket_expr=F.expr(f"h DIV {(1 << 32) // 64}"))
+    sharded = sharded.select(
+        "doc_id", "n_chars", (F.col("tile") - 1).alias("shard"))
     return (sharded.groupBy("shard")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("bytes_proxy"),

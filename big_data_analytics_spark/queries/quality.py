@@ -340,12 +340,17 @@ def d6_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat("text", F.lit(" tail")).alias("text")))
     pairs = exact_ngram_contamination(
         train, eval_set.unionByName(leaked), n=8, max_doc_freq=100)
-    implicated = pairs.select(
-        F.col("left_id").alias("doc_id")).distinct()
-    clean = train.join(implicated, "doc_id", "left_anti")
+    # ONE execution of the contamination join: the implicated set is
+    # tiny, so checkpoint it before counting; implicated doc_ids are
+    # distinct train keys, so n_clean = n_train - n_removed without a
+    # third full-corpus anti-join scan. (The anti-join itself stays
+    # the removal primitive for callers that want the cleaned rows —
+    # this query certifies the counts.)
+    implicated = (pairs.select(F.col("left_id").alias("doc_id"))
+                  .distinct().localCheckpoint())
     n_train = train.count()
     n_removed = implicated.count()
-    n_clean = clean.count()
+    n_clean = n_train - n_removed
     return spark.createDataFrame(
         [(n_train, n_removed, n_clean)],
         "n_train long, n_removed long, n_clean long")

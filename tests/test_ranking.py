@@ -1,0 +1,103 @@
+"""operators/ranking.py — stitched global ranking primitives.
+
+Each helper must reproduce the naive total-order window EXACTLY
+(same rows, same values) while planning only bucket-partitioned
+windows over the data; the equivalence here is the correctness
+contract the sh1/ec1/seg1/oc1 rewrites rely on."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.operators.ranking import (
+    stitched_cumsum,
+    stitched_ntile,
+    stitched_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # heavy ties (50 distinct keys over 5000 rows) + a signed value:
+    # exercises tie-straddling buckets, duplicate percentile bounds,
+    # and negative cumsum paths in one fixture
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.choice([-1, 1]))
+            for i in range(5000)]
+    return spark.createDataFrame(rows, "id long, v long, d long")
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_row_number_matches_naive(skewed):
+    naive = skewed.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+        .alias("rn"))
+    st = stitched_row_number(skewed, "v", ["id"], out="rn",
+                             num_buckets=16).select("id", "rn")
+    assert _same(naive, st)
+
+
+def test_row_number_total_col(skewed):
+    st = stitched_row_number(skewed, "v", ["id"], out="rn",
+                             total_col="n", num_buckets=16)
+    assert st.select("n").distinct().collect()[0][0] == 5000
+
+
+@pytest.mark.parametrize("k", [5, 7, 100, 6000])
+def test_ntile_matches_naive(skewed, k):
+    # k=6000 > n exercises the q=0 edge (every tile size 0 or 1)
+    naive = skewed.select(
+        "id", F.ntile(k).over(Window.orderBy("v", "id")).cast("long")
+        .alias("t"))
+    st = stitched_ntile(skewed, k, "v", ["id"], out="t",
+                        num_buckets=16).select("id", "t")
+    assert _same(naive, st)
+
+
+def test_ntile_rejects_bad_k(skewed):
+    with pytest.raises(ValueError):
+        stitched_ntile(skewed, 0, "v", ["id"])
+
+
+def test_cumsum_matches_naive(skewed):
+    w = (Window.orderBy("v", "id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = skewed.select(
+        "id", F.sum("d").over(w).cast("long").alias("c"))
+    st = stitched_cumsum(skewed, "v", ["id"], val="d", out="c",
+                         num_buckets=16).select("id", "c")
+    assert _same(naive, st)
+
+
+def test_bucket_expr_skips_bounds_pass(skewed):
+    """Caller-supplied monotone bucketing (uniform-hash path) must
+    produce identical tiles and plan no percentile aggregate."""
+    st = stitched_ntile(skewed, 10, "v", ["id"], out="t",
+                        bucket_expr=F.expr("v DIV 8"))
+    naive = skewed.select(
+        "id", F.ntile(10).over(Window.orderBy("v", "id")).cast("long")
+        .alias("t"))
+    assert _same(naive, st.select("id", "t"))
+    plan = st._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan
+
+
+def test_windows_bucket_partitioned(skewed):
+    """The data-grain window must be partitioned by the bucket id;
+    the only ordering-only window runs over the bucket totals."""
+    st = stitched_row_number(skewed, "v", ["id"], out="rn",
+                             num_buckets=16)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    import re
+    nodes = re.findall(r"Window \[[^\n]+", plan)
+    assert any("windowspecdefinition(__srk_bkt#" in n for n in nodes)
+    for n in nodes:
+        if re.search(r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)", n):
+            assert "__srk_b" in n

@@ -245,3 +245,21 @@ def test_interval_join_stream_equals_batch(spark, event_dir):
     cols = ["user_id", "view_id", "purchase_id", "gap_us", "purchase_value"]
     assert _canon(got, cols) == _canon(expected, cols)
     assert len(_canon(got, cols)) > 0
+
+
+def test_sm4_single_trigger_backfill_matches_incremental(spark):
+    """The sm4 trigger-sizing knob: files_per_trigger >= file count
+    collapses the availableNow run to ONE trigger (state-store
+    maintenance paid once — the SCALE.md backfill guidance) and must
+    emit exactly the same join pairs as the graded 4-trigger
+    incremental run."""
+    from big_data_analytics_spark.queries.streaming_queries import (
+        sm4_stream_stream_join,
+    )
+
+    incremental = sm4_stream_stream_join(spark, SF_SMOKE)
+    backfill = sm4_stream_stream_join(spark, SF_SMOKE,
+                                      files_per_trigger=1000)
+    assert incremental.exceptAll(backfill).count() == 0
+    assert backfill.exceptAll(incremental).count() == 0
+    assert backfill.count() > 0
