@@ -101,7 +101,14 @@ GRADE_HEAD = [
     # (c) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (d) rotation: round-1-green rows whose driver evidence is four
+    # (d) the three queries WRITTEN this round — graded immediately so
+    # the registry ends the round with zero never-graded entries:
+    # custom-state streaming, outer stream-stream finalization, ANN
+    # recall certification
+    "sm6_stream_stateful_user_totals",
+    "sm7_stream_stream_left_outer",
+    "v7_ann_recall",
+    # (e) rotation: round-1-green rows whose driver evidence is four
     # rounds old (everything below the fold still re-verifies locally
     # every pytest run via tests/test_queries_vs_duckdb.py)
     "j1_revenue_by_nation",
@@ -109,9 +116,6 @@ GRADE_HEAD = [
     "a5_monthly_revenue",
     "a8_percentiles",
     "w1_event_lag_delta",
-    "g1_rollup_revenue",
-    "u1_union_distinct",
-    "f1_string_functions",
 ]
 
 
@@ -168,6 +172,7 @@ def load_all() -> dict[str, Query]:
         ml_prep,
         normalize,
         monitoring,
+        ann_eval,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

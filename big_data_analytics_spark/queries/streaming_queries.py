@@ -34,6 +34,7 @@ from big_data_analytics_spark.queries import query
 from big_data_analytics_spark.streaming.events import (
     daily_event_counts,
     session_windows,
+    user_lifetime_stats_stateful,
     view_purchase_interval_join,
 )
 
@@ -377,3 +378,110 @@ def sm5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
          .start())
     q.awaitTermination()
     return spark.table(qname)
+
+
+@query(
+    "sm6_stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS value_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def sm6_stream_stateful_user_totals(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator executed by the streaming engine:
+    per-user lifetime totals accumulated in applyInPandasWithState
+    Python state across 4 real micro-batches (streaming/events.py
+    user_lifetime_stats_stateful — the reference's cross-batch
+    accumulator dicts, load_hbase.py:178-180, under managed state) —
+    graded by hash against the plain batch groupBy. The state holds
+    the EXACT INTEGER 1e-4 fixed-point sum, so the final division is
+    bit-identical to the oracle's SUM(quantized)/1e4 regardless of
+    how events split across batches.
+
+    The update-mode sink accumulates one row per (user, batch-with-
+    activity); n_events is strictly increasing within a user, so the
+    final lifetime row is max_by(n_events) — a keyed mergeable
+    aggregate, no windows. Scale: state is 2 BIGINTs per user,
+    partitioned by user_id; the Arrow transfer batches per group —
+    the sanctioned tier-3 escape hatch for state Spark's built-in
+    aggregates can't hold (asserted as FlatMapGroupsInPandasWithState
+    in tests/test_plans.py)."""
+    root = _events_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    updates = user_lifetime_stats_stateful(src)
+    qname = _run_to_memory(updates, "update", "sm6_mem")
+    return (spark.table(qname)
+            .groupBy("user_id")
+            .agg(F.max("n_events").cast("long").alias("n_events"),
+                 F.max_by("value_sum", "n_events").alias("value_sum")))
+
+
+@query(
+    "sm7_stream_stream_left_outer",
+    oracle="""
+    WITH cutoff AS (
+        SELECT MAX(ts) - INTERVAL 2 HOUR AS c FROM events
+    ), v AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events, cutoff
+        WHERE event_type = 'view' AND ts < c
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id AS buyer_id,
+               ts AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id, p.purchase_id,
+           epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS gap_us,
+           p.purchase_value,
+           CASE WHEN p.purchase_id IS NULL THEN 1 ELSE 0 END
+               AS unconverted
+    FROM v LEFT JOIN p
+      ON v.user_id = p.buyer_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    """,
+)
+def sm7_stream_stream_left_outer(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join executed by the
+    streaming engine: sm4's attribution join, but UNCONVERTED views
+    (no purchase within 30 min) must come out too, as null-padded
+    rows — the abandonment feed. This is a semantically distinct
+    streaming contract from the inner join: a null row is only
+    CORRECT once no matching purchase can still arrive, so the
+    engine emits it when the watermark passes view_ts + horizon;
+    until then the view sits in state as a candidate.
+
+    Finalization cutoff: with availableNow the final watermark rests
+    at max(ts) - 1 h, so views younger than max(ts) - (watermark +
+    horizon) are still open when the stream ends — their outer rows
+    never emit. The graded output therefore restricts to views with
+    view_ts < max(ts) - 2 h (30 min inside the finalized region —
+    strict inequality keeps boundary semantics out of the hash), and
+    the oracle applies the identical cutoff to the batch left join.
+    That cutoff IS the production contract: an outer-join consumer
+    always reads results watermark+horizon behind the stream head."""
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    joined = view_purchase_interval_join(
+        src, horizon="30 minutes", watermark="1 hour",
+        join_type="left_outer")
+    qname = _run_to_memory(joined, "append", "sm7_mem")
+    cut = (spark.read.parquet(str(root / "data"))
+           .agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")))
+    return (spark.table(qname)
+            .join(F.broadcast(cut), F.col("view_ts") < F.col("c"))
+            .select("view_id", "user_id", "purchase_id", "gap_us",
+                    "purchase_value",
+                    F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
+                    .alias("unconverted")))

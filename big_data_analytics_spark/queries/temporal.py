@@ -182,7 +182,8 @@ def ij1_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         view_purchase_interval_join,
     )
     ev = load_table(spark, sf_dir, "events")
-    return view_purchase_interval_join(ev, horizon="30 minutes")
+    return view_purchase_interval_join(ev, horizon="30 minutes").select(
+        "user_id", "view_id", "purchase_id", "gap_us", "purchase_value")
 
 
 # --------------------------------------------------------------------

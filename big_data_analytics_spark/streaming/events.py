@@ -150,7 +150,7 @@ def start_upsert_metrics_sink(spark, source: DataFrame, target_dir: str,
 
 
 #: Output / state schemas for the custom stateful operator below.
-_USER_STATE_SCHEMA = "n_events BIGINT, value_sum DOUBLE"
+_USER_STATE_SCHEMA = "n_events BIGINT, value_qsum BIGINT"
 _USER_OUT_SCHEMA = ("user_id BIGINT, n_events BIGINT, value_sum DOUBLE, "
                     "batch_events INT")
 
@@ -160,12 +160,16 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
     (SURVEY.md §2.10: the reference's cross-batch Python accumulator
     dicts, load_hbase.py:178-180, as managed streaming state).
 
-    State per user: lifetime (n_events, value_sum in exact 1e-4 fixed
-    point). Each micro-batch emits the user's updated lifetime totals
-    plus how many events this batch contributed. Unlike the built-in
-    aggregation (running_user_totals) this shape can hold *arbitrary*
-    Python state — the escape hatch for operators Spark's aggregates
-    can't express.
+    State per user: lifetime (n_events, value_qsum) where value_qsum
+    is the EXACT INTEGER 1e-4 fixed-point sum — the state never holds
+    a float, so the emitted value_sum (one final division) is
+    bit-identical to a batch engine's SUM(quantized)/1e4 no matter
+    how events split across micro-batches. Each micro-batch emits the
+    user's updated lifetime totals plus how many events this batch
+    contributed. Unlike the built-in aggregation
+    (running_user_totals) this shape can hold *arbitrary* Python
+    state — the escape hatch for operators Spark's aggregates can't
+    express.
     """
     import numpy as np
     import pandas as pd
@@ -173,9 +177,9 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state):
         if state.exists:
-            n, vsum = state.get
+            n, vq = state.get
         else:
-            n, vsum = 0, 0.0
+            n, vq = 0, 0
         batch_n = 0
         for pdf in pdfs:
             batch_n += len(pdf)
@@ -185,11 +189,11 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
             # convention for negatives (plain int64 cast truncates
             # toward zero), and nulls are skipped like F.sum skips them
             v = pdf["value"].dropna()
-            vsum += float(np.floor(v * 10000.0 + 0.5).astype("int64").sum()) / 10000.0
-        state.update((n, vsum))
+            vq += int(np.floor(v * 10000.0 + 0.5).astype("int64").sum())
+        state.update((n, vq))
         yield pd.DataFrame([{
             "user_id": key[0], "n_events": n,
-            "value_sum": vsum, "batch_events": batch_n,
+            "value_sum": vq / 10000.0, "batch_events": batch_n,
         }])
 
     return (
@@ -262,7 +266,8 @@ def session_funnel(events: DataFrame, gap: str = "30 minutes",
 
 def view_purchase_interval_join(events: DataFrame,
                                 horizon: str = "30 minutes",
-                                watermark: str = "1 hour") -> DataFrame:
+                                watermark: str = "1 hour",
+                                join_type: str = "inner") -> DataFrame:
     """Stream-stream interval self-join: every (view, purchase) pair
     for the same user where the purchase lands within ``horizon`` after
     the view — the multi-touch attribution join (vs aj1/aj2's
@@ -276,6 +281,14 @@ def view_purchase_interval_join(events: DataFrame,
     plan is a user_id equi-join with the interval as a residual
     predicate; both modes run through this one function and the tests
     assert stream == batch.
+
+    ``join_type="left_outer"`` emits unconverted views too (null
+    purchase columns) — in streaming, the null row for a view is
+    FINALIZED only once the watermark passes view_ts + horizon
+    (before that a matching purchase could still arrive), so outer
+    results trail the data by watermark + horizon. Consumers must
+    apply that finalization cutoff when comparing to batch; the
+    output carries view_ts so they can.
     """
     views = events.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
@@ -298,9 +311,10 @@ def view_purchase_interval_join(events: DataFrame,
             AND purchase_ts >= view_ts
             AND purchase_ts <= view_ts + INTERVAL {horizon}
         """),
+        join_type,
     )
     return joined.select(
-        "user_id", "view_id", "purchase_id",
+        "user_id", "view_id", "view_ts", "purchase_id",
         (F.unix_micros(F.col("purchase_ts"))
          - F.unix_micros(F.col("view_ts"))).alias("gap_us"),
         "purchase_value",

@@ -668,12 +668,15 @@ def test_qn1_histogram_broadcasts(spark):
     assert "EvalPython" not in plan
 
 
-def test_sh1_single_scan_no_join(spark):
-    """Shard assignment: one scan, hash + NTILE + manifest aggregate —
-    no joins, no Python."""
+def test_sh1_stitched_shape(spark):
+    """Shard assignment in the stitched two-level form: two pruned
+    scans (bucket totals + main), the 64-row offsets relation joins
+    back as a BROADCAST (never a shuffled join of the corpus), no
+    single-task window over documents, no Python."""
     plan = _plan(spark, "sh1_balanced_shards")
-    assert plan.count("Scan parquet") == 1
-    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
 
 
