@@ -149,6 +149,20 @@ def main() -> None:
     for name in COLD:
         cold[name] = round(_run(registry[name], spark, sf_dir), 3)
 
+    # sm4's trigger-sizing knob, measured: files_per_trigger >= the
+    # file count collapses the availableNow run to ONE trigger, so the
+    # two stateful sides pay snapshot/eviction once instead of per
+    # micro-batch — the backfill mode documented in the sm4 docstring.
+    # Identical output (asserted in tests/test_streaming.py); the
+    # delta vs cold sm4 above is pure state-store trigger overhead.
+    from big_data_analytics_spark.queries.streaming_queries import (
+        sm4_stream_stream_join,
+    )
+    t0 = time.perf_counter()
+    (sm4_stream_stream_join(spark, sf_dir, files_per_trigger=1000)
+     .write.format("noop").mode("overwrite").save())
+    cold["sm4_backfill_1trigger"] = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]

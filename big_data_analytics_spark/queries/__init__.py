@@ -96,8 +96,11 @@ GRADE_HEAD = [
     "sm5_stream_static_enrich",
     "f17b_hash_id_generation",
     # (b) implementation changed this round: one contamination-join
-    # execution instead of two (queries/quality.py)
+    # execution instead of two (queries/quality.py); w10 re-derived as
+    # stitched row-number arithmetic (rank==row_number under a unique
+    # ordering, so percent_rank/cume_dist are pure expressions)
     "d6_decontaminate_train",
+    "w10_percent_rank_cume",
     # (c) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
@@ -115,7 +118,6 @@ GRADE_HEAD = [
     "o1_top_orders_by_revenue",
     "a5_monthly_revenue",
     "a8_percentiles",
-    "w1_event_lag_delta",
 ]
 
 

@@ -62,13 +62,29 @@ def w8_moving_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w10_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank functions over a global total order (acctbal with
     key tie-break) — percentile placement of every supplier. Rounded
-    to 9 dp: the (rank-1)/(n-1) division is the only float op."""
-    s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
-    return s.select(
+    to 9 dp: the (rank-1)/(n-1) division is the only float op.
+
+    Because the ordering includes the unique key, RANK == ROW_NUMBER,
+    so PERCENT_RANK = (i-1)/(n-1) and CUME_DIST = i/n over the exact
+    global row number — computed in the stitched two-level form
+    (operators/ranking.py): supplier grows linearly with SF, so the
+    naive total-order window is a single-task sort of a billion rows
+    at SF100k."""
+    from big_data_analytics_spark.operators.ranking import (
+        stitched_row_number,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal")
+    ranked = stitched_row_number(s, "s_acctbal", ["s_suppkey"],
+                                 out="i", total_col="n")
+    return ranked.select(
         "s_suppkey", "s_name",
-        F.round(F.percent_rank().over(w), 9).alias("acctbal_pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("acctbal_cume_dist"),
+        F.round((F.col("i") - 1).cast("double")
+                / (F.col("n") - 1).cast("double"), 9)
+        .alias("acctbal_pct_rank"),
+        F.round(F.col("i").cast("double") / F.col("n").cast("double"), 9)
+        .alias("acctbal_cume_dist"),
     )
 
 

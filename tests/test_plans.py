@@ -918,3 +918,10 @@ def test_oc1_stitched_sweep(spark):
     """Concurrency sweep: the +1/-1 running sum over session
     endpoints is a stitched cumsum, not a single-task window."""
     _assert_windows_stitched(_plan(spark, "oc1_max_concurrency"), 1)
+
+
+def test_w10_stitched_relative_ranks(spark):
+    """percent_rank/cume_dist over all suppliers: stitched row number
+    (supplier grows with SF — the naive form is a single-task global
+    sort)."""
+    _assert_windows_stitched(_plan(spark, "w10_percent_rank_cume"), 1)
