@@ -93,17 +93,37 @@ def _hyperplane(salt: str, table: int, plane: int, dim: int) -> list[float]:
     return [c / n for c in comps]
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for one LSH table."""
-    acc = F.lit(0).cast("long")
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """Sign-pattern bucket id for one LSH table, as a SQL string.
+
+    Generated as TEXT and parsed in ONE F.expr call instead of built
+    through thousands of per-literal Column operations: the Column
+    route costs ~5 s of driver-side py4j round trips per call site at
+    16 tables x 4 planes x 64 dims (measured — execution itself is
+    0.24 s warm), which dominated v3/v4/v7 wall-clock. ``repr(c)``
+    literals round-trip exactly through Spark's correctly-rounded
+    parser (``D`` suffix keeps them DOUBLE, matching F.lit), and the
+    fold is the same sequential aggregate(zip_with) as before, so
+    bucket values — and every downstream oracle hash — are unchanged."""
+    terms = ["0L"]
     for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array([F.lit(c) for c in p]), lambda x, y: x * y),
-            F.lit(0.0), lambda a, x: a + x,
-        )
-        acc = acc.bitwiseOR(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i))
-                            .otherwise(F.lit(0).cast("long")))
-    return acc
+        arr = ", ".join(f"{c!r}D" for c in p)
+        proj = (f"aggregate(zip_with({vec_sql}, array({arr}), "
+                f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN shiftleft(1L, {i}) "
+                     f"ELSE 0L END)")
+    return "(" + " | ".join(terms) + ")"
+
+
+def _table_buckets_expr(vec_sql: str, planes: list[list[float]],
+                        n_tables: int) -> Column:
+    """explode(array(named_struct('table', t, 'bucket', ...)...)) over
+    all LSH tables — one parsed expression for the whole fan-out."""
+    structs = ", ".join(
+        f"named_struct('table', {t}, 'bucket', "
+        f"{_bucket_sql(vec_sql, planes[t])})"
+        for t in range(n_tables))
+    return F.expr(f"explode(array({structs}))")
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -123,16 +143,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         for t in range(n_tables)
     ]
 
+    vec_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+
     def bucketed(df, idc, alias_vec, alias_norm):
         v = as_double(F.col(vec_col))
         return df.select(
             F.col(idc), v.alias(alias_vec),
             l2_norm(v).alias(alias_norm),
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("table"),
-                         _bucket_expr(v, planes[t]).alias("bucket"))
-                for t in range(n_tables)
-            ])).alias("tb"),
+            _table_buckets_expr(vec_sql, planes, n_tables).alias("tb"),
         ).select(idc, alias_vec, alias_norm, "tb.table", "tb.bucket")
 
     c = bucketed(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
@@ -170,14 +188,11 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
         for t in range(n_tables)
     ]
     v = as_double(F.col(vec_col))
+    vec_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     b = corpus.select(
         F.col(id_col).alias("id"), v.alias("v"),
         l2_norm(v).alias("n"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table"),
-                     _bucket_expr(v, planes[t]).alias("bucket"))
-            for t in range(n_tables)
-        ])).alias("tb"),
+        _table_buckets_expr(vec_sql, planes, n_tables).alias("tb"),
     ).select("id", "v", "n", "tb.table", "tb.bucket")
     left = b.select("table", "bucket", F.col("id").alias("id_a"),
                     F.col("v").alias("va"), F.col("n").alias("na"))

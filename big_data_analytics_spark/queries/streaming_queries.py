@@ -42,18 +42,38 @@ _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 _QNAME = itertools.count()
 
 
+def _source_sig(sf_dir: str) -> str:
+    """Content signature of the events source: (size, mtime_ns) of
+    every file under events.parquet. The stream fixtures are derived
+    data — if the driver regenerates the testdata between rounds, a
+    fixture gated only on its own existence would silently replay
+    STALE events and every sm* oracle comparison would be wrong.
+    Stored inside _DONE; any difference forces a rebuild."""
+    src = Path(sf_dir) / "events.parquet"
+    parts = sorted(src.rglob("*")) if src.is_dir() else [src]
+    return ";".join(f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+                    for p in parts if p.is_file())
+
+
+def _fixture_fresh(root: Path, sig: str) -> bool:
+    done = root / "_DONE"
+    return done.exists() and done.read_text() == sig
+
+
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> Path:
     """A multi-file Parquet copy of the (normalized) events table —
-    the replayable file-source directory. Built once per scale; the
-    4-way split makes maxFilesPerTrigger=1 produce 4 real
-    micro-batches instead of one."""
+    the replayable file-source directory. Built once per scale (and
+    rebuilt whenever the source testdata changes — _DONE records the
+    source signature); the 4-way split makes maxFilesPerTrigger=1
+    produce 4 real micro-batches instead of one."""
     root = _FIXTURE_ROOT / f"events_stream_{Path(sf_dir).name}"
-    if not (root / "_DONE").exists():
+    sig = _source_sig(sf_dir)
+    if not _fixture_fresh(root, sig):
         ev = load_table(spark, sf_dir, "events")
         ev.repartition(4).write.mode("overwrite").parquet(str(root / "data"))
         for crc in root.rglob("*.crc"):
             crc.unlink()
-        (root / "_DONE").touch()
+        (root / "_DONE").write_text(sig)
     return root
 
 
@@ -75,7 +95,11 @@ def _events_stream_dir_ordered(spark: SparkSession, sf_dir: str,
     tag = f"events_stream_ordered{'_x2' if copies == 2 else ''}"
     root = _FIXTURE_ROOT / f"{tag}_{Path(sf_dir).name}"
     data = root / "data"
-    if not (root / "_DONE").exists():
+    sig = _source_sig(sf_dir)
+    if not _fixture_fresh(root, sig):
+        if data.exists():
+            import shutil
+            shutil.rmtree(data)
         ev = load_table(spark, sf_dir, "events")
         b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
                    ).collect()[0]
@@ -97,7 +121,7 @@ def _events_stream_dir_ordered(spark: SparkSession, sf_dir: str,
                 step += 1
         for crc in root.rglob("*.crc"):
             crc.unlink()
-        (root / "_DONE").touch()
+        (root / "_DONE").write_text(sig)
     return root
 
 
