@@ -149,15 +149,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         big.unionByName(small)
         .select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MH_P)).alias("__h"))
     )
+    # generated-SQL expressions: the 128 affine-MIN aggregates built
+    # through per-literal Column calls cost ~1 s of driver-side py4j
+    # round trips per query build (the operators/similarity.py
+    # _bucket_sql lesson); one F.expr parse each is ~free and the
+    # arithmetic is identical
     aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a[j]) + F.lit(b[j]), F.lit(_MH_P)))
+        F.expr(f"min(pmod(__h * {a[j]}L + {b[j]}L, {_MH_P}L))")
         .alias(f"__m{j}")
         for j in range(num_hashes)
     ]
+    arr = "array(" + ", ".join(f"__m{j}" for j in range(num_hashes)) + ")"
     return (
         hashed.groupBy(id_col).agg(*aggs)
-        .select(id_col, F.array(*[F.col(f"__m{j}")
-                                  for j in range(num_hashes)]).alias("signature"))
+        .select(id_col, F.expr(arr).alias("signature"))
     )
 
 

@@ -101,3 +101,36 @@ def test_windows_bucket_partitioned(skewed):
     for n in nodes:
         if re.search(r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)", n):
             assert "__srk_b" in n
+
+
+def test_single_row_and_all_ties(spark):
+    """Degenerate shapes: one row; all keys equal (every row in one
+    bucket — the documented low-cardinality worst case must still be
+    exact)."""
+    one = spark.createDataFrame([(7, 1)], "id long, v long")
+    r = stitched_row_number(one, "v", ["id"], out="rn").collect()
+    assert r[0]["rn"] == 1
+    import pyspark.sql.functions as SF
+
+    ties = spark.range(100).select(
+        SF.col("id"), SF.lit(5).alias("v"))
+    naive = ties.select(
+        "id", SF.ntile(7).over(Window.orderBy("v", "id")).cast("long")
+        .alias("t"))
+    st = stitched_ntile(ties, 7, "v", ["id"], out="t",
+                        num_buckets=8).select("id", "t")
+    assert _same(naive, st)
+
+
+def test_negative_and_extreme_keys(spark):
+    """Signed keys spanning the long range must bucket monotonically
+    (the boundary comparison is plain long ordering)."""
+    rows = [(i, v) for i, v in enumerate(
+        [-(1 << 62), -5, -5, 0, 3, (1 << 62), 7, -1, 0, 12])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    naive = df.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+        .alias("rn"))
+    st = stitched_row_number(df, "v", ["id"], out="rn",
+                             num_buckets=4).select("id", "rn")
+    assert _same(naive, st)
