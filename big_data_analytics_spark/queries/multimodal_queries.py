@@ -220,3 +220,78 @@ def mm2_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("long").alias("n_sampled"),
                  F.max("frame_idx").cast("long")
                  .alias("last_sampled_idx")))
+
+
+_DUP_N = 10  # ids 0..9 (BMPs) and 40..49 (WAVs) get planted copies
+
+
+@query(
+    "mm3_binary_dedup",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h
+        FROM range(0, {_N_IMG}) t(i)
+    ), auds AS (
+        SELECT i, 100 + 50 * (i % 7) AS n
+        FROM range({_N_IMG}, {_N_IMG + _N_AUD}) t(i)
+    ), isz AS (
+        SELECT i, 54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS bs
+        FROM imgs
+    ), asz AS (SELECT i, 44 + 2 * n AS bs FROM auds)
+    SELECT 'audio' AS media_type,
+           CAST({_N_AUD} + {_DUP_N} AS BIGINT) AS n_items,
+           CAST({_N_AUD} AS BIGINT) AS n_groups,
+           CAST({_DUP_N} AS BIGINT) AS n_dup_groups,
+           CAST({_DUP_N} AS BIGINT) AS n_redundant,
+           (SELECT CAST(SUM(bs) AS BIGINT) FROM asz
+            WHERE i < {_N_IMG} + {_DUP_N}) AS bytes_reclaimable
+    UNION ALL
+    SELECT 'image',
+           CAST({_N_IMG} + {_DUP_N} AS BIGINT),
+           CAST({_N_IMG} AS BIGINT),
+           CAST({_DUP_N} AS BIGINT),
+           CAST({_DUP_N} AS BIGINT),
+           (SELECT CAST(SUM(bs) AS BIGINT) FROM isz WHERE i < {_DUP_N})
+    ORDER BY media_type
+    """,
+)
+def mm3_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication over OPAQUE BINARY media columns — the
+    multimodal twin of d1: content-hash (sha256 of the raw payload
+    bytes) group-by finds every byte-identical duplicate without
+    decoding anything, and the per-format audit reports group counts
+    and the exact bytes a keep-one-per-group pass reclaims. Planted
+    copies (ids 0..9 / 40..49 re-emitted under media_id+1000) are the
+    ground truth; the oracle computes the expected audit in closed
+    form from the generation formulas, including the BMP
+    (54 + h*(3w+pad4)) and WAV (44 + 2n) byte sizes — so a hash
+    mismatch means either the dedup or the encoders corrupted real
+    bytes.
+
+    Scale shape: the shuffle carries 32-byte digests + row ids, never
+    payloads (the d1 hash-first discipline applied to blobs); the
+    payload column is only scanned, once, map-side. ``sf_dir`` is
+    unused — the corpus is synthesized executor-side."""
+    media = _media_fixture(spark)
+    dups = (media.filter(
+        (F.col("media_id") < _DUP_N)
+        | ((F.col("media_id") >= _N_IMG)
+           & (F.col("media_id") < _N_IMG + _DUP_N)))
+        .withColumn("media_id", F.col("media_id") + 1000))
+    corpus = media.unionByName(dups)
+    groups = (corpus.select(
+        "media_type",
+        F.sha2(F.col("content"), 256).alias("h"),
+        F.length(F.col("content")).cast("long").alias("bs"))
+        .groupBy("media_type", "h")
+        .agg(F.count(F.lit(1)).alias("sz"),
+             F.first("bs").alias("bs")))
+    return (groups.groupBy("media_type")
+            .agg(F.sum("sz").cast("long").alias("n_items"),
+                 F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum((F.col("sz") > 1).cast("long")).cast("long")
+                 .alias("n_dup_groups"),
+                 F.sum(F.col("sz") - 1).cast("long").alias("n_redundant"),
+                 F.sum((F.col("sz") - 1) * F.col("bs")).cast("long")
+                 .alias("bytes_reclaimable"))
+            .orderBy("media_type"))
