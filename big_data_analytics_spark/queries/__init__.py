@@ -112,12 +112,12 @@ GRADE_HEAD = [
     "sm7_stream_stream_left_outer",
     "v7_ann_recall",
     "mm3_binary_dedup",
+    "sm8_stream_upsert_parquet_sink",
     # (e) rotation: round-1-green rows whose driver evidence is four
     # rounds old (everything below the fold still re-verifies locally
     # every pytest run via tests/test_queries_vs_duckdb.py)
     "j1_revenue_by_nation",
     "o1_top_orders_by_revenue",
-    "a5_monthly_revenue",
 ]
 
 

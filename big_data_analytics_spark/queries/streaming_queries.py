@@ -540,3 +540,51 @@ def sm7_stream_stream_left_outer(spark: SparkSession,
                     "purchase_value",
                     F.when(F.col("purchase_id").isNull(), 1).otherwise(0)
                     .alias("unconverted")))
+
+
+@query(
+    "sm8_stream_upsert_parquet_sink",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sm8_stream_upsert_parquet_sink(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The PRODUCTION SINK path graded: sm1 proves the stateful rollup
+    in a memory sink; this runs the same rollup through the real
+    exactly-once Parquet upsert (streaming/events.py
+    start_stateful_upsert_sink — update-mode stateful aggregate,
+    foreachBatch dynamic overwrite of exactly the changed
+    (day, event_type) partitions) over 4 time-ordered micro-batches,
+    then READS THE TARGET BACK and hash-grades it against the batch
+    oracle. What this certifies beyond sm1: update-mode emission
+    (current cumulative value per changed key, every trigger),
+    key-grained partition overwrite (a coarser partition would drop
+    unchanged sibling keys), and that the on-disk result of the whole
+    stream → sink → read-back loop equals one batch aggregate —
+    the streaming restatement of the reference's HBase loader
+    (/root/reference/load_hbase.py:191-217) with idempotent replays
+    and checkpointed progress instead of driver dicts."""
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    target = tempfile.mkdtemp(prefix="sm8_target_")
+    ckpt = tempfile.mkdtemp(prefix="sm8_ckpt_")
+    from big_data_analytics_spark.streaming.events import (
+        start_stateful_upsert_sink,
+    )
+    with _state_partitions(spark):
+        q = start_stateful_upsert_sink(src, target, ckpt)
+        q.awaitTermination()
+    return (spark.read.parquet(target)
+            .select(F.date_format("day", "yyyy-MM-dd HH:mm:ss")
+                    .alias("day"),
+                    "event_type", "n_events", "value_sum"))

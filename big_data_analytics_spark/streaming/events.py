@@ -149,6 +149,50 @@ def start_upsert_metrics_sink(spark, source: DataFrame, target_dir: str,
     )
 
 
+def start_stateful_upsert_sink(source: DataFrame, target_dir: str,
+                               checkpoint_dir: str,
+                               watermark: str = "1 day"):
+    """Update-mode stateful rollup -> key-partitioned dynamic-overwrite
+    Parquet upsert: the PRODUCTION exactly-once sink pattern, correct
+    for arbitrarily split micro-batches (unlike
+    ``start_upsert_metrics_sink``'s per-batch rollup, which needs each
+    batch to carry complete days).
+
+    Mechanics: the engine's stateful ``daily_event_counts`` aggregate
+    holds the running totals (update mode emits each key's CURRENT
+    cumulative value whenever it changes), and foreachBatch overwrites
+    exactly the (day, event_type) partitions present in the batch —
+    partitioning by the FULL aggregation key matters: update mode
+    emits only changed keys, so a coarser partition (day alone) would
+    drop that day's unchanged event_types on overwrite. Last writer
+    per key wins with the newest cumulative total, so the finished
+    target equals the batch aggregate; replays rewrite identical
+    values (idempotent), and progress lives in the checkpoint
+    (resumable). Requires a bounded-disorder source (file order within
+    the watermark): update mode drops input older than the watermark,
+    unlike sm1's complete mode which never evicts.
+
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+    agg = daily_event_counts(source, watermark)
+    out = agg.withColumn("day_key", F.date_format("day", "yyyyMMdd"))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("day_key", "event_type")
+         .parquet(target_dir))
+
+    return (
+        out.writeStream
+        .foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 #: Output / state schemas for the custom stateful operator below.
 _USER_STATE_SCHEMA = "n_events BIGINT, value_qsum BIGINT"
 _USER_OUT_SCHEMA = ("user_id BIGINT, n_events BIGINT, value_sum DOUBLE, "
