@@ -104,10 +104,11 @@ GRADE_HEAD = [
     # (c) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (d) the three queries WRITTEN this round — graded immediately so
+    # (d) the five queries WRITTEN this round — graded immediately so
     # the registry ends the round with zero never-graded entries:
     # custom-state streaming, outer stream-stream finalization, ANN
-    # recall certification
+    # recall certification, binary-media dedup, the exactly-once
+    # Parquet upsert sink read back from disk
     "sm6_stream_stateful_user_totals",
     "sm7_stream_stream_left_outer",
     "v7_ann_recall",
