@@ -82,9 +82,11 @@ EXTENDED = [
     "d8_semantic_dedup",
     # round 7: the stitched two-level ranked-window shape
     # (operators/ranking.py) — corpus-wide NTILE sharding and the
-    # three-quintile RFM join
+    # three-quintile RFM join — and the ANN recall-certification join
+    # (brute-force + LSH pipelines in one plan)
     "sh1_balanced_shards",
     "seg1_rfm_segmentation",
+    "v7_ann_recall",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -118,7 +120,11 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         "ts2_hourly_gap_fill",
         # three stitched quintiles + checkpointed customer aggregate:
         # cold includes the localCheckpoint materialization
-        "seg1_rfm_segmentation"]
+        "seg1_rfm_segmentation",
+        # outer stream-stream join: two stateful sides + outer-row
+        # finalization across 4 triggers at right-sized state
+        # partitions (the sizing lever measured by sm4_backfill below)
+        "sm7_stream_stream_left_outer"]
 
 
 def _run(q, spark, sf_dir) -> float:
