@@ -26,11 +26,15 @@ ordering key (bounded sketch state; deterministic for a fixed input),
 or from a caller-supplied monotone ``bucket_expr`` when the key is
 already uniform (e.g. an md5-derived hash: equal-width ranges are
 balanced by construction and skip the bounds pass entirely).
-Boundary placement affects only *balance*, never results. The one
-inherent caveat: a leading key with very low cardinality (heavy ties)
-degrades toward fewer effective buckets, exactly as any range
-partitioning of a near-constant column would — include a
-higher-cardinality component in ``key`` when that matters.
+Boundary placement affects only *balance*, never results. A leading
+key with very low cardinality (heavy ties) degrades toward fewer
+effective buckets, exactly as any range partitioning of a
+near-constant column would — for that case pass ``tie_bucket=True``:
+the bucket becomes a (key value, tiebreak-range) STRUCT, with
+per-key-value percentile bounds computed over the first tiebreak
+column, so every tie run splits into ``num_buckets`` ordered
+sub-ranges (requires |distinct keys| small enough to broadcast —
+which is precisely the heavy-tie regime).
 
 Keys must be non-null (all call sites rank non-null aggregates).
 """
@@ -47,22 +51,45 @@ __all__ = ["stitched_row_number", "stitched_ntile", "stitched_cumsum"]
 _BKT, _OFF, _TOT = "__srk_bkt", "__srk_off", "__srk_tot"
 
 
+def _below_count(arr_col: str, val: str) -> Column:
+    """#array elements strictly below ``val`` — the monotone bucket
+    assignment (a pure function of the value, so ties never straddle
+    buckets)."""
+    return F.aggregate(
+        arr_col, F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col(val) > b, 1)
+        .otherwise(0).cast("long"))
+
+
 def _with_bucket(df: DataFrame, key: str, num_buckets: int,
                  bucket_expr: Optional[Column],
+                 tie_bucket_col: Optional[str] = None,
                  accuracy: int = 10_000) -> DataFrame:
-    """Add a bucket id that is monotone non-decreasing in ``key``."""
+    """Add a bucket id that is monotone non-decreasing in the ordering.
+
+    Plain mode: one percentile pass over ``key``; bucket = #bounds
+    below the key value (a LONG). Tie mode (``tie_bucket_col``): one
+    grouped percentile pass per distinct key value over the tiebreak
+    column; bucket = STRUCT(key, #tie-bounds below tiebreak) —
+    lexicographic struct order extends the (key, tiebreak) order, so
+    heavy tie runs split into ordered sub-ranges instead of
+    collapsing into one bucket."""
     if bucket_expr is not None:
         return df.withColumn(_BKT, bucket_expr.cast("long"))
     pcts = [i / num_buckets for i in range(1, num_buckets)]
+    if tie_bucket_col is not None:
+        kb = df.groupBy(key).agg(
+            F.percentile_approx(tie_bucket_col, pcts, accuracy)
+            .alias("__srk_tbs"))
+        return (df.join(F.broadcast(kb), key)
+                .withColumn(_BKT, F.struct(
+                    F.col(key).alias("k"),
+                    _below_count("__srk_tbs", tie_bucket_col).alias("s")))
+                .drop("__srk_tbs"))
     bounds = df.agg(
         F.percentile_approx(key, pcts, accuracy).alias("__srk_bounds"))
-    # bucket = #boundaries strictly below the key: monotone in key, and
-    # a pure function of the key value, so ties never straddle buckets.
     return (df.crossJoin(F.broadcast(bounds))
-            .withColumn(_BKT, F.aggregate(
-                "__srk_bounds", F.lit(0).cast("long"),
-                lambda acc, b: acc + F.when(F.col(key) > b, 1)
-                .otherwise(0).cast("long")))
+            .withColumn(_BKT, _below_count("__srk_bounds", key))
             .drop("__srk_bounds"))
 
 
@@ -84,12 +111,18 @@ def stitched_row_number(df: DataFrame, key: str,
                         tiebreaks: Sequence[str] = (),
                         out: str = "rn", *, num_buckets: int = 64,
                         bucket_expr: Optional[Column] = None,
+                        tie_bucket: bool = False,
                         total_col: Optional[str] = None) -> DataFrame:
     """Exact global ``ROW_NUMBER() OVER (ORDER BY key, *tiebreaks)``
     without a single-partition window over ``df``. With ``total_col``
     set, also attach the total row count (needed by NTILE) — computed
-    on the same tiny bucket-totals relation, no extra pass."""
-    b = _with_bucket(df, key, num_buckets, bucket_expr)
+    on the same tiny bucket-totals relation, no extra pass.
+    ``tie_bucket=True`` engages the heavy-tie composite bucketing
+    (see module docstring; requires at least one tiebreak)."""
+    if tie_bucket and not tiebreaks:
+        raise ValueError("tie_bucket=True requires a tiebreak column")
+    b = _with_bucket(df, key, num_buckets, bucket_expr,
+                     tiebreaks[0] if tie_bucket else None)
     btot = b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__srk_bn"))
     boff = _bucket_offsets(btot, "__srk_bn", total_col is not None)
     w_in = Window.partitionBy(_BKT).orderBy(key, *tiebreaks)
@@ -104,7 +137,8 @@ def stitched_row_number(df: DataFrame, key: str,
 def stitched_ntile(df: DataFrame, n_tiles: int, key: str,
                    tiebreaks: Sequence[str] = (),
                    out: str = "tile", *, num_buckets: int = 64,
-                   bucket_expr: Optional[Column] = None) -> DataFrame:
+                   bucket_expr: Optional[Column] = None,
+                   tie_bucket: bool = False) -> DataFrame:
     """Exact global ``NTILE(n) OVER (ORDER BY key, *tiebreaks)`` in the
     stitched shape. NTILE is a pure function of (row_number, total,
     n): with q = n_rows DIV n, r = n_rows % n, the first r tiles get
@@ -116,6 +150,7 @@ def stitched_ntile(df: DataFrame, n_tiles: int, key: str,
     rn = stitched_row_number(df, key, tiebreaks, out="__srk_i",
                              num_buckets=num_buckets,
                              bucket_expr=bucket_expr,
+                             tie_bucket=tie_bucket,
                              total_col="__srk_n")
     # CASE branches evaluate lazily, so the ELSE division by q is never
     # reached when q = 0 (then r = n_rows and the WHEN covers every row).
@@ -132,12 +167,16 @@ def stitched_cumsum(df: DataFrame, key: str,
                     tiebreaks: Sequence[str] = (),
                     val: str = "v", out: str = "cum", *,
                     num_buckets: int = 64,
-                    bucket_expr: Optional[Column] = None) -> DataFrame:
+                    bucket_expr: Optional[Column] = None,
+                    tie_bucket: bool = False) -> DataFrame:
     """Exact global running sum of ``val`` in (key, *tiebreaks) order
     (``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``),
     stitched: per-bucket sums -> prefix over the tiny bucket relation
     -> broadcast offsets + within-bucket cumulative window."""
-    b = _with_bucket(df, key, num_buckets, bucket_expr)
+    if tie_bucket and not tiebreaks:
+        raise ValueError("tie_bucket=True requires a tiebreak column")
+    b = _with_bucket(df, key, num_buckets, bucket_expr,
+                     tiebreaks[0] if tie_bucket else None)
     btot = b.groupBy(_BKT).agg(
         F.sum(val).cast("long").alias("__srk_bv"))
     boff = _bucket_offsets(btot, "__srk_bv", False)

@@ -306,7 +306,11 @@ def seg1_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("monetary")).localCheckpoint()
     r = stitched_ntile(cust, 5, "last_us", ["o_custkey"], out="r") \
         .select("o_custkey", "r")
-    f = stitched_ntile(cust, 5, "freq", ["o_custkey"], out="f") \
+    # freq has a handful of distinct values (order counts), so its tie
+    # runs would collapse into as few buckets — tie_bucket splits each
+    # run into custkey sub-ranges (operators/ranking.py heavy-tie mode)
+    f = stitched_ntile(cust, 5, "freq", ["o_custkey"], out="f",
+                       tie_bucket=True) \
         .select("o_custkey", "f")
     m = stitched_ntile(cust, 5, "monetary", ["o_custkey"], out="m") \
         .select("o_custkey", "m")

@@ -134,3 +134,55 @@ def test_negative_and_extreme_keys(spark):
     st = stitched_row_number(df, "v", ["id"], out="rn",
                              num_buckets=4).select("id", "rn")
     assert _same(naive, st)
+
+
+def test_tie_bucket_matches_naive(skewed):
+    """Heavy-tie composite bucketing must reproduce the naive window
+    exactly, for row_number, ntile, and cumsum."""
+    naive_rn = skewed.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+        .alias("rn"))
+    st_rn = stitched_row_number(skewed, "v", ["id"], out="rn",
+                                num_buckets=8, tie_bucket=True
+                                ).select("id", "rn")
+    assert _same(naive_rn, st_rn)
+    naive_t = skewed.select(
+        "id", F.ntile(5).over(Window.orderBy("v", "id")).cast("long")
+        .alias("t"))
+    st_t = stitched_ntile(skewed, 5, "v", ["id"], out="t",
+                          num_buckets=8, tie_bucket=True
+                          ).select("id", "t")
+    assert _same(naive_t, st_t)
+    w = (Window.orderBy("v", "id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive_c = skewed.select(
+        "id", F.sum("d").over(w).cast("long").alias("c"))
+    st_c = stitched_cumsum(skewed, "v", ["id"], val="d", out="c",
+                           num_buckets=8, tie_bucket=True
+                           ).select("id", "c")
+    assert _same(naive_c, st_c)
+
+
+def test_tie_bucket_splits_tie_runs(spark):
+    """A constant key (one giant tie run) must split into multiple
+    buckets under tie_bucket — the whole point: without it every row
+    lands in one bucket/task."""
+    import pyspark.sql.functions as SF
+
+    from big_data_analytics_spark.operators.ranking import (
+        _BKT,
+        _with_bucket,
+    )
+
+    df = spark.range(1000).select(SF.lit(1).alias("v"),
+                                  SF.col("id").alias("id"))
+    b = _with_bucket(df, "v", 8, None, tie_bucket_col="id")
+    n_buckets = b.select(_BKT).distinct().count()
+    assert n_buckets >= 4, n_buckets
+    plain = _with_bucket(df, "v", 8, None)
+    assert plain.select(_BKT).distinct().count() == 1
+
+
+def test_tie_bucket_requires_tiebreak(skewed):
+    with pytest.raises(ValueError):
+        stitched_row_number(skewed, "v", out="rn", tie_bucket=True)
