@@ -104,21 +104,22 @@ GRADE_HEAD = [
     # (c) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (d) the five queries WRITTEN this round — graded immediately so
+    # (d) the six queries WRITTEN this round — graded immediately so
     # the registry ends the round with zero never-graded entries:
     # custom-state streaming, outer stream-stream finalization, ANN
     # recall certification, binary-media dedup, the exactly-once
-    # Parquet upsert sink read back from disk
+    # Parquet upsert sink read back from disk, co-purchase link
+    # prediction (quantized Adamic-Adar)
     "sm6_stream_stateful_user_totals",
     "sm7_stream_stream_left_outer",
     "v7_ann_recall",
     "mm3_binary_dedup",
     "sm8_stream_upsert_parquet_sink",
+    "gr5_link_prediction",
     # (e) rotation: round-1-green rows whose driver evidence is four
     # rounds old (everything below the fold still re-verifies locally
     # every pytest run via tests/test_queries_vs_duckdb.py)
     "j1_revenue_by_nation",
-    "o1_top_orders_by_revenue",
 ]
 
 

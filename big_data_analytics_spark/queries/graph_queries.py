@@ -378,3 +378,96 @@ def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         known = known.unionByName(nxt)
         frontier = nxt.select("node")
     return known.select(F.col("node").alias("l_partkey"), "hops")
+
+
+_LP_CAP = 50
+_AA_Q = 1_000_000_000
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ), cap AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY w DESC, dst) AS rn
+            FROM edges) WHERE rn <= {_LP_CAP}
+    ), deg AS (SELECT src AS z, COUNT(*) AS deg FROM cap GROUP BY 1),
+    paths AS (
+        SELECT x.src AS z, x.dst AS a, y.dst AS b
+        FROM cap x JOIN cap y
+          ON x.src = y.src AND x.dst < y.dst
+    ), scored AS (
+        SELECT a, b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(FLOOR({_AA_Q} / ln(CAST(deg AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS aa_q
+        FROM paths JOIN deg USING (z) GROUP BY a, b
+    )
+    SELECT a AS part_a, b AS part_b, common_neighbors, aa_q
+    FROM scored
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.src = scored.a AND e.dst = scored.b)
+    ORDER BY common_neighbors DESC, aa_q DESC, a, b
+    LIMIT {_TOPK}
+    """
+
+
+@query("gr5_link_prediction", oracle=_linkpred_oracle())
+def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the top-{K}
+    NON-adjacent part pairs by common-neighbor count, with a
+    quantized Adamic-Adar score (sum over shared neighbors z of
+    floor(1e9 / ln(deg(z))) — down-weights promiscuous hubs; the
+    floor-quantized per-z term is a pure function of deg(z) computed
+    by identical IEEE ops in both engines, so the iterative-free
+    graph score is hash-gradeable like the rest of the gr family).
+    This is the "customers who bought these together also bought"
+    recommender primitive, complementary to cf1 (cosine over
+    co-occurrence weights): cf1 ranks EXISTING co-occurrence, link
+    prediction ranks pairs with NO edge yet.
+
+    Scale shape: per-node top-{C} neighbor cap IN THE SEMANTICS
+    (cf1's move — bounds 2-path fan-out to C(cap,2) per node
+    regardless of hub degree), 2-paths as one self-join of the capped
+    adjacency, mergeable pair aggregate, existing-edge anti-join, and
+    TakeOrderedAndProject top-k. Shares the session-cached edge
+    relation with gr1-gr4 (one build per session)."""
+    from pyspark.sql import Window
+
+    e = _weighted_edges(spark, sf_dir)
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    cap = (e.withColumn("rn", F.row_number().over(wn))
+           .filter(F.col("rn") <= _LP_CAP)
+           .select("src", "dst"))
+    deg = cap.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    x = cap.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    y = cap.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    aa_term = F.floor(_AA_Q / F.log(F.col("deg").cast("double"))) \
+        .cast("long")
+    scored = (x.join(y, "z").filter(F.col("a") < F.col("b"))
+              .join(deg.select(F.col("src").alias("z"), "deg"), "z")
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("common_neighbors"),
+                   F.sum(aa_term).cast("long").alias("aa_q")))
+    pred = scored.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    return (pred.orderBy(F.desc("common_neighbors"), F.desc("aa_q"),
+                         "a", "b")
+            .limit(_TOPK)
+            .select(F.col("a").alias("part_a"),
+                    F.col("b").alias("part_b"),
+                    "common_neighbors", "aa_q"))
+
+
+gr5_link_prediction.__doc__ = gr5_link_prediction.__doc__.format(
+    K=_TOPK, C=_LP_CAP)
