@@ -40,13 +40,15 @@ def query(name: str, oracle: Optional[str] = None):
 #: first 50 each round), so ordering is the grading policy. Round-5
 #: head-50 = (a) the ENTIRE never-graded backlog (39 queries: the
 #: classical-ML wave ml5-ml22, retrieval/semantic-dedup/feature-prep,
-#: the monitoring suite, ts4, sm5, and the new f17b graded twin) —
-#: after this round every registered query has a driver row at least
-#: once; (b) d6, whose implementation changed this round (single
-#: contamination-join execution); (c) the two standing canaries; and
-#: (d) a rotation of round-1-green rows whose driver evidence is four
-#: rounds old. Everything below the fold re-verifies locally every
-#: pytest run via tests/test_queries_vs_duckdb.py.
+#: the monitoring suite, ts4, sm5, and the new f17b graded twin);
+#: (b) the two whose implementation changed this round (d6 single
+#: contamination-join execution, w10 stitched relative ranks);
+#: (c) the two standing canaries; (d) the six queries WRITTEN this
+#: round, graded immediately; and (e) one rotation row. After this
+#: round every one of the 227 registered queries has a driver row at
+#: least once — zero never-graded entries remain. Everything below
+#: the fold re-verifies locally every pytest run via
+#: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) the entire never-graded backlog — every registered query
     # gets a driver row at least once after this round. All 39 are
