@@ -43,11 +43,12 @@ def query(name: str, oracle: Optional[str] = None):
 #: the monitoring suite, ts4, sm5, and the new f17b graded twin);
 #: (b) the two whose implementation changed this round (d6 single
 #: contamination-join execution, w10 stitched relative ranks);
-#: (c) the two standing canaries; (d) the six queries WRITTEN this
-#: round, graded immediately; and (e) one rotation row. After this
-#: round every one of the 227 registered queries has a driver row at
-#: least once — zero never-graded entries remain. Everything below
-#: the fold re-verifies locally every pytest run via
+#: (c) the two standing canaries; and (d) the seven queries WRITTEN
+#: this round, graded immediately. After this round every one of the
+#: 228 registered queries has a driver row at least once — zero
+#: never-graded entries remain. Everything below the fold (including
+#: the multi-round-green round-1 rows the canaries represent)
+#: re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) the entire never-graded backlog — every registered query
@@ -106,22 +107,20 @@ GRADE_HEAD = [
     # (c) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (d) the six queries WRITTEN this round — graded immediately so
+    # (d) the seven queries WRITTEN this round — graded immediately so
     # the registry ends the round with zero never-graded entries:
     # custom-state streaming, outer stream-stream finalization, ANN
     # recall certification, binary-media dedup, the exactly-once
     # Parquet upsert sink read back from disk, co-purchase link
-    # prediction (quantized Adamic-Adar)
+    # prediction (quantized Adamic-Adar), the image-resize loop
+    # certified on gradient pixels
     "sm6_stream_stateful_user_totals",
     "sm7_stream_stream_left_outer",
     "v7_ann_recall",
     "mm3_binary_dedup",
     "sm8_stream_upsert_parquet_sink",
     "gr5_link_prediction",
-    # (e) rotation: round-1-green rows whose driver evidence is four
-    # rounds old (everything below the fold still re-verifies locally
-    # every pytest run via tests/test_queries_vs_duckdb.py)
-    "j1_revenue_by_nation",
+    "mm4_resize_pipeline",
 ]
 
 

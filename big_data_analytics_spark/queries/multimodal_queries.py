@@ -295,3 +295,96 @@ def mm3_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("sz") - 1) * F.col("bs")).cast("long")
                  .alias("bytes_reclaimable"))
             .orderBy("media_type"))
+
+
+_N_GRAD = 30
+_RW, _RH = 4, 3
+
+
+def _gradient_fixture(spark: SparkSession) -> DataFrame:
+    """30 executor-encoded GRADIENT BMPs (pixel (x, y) of image i:
+    r=(37x+i)%256, g=(53y+i)%256, b=(x+7y+i)%256; sizes 5..10 x 4..8)
+    — non-uniform content, so a wrong resample coordinate produces
+    wrong channel sums (uniform-color fixtures cannot catch that)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 5
+                px = [[((x * 37 + i) % 256, (y * 53 + i) % 256,
+                        (x + y * 7 + i) % 256) for x in range(w)]
+                      for y in range(h)]
+                content = encode_bmp(px)
+                rows.append({
+                    "media_id": i, "media_type": "image",
+                    "content": content,
+                    "meta": {"source": "grad",
+                             "byte_size": len(content),
+                             "mime": "image/bmp"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_GRAD).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm4_resize_pipeline",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, 5 + i % 6 AS w, 4 + i % 5 AS h
+        FROM range(0, {_N_GRAD}) t(i)
+    ), px AS (
+        SELECT i,
+               CAST(FLOOR((x.x + 0.5) * w / {_RW}) AS BIGINT) AS sx,
+               CAST(FLOOR((y.y + 0.5) * h / {_RH}) AS BIGINT) AS sy
+        FROM imgs, range(0, {_RW}) AS x(x), range(0, {_RH}) AS y(y)
+    )
+    SELECT i AS media_id,
+           CAST(SUM((sx * 37 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((sy * 53 + i) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((sx + sy * 7 + i) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY i ORDER BY media_id
+    """,
+)
+def mm4_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image RESIZE path graded end-to-end: encode 30 gradient
+    BMPs executor-side, nearest-neighbor-resize to {RW}x{RH} (real
+    bytes through multimodal/binary_ops.resize_image), re-decode the
+    resized payloads, and emit per-image exact channel sums. The
+    oracle recomputes the expected sums from the generation formulas
+    AND the resampling convention (src = floor((dst+0.5)*src_dim/
+    dst_dim) — OpenCV INTER_NEAREST, identical IEEE ops in both
+    engines), so a hash mismatch pinpoints wrong pixel coordinates,
+    wrong orientation, or byte corruption anywhere in the
+    encode -> resize -> re-encode -> decode loop. Gradient content is
+    the point: mm1's uniform colors certify decode plumbing, but only
+    non-uniform pixels certify WHICH pixels a resample picked.
+
+    Scale shape: generation, resize, and decode are all Arrow-batched
+    mapInPandas over skew-bucketed partitions; the final rollup is
+    one mergeable aggregate. ``sf_dir`` unused (synthesized corpus)."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        resize_image,
+    )
+
+    media = _gradient_fixture(spark)
+    resized = resize_image(media, out_w=_RW, out_h=_RH)
+    frame = resized.select(
+        "media_id", F.lit("image").alias("media_type"),
+        F.col("resized").alias("content"))
+    decoded = decode_image(frame)
+    n_px = F.col("width") * F.col("height")
+
+    def ch(idx: int) -> Column:
+        return (F.round(F.element_at("features", idx) * 255 * n_px)
+                .cast("long"))
+
+    return (decoded.select(
+        "media_id", ch(1).alias("sum_r"), ch(2).alias("sum_g"),
+        ch(3).alias("sum_b"))
+        .orderBy("media_id"))
+
+
+mm4_resize_pipeline.__doc__ = mm4_resize_pipeline.__doc__.format(
+    RW=_RW, RH=_RH)
