@@ -87,6 +87,9 @@ EXTENDED = [
     "sh1_balanced_shards",
     "seg1_rfm_segmentation",
     "v7_ann_recall",
+    # capped-adjacency 2-path self-join + anti-join top-k (shares the
+    # session-cached co-purchase edge relation with gr1)
+    "gr5_link_prediction",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -447,17 +447,21 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = (e.withColumn("rn", F.row_number().over(wn))
            .filter(F.col("rn") <= _LP_CAP)
            .select("src", "dst"))
-    deg = cap.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # per-z AA term computed ONCE per node (|nodes| rows, broadcast),
+    # not once per 2-path row — the O(paths) stage then carries a
+    # precomputed long instead of evaluating floor/log/div per pair
+    deg_aa = (cap.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+              .select(F.col("src").alias("z"),
+                      F.floor(_AA_Q / F.log(F.col("deg").cast("double")))
+                      .cast("long").alias("aa_t")))
     x = cap.select(F.col("src").alias("z"), F.col("dst").alias("a"))
     y = cap.select(F.col("src").alias("z"), F.col("dst").alias("b"))
-    aa_term = F.floor(_AA_Q / F.log(F.col("deg").cast("double"))) \
-        .cast("long")
     scored = (x.join(y, "z").filter(F.col("a") < F.col("b"))
-              .join(deg.select(F.col("src").alias("z"), "deg"), "z")
+              .join(F.broadcast(deg_aa), "z")
               .groupBy("a", "b")
               .agg(F.count(F.lit(1)).cast("long")
                    .alias("common_neighbors"),
-                   F.sum(aa_term).cast("long").alias("aa_q")))
+                   F.sum("aa_t").cast("long").alias("aa_q")))
     pred = scored.join(
         e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ["a", "b"], "left_anti")
