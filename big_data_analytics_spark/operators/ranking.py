@@ -172,9 +172,22 @@ def stitched_cumsum(df: DataFrame, key: str,
     """Exact global running sum of ``val`` in (key, *tiebreaks) order
     (``SUM(val) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``),
     stitched: per-bucket sums -> prefix over the tiny bucket relation
-    -> broadcast offsets + within-bucket cumulative window."""
+    -> broadcast offsets + within-bucket cumulative window.
+
+    ``val`` MUST be integer-valued: the per-bucket partial sums are
+    cast to ``long``, so a fractional column would be truncated *per
+    bucket* and the result would depend on the (data-dependent)
+    percentile bucket boundaries. Enforced at plan time — pass cents /
+    counts / quantized values, not doubles (the repo-wide
+    integer-money convention, ``functions/money.py``)."""
     if tie_bucket and not tiebreaks:
         raise ValueError("tie_bucket=True requires a tiebreak column")
+    vtype = dict(df.dtypes).get(val)
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"stitched_cumsum requires an integral val column; got "
+            f"{val}: {vtype}. Quantize to long (cents/counts) first — "
+            f"fractional sums would truncate per bucket.")
     b = _with_bucket(df, key, num_buckets, bucket_expr,
                      tiebreaks[0] if tie_bucket else None)
     btot = b.groupBy(_BKT).agg(

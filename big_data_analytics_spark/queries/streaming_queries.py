@@ -143,7 +143,14 @@ _STATE_PARTITIONS = 4
 def _state_partitions(spark: SparkSession, n: int = _STATE_PARTITIONS):
     """Pin spark.sql.shuffle.partitions (the streaming state-partition
     knob) around a stream's first start; restore afterwards so batch
-    plans keep the session default."""
+    plans keep the session default.
+
+    SINGLE-THREADED-SESSION ASSUMPTION: this mutates session-global
+    conf for the duration of the stream, so a batch query planned
+    concurrently on the same SparkSession would silently plan with
+    ``n`` shuffle partitions. The bench and test harnesses run streams
+    serially; callers that need concurrency must isolate the stream on
+    ``spark.newSession()`` (own conf, shared JVM/catalog) instead."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

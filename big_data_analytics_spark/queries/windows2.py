@@ -78,10 +78,14 @@ def w10_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_acctbal")
     ranked = stitched_row_number(s, "s_acctbal", ["s_suppkey"],
                                  out="i", total_col="n")
+    # n == 1 would make (i-1)/(n-1) = 0/0 = NaN; window-function
+    # semantics define the single-row PERCENT_RANK as 0.0.
     return ranked.select(
         "s_suppkey", "s_name",
-        F.round((F.col("i") - 1).cast("double")
-                / (F.col("n") - 1).cast("double"), 9)
+        F.round(F.when(F.col("n") > 1,
+                       (F.col("i") - 1).cast("double")
+                       / (F.col("n") - 1).cast("double"))
+                .otherwise(F.lit(0.0)), 9)
         .alias("acctbal_pct_rank"),
         F.round(F.col("i").cast("double") / F.col("n").cast("double"), 9)
         .alias("acctbal_cume_dist"),

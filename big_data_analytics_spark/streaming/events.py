@@ -235,9 +235,13 @@ def user_lifetime_stats_stateful(events: DataFrame) -> DataFrame:
             v = pdf["value"].dropna()
             vq += int(np.floor(v * 10000.0 + 0.5).astype("int64").sum())
         state.update((n, vq))
+        # float(vq) first: round the integer to double, THEN divide —
+        # the same order as Spark's CAST(BIGINT AS DOUBLE)/1e4 and the
+        # DuckDB oracle. Python's int/float division is exact-rational
+        # and can differ in the last ulp once vq exceeds 2^53.
         yield pd.DataFrame([{
             "user_id": key[0], "n_events": n,
-            "value_sum": vq / 10000.0, "batch_events": batch_n,
+            "value_sum": float(vq) / 10000.0, "batch_events": batch_n,
         }])
 
     return (
