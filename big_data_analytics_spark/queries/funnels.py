@@ -1,8 +1,8 @@
 """Sessionized conversion funnel — the composite analytics pattern:
 gap-based sessionization, ordered step detection (view → click →
 purchase, each step at-or-after the previous), session-level rollup.
-One shuffle on user_id; every later stage is a window over the same
-partitioning, so no further exchanges.
+One shuffle on user_id; the per-session step detection is an in-place
+aggregate under the same partitioning, so no further exchanges.
 """
 
 from __future__ import annotations
@@ -65,10 +65,21 @@ _GAP_US = 30 * 60 * 1_000_000
 def fn1_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over 30-minute-gap sessions: a click only
     counts at-or-after the session's first view, a purchase only
-    at-or-after that click. Step timestamps are conditional window
-    mins chained across three projections (each step's predicate
-    references the previous step's column), all over the one
-    (user, session) partitioning."""
+    at-or-after that click.
+
+    Shape (round-6 rewrite): ONE exchange total. Sessionization is the
+    lag/cumsum window over user_id; the step detection is a single
+    per-(user, session) aggregate — v_ts as a conditional MIN, clicks
+    and purchases as sorted timestamp arrays, then each step's
+    timestamp is the first array element at-or-after the previous
+    step's. Because hash-partitioning on user_id already satisfies the
+    clustered distribution on (user_id, session_id), the aggregate
+    runs in place with NO second exchange — replacing the prior
+    three-window chain + DISTINCT (one extra exchange + sort + three
+    window passes). Per-session arrays hold only that session's
+    click/purchase timestamps — strictly smaller than the per-user
+    sort partitions the window already required, so no new skew
+    exposure at scale."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -82,26 +93,33 @@ def fn1_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").over(
             w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    w_sess = Window.partitionBy("user_id", "session_id")
-    s1 = sess.withColumn(
-        "v_ts",
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_sess))
-    s2 = s1.withColumn(
-        "c_ts",
-        F.min(F.when((F.col("event_type") == "click")
-                     & (F.col("ts") >= F.col("v_ts")), F.col("ts")))
-        .over(w_sess))
-    s3 = s2.withColumn(
+    # collect_list skips nulls, so each array holds exactly that
+    # step's timestamps; sort_array makes "first element >= prev step"
+    # the conditional MIN the window chain computed. A null previous
+    # step makes the >= predicate null -> filter drops every element
+    # -> try_element_at on empty -> null, matching the chained
+    # conditional-window semantics on missing steps.
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("v_ts"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))))
+        .alias("clicks"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        .alias("purchases"),
+    )
+    c_ts = F.try_element_at(
+        F.filter("clicks", lambda x: x >= F.col("v_ts")), F.lit(1))
+    steps = per_sess.withColumn("c_ts", c_ts).withColumn(
         "p_ts",
-        F.min(F.when((F.col("event_type") == "purchase")
-                     & (F.col("ts") >= F.col("c_ts")), F.col("ts")))
-        .over(w_sess))
-    per_sess = s3.select(
-        "user_id", "session_id",
+        F.try_element_at(
+            F.filter("purchases", lambda x: x >= F.col("c_ts")), F.lit(1)))
+    per_sess = steps.select(
         F.col("v_ts").isNotNull().alias("s_view"),
         F.col("c_ts").isNotNull().alias("s_click"),
         F.col("p_ts").isNotNull().alias("s_buy"),
-    ).distinct()
+    )
     return per_sess.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(F.col("s_view").cast("long")).alias("reached_view"),
