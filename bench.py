@@ -124,6 +124,11 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # three stitched quintiles + checkpointed customer aggregate:
         # cold includes the localCheckpoint materialization
         "seg1_rfm_segmentation",
+        # capped-adjacency pair explode + shuffled-hash anti-join:
+        # cold includes the session-cached co-purchase edge build when
+        # gr1 has not run first (bench order: gr1 cold runs before, so
+        # this measures the pair stage + anti-join codegen cold)
+        "gr5_link_prediction",
         # outer stream-stream join: two stateful sides + outer-row
         # finalization across 4 triggers at right-sized state
         # partitions (the sizing lever measured by sm4_backfill below)

@@ -925,3 +925,31 @@ def test_w10_stitched_relative_ranks(spark):
     (supplier grows with SF — the naive form is a single-task global
     sort)."""
     _assert_windows_stitched(_plan(spark, "w10_percent_rank_cume"), 1)
+
+
+def test_plans_md_covers_headline():
+    """Freshness guard for the machine plan audit: PLANS.md must have a
+    row for every bench.py headline query, so the audit can never go
+    stale when a query is added to the bench (the round-5 gr5 gap).
+    Regenerate with `python -m big_data_analytics_spark.tools.plan_report`."""
+    import os
+    import re
+    import bench
+
+    plans = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    rows = set(re.findall(r"^\| (\w+) \|", open(plans).read(), re.M))
+    missing = [n for n in bench.HEADLINE if n not in rows]
+    assert not missing, (
+        f"PLANS.md is stale — headline queries without an audit row: "
+        f"{missing}. Run python -m big_data_analytics_spark.tools.plan_report")
+
+
+def test_gr5_anti_join_is_shuffled_hash(spark):
+    """gr5's existing-edge anti-join must be a shuffled-hash join on
+    (a, b) — the edge relation grows with the data, so a broadcast
+    build is a scale-killer (and measured 2x slower at sf0.1); the
+    scored side reuses the pair-aggregate partitioning."""
+    plan = _plan(spark, "gr5_link_prediction")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
