@@ -151,7 +151,8 @@ def start_upsert_metrics_sink(spark, source: DataFrame, target_dir: str,
 
 def start_stateful_upsert_sink(source: DataFrame, target_dir: str,
                                checkpoint_dir: str,
-                               watermark: str = "1 day"):
+                               watermark: str = "1 day",
+                               on_batch_committed=None):
     """Update-mode stateful rollup -> key-partitioned dynamic-overwrite
     Parquet upsert: the PRODUCTION exactly-once sink pattern, correct
     for arbitrarily split micro-batches (unlike
@@ -172,6 +173,14 @@ def start_stateful_upsert_sink(source: DataFrame, target_dir: str,
     the watermark): update mode drops input older than the watermark,
     unlike sm1's complete mode which never evicts.
 
+    ``on_batch_committed(batch_id)`` is a post-target-write hook used
+    by the crash-recovery test to fail the query in the WORST window —
+    after the batch's output landed in the target but before the
+    checkpoint commit log records it — forcing the restart to replay
+    that batch against an already-written target. The dynamic
+    partition overwrite makes the replay a byte-identical rewrite,
+    which is exactly the idempotence "exactly-once" rests on.
+
     Returns the StreamingQuery (caller awaits/stops).
     """
     agg = daily_event_counts(source, watermark)
@@ -182,6 +191,8 @@ def start_stateful_upsert_sink(source: DataFrame, target_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("day_key", "event_type")
          .parquet(target_dir))
+        if on_batch_committed is not None:
+            on_batch_committed(batch_id)
 
     return (
         out.writeStream

@@ -301,3 +301,64 @@ def test_stateful_upsert_sink_resume_is_idempotent(spark, event_dir):
     expected = {(r.day, r.event_type): (r.n_events, round(r.value_sum, 4))
                 for r in daily_event_counts(batch_df).collect()}
     assert first == expected
+
+
+def test_stateful_upsert_sink_mid_stream_crash_recovery(spark, event_dir):
+    """Exactly-once as a RECOVERY claim, not just a replay claim: fail
+    the upsert-sink query after trigger 2 of 4 in the worst window
+    (target written, checkpoint commit NOT yet recorded), restart from
+    the same checkpoint, run to completion — the read-back target must
+    equal the batch aggregate exactly. The restart replays the failed
+    batch against the partially-written target; dynamic partition
+    overwrite makes that replay idempotent."""
+    import os
+    import tempfile
+
+    import pyspark.errors
+
+    from big_data_analytics_spark.streaming.events import (
+        daily_event_counts,
+        start_stateful_upsert_sink,
+    )
+
+    batch_df = spark.read.parquet(event_dir)
+    target = tempfile.mkdtemp(prefix="crash_target_")
+    ckpt = tempfile.mkdtemp(prefix="crash_ckpt_")
+
+    def stream():
+        return (spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1).parquet(event_dir))
+
+    crashed = []
+
+    def crash_once(batch_id: int) -> None:
+        # fail exactly once, on the second trigger, AFTER its target
+        # write — the replayed attempt must pass through
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash after batch 1 commit")
+
+    q = start_stateful_upsert_sink(stream(), target, ckpt,
+                                   watermark="60 days",
+                                   on_batch_committed=crash_once)
+    with pytest.raises(pyspark.errors.exceptions.captured
+                       .StreamingQueryException):
+        q.awaitTermination(120)
+    assert crashed == [1]
+    # genuine partial progress: batch 0 committed, batch 1's output is
+    # on disk but its commit is not — the crash window we claimed
+    commits = os.listdir(os.path.join(ckpt, "commits"))
+    assert "0" in commits and "1" not in commits
+    assert len(spark.read.parquet(target).take(1)) == 1
+
+    # restart from the same checkpoint: replays batch 1 (idempotent
+    # rewrite of the partitions it already wrote), then finishes 2-3
+    q2 = start_stateful_upsert_sink(stream(), target, ckpt,
+                                    watermark="60 days")
+    q2.awaitTermination(120)
+
+    got = {(r.day, r.event_type): (r.n_events, round(r.value_sum, 4))
+           for r in spark.read.parquet(target).collect()}
+    expected = {(r.day, r.event_type): (r.n_events, round(r.value_sum, 4))
+                for r in daily_event_counts(batch_df).collect()}
+    assert got == expected
