@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
 
+_QN_MAX_HIST = 1_000_000
+_QN_BLOCK = 1024
+
 _QN_ORACLE = """
     WITH r AS (
         SELECT doc_id, source, n_chars FROM documents
@@ -86,21 +89,44 @@ def qn1_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = r.agg(F.count("*").alias("nt"))
     pos = F.floor((F.col("rk").cast("double") * F.col("nt")
                    + F.col("ns") - 1) / F.col("ns")).cast("long")
-    # forward as-of (smallest epos >= pos) as a MAP-ONLY fold over
-    # the broadcast sorted histogram array: a `>=` range join would
-    # emit every qualifying interval per document (O(rows x |hist|)
-    # amplification) before a rank filter — this shape touches each
-    # document exactly once and scans only the |distinct values|
-    # array per row
+    # forward as-of (smallest epos >= pos) as a MAP-ONLY two-level
+    # probe over the broadcast sorted histogram: a `>=` range join
+    # would emit every qualifying interval per document
+    # (O(rows x |hist|) amplification) before a rank filter — this
+    # shape touches each document exactly once. The histogram is
+    # pre-chunked into _QN_BLOCK-element blocks; each row scans the
+    # block-ends array (|hist|/_QN_BLOCK elements) then ONE block, so
+    # the per-row cost is O(|hist|/B + B), not O(|hist|). The
+    # assert_true guard bounds the broadcast itself: a normalized key
+    # with more than _QN_MAX_HIST distinct values fails loudly at run
+    # time (quantize the key first) instead of silently materializing
+    # an unbounded single-row histogram; tying `blocks` to the guard
+    # keeps Catalyst from pruning it.
     harr = hist.agg(
         F.array_sort(F.collect_list(F.struct("epos", "v"))).alias("h"))
-    lookup = F.aggregate(
-        F.col("h"), F.lit(None).cast("long"),
-        lambda acc, e: F.when(acc.isNull() & (e["epos"] >= F.col("pos")),
-                              e["v"]).otherwise(acc))
+    blocked = harr.select(
+        F.expr(
+            f"if(isnull(assert_true(size(h) <= {_QN_MAX_HIST}, "
+            f"'qn1: histogram cardinality exceeds {_QN_MAX_HIST} — "
+            f"quantize the normalized key')), "
+            f"transform(sequence(0, (size(h) - 1) DIV {_QN_BLOCK}), "
+            f"i -> slice(h, i * {_QN_BLOCK} + 1, {_QN_BLOCK})), "
+            f"null)").alias("blocks"))
+    blocked = blocked.select(
+        "blocks",
+        F.expr("transform(blocks, b -> element_at(b, -1).epos)")
+        .alias("ends"))
+    # pos <= N (the last epos) by construction, so a covering block
+    # always exists: its index is the count of blocks ending below pos
+    blk = F.element_at(
+        F.col("blocks"),
+        (F.size(F.filter("ends", lambda e: e < F.col("pos"))) + 1)
+        .cast("int"))
+    lookup = F.element_at(
+        F.filter(blk, lambda s: s["epos"] >= F.col("pos")), 1)["v"]
     cand = (ranked.crossJoin(F.broadcast(nt))
             .withColumn("pos", pos)
-            .crossJoin(F.broadcast(harr))
+            .crossJoin(F.broadcast(blocked))
             .select("source", "doc_id", lookup.alias("normalized")))
     return (cand.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
