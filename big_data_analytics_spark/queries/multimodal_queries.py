@@ -388,3 +388,96 @@ def mm4_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm4_resize_pipeline.__doc__ = mm4_resize_pipeline.__doc__.format(
     RW=_RW, RH=_RH)
+
+
+_N_PNG = 25
+
+
+def _png_gradient_fixture(spark: SparkSession) -> DataFrame:
+    """25 executor-encoded gradient PNGs (pixel (x, y) of image i:
+    r=(29x+i)%256, g=(47y+i)%256, b=(5x+3y+i)%256; sizes 6..10 x
+    5..8), with image i written under PNG filter type i % 5 — every
+    one of the five scanline filters (None/Sub/Up/Average/Paeth)
+    appears in the graded corpus, so a wrong unfilter path in the
+    stdlib-zlib decoder corrupts some image's channel sums."""
+    from big_data_analytics_spark.multimodal.binary_ops import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 6 + i % 5, 5 + i % 4
+                px = [[((x * 29 + i) % 256, (y * 47 + i) % 256,
+                        (x * 5 + y * 3 + i) % 256) for x in range(w)]
+                      for y in range(h)]
+                content = encode_png(px, filter_type=i % 5)
+                rows.append({
+                    "media_id": i, "media_type": "image",
+                    "content": content,
+                    "meta": {"source": "png_grad",
+                             "byte_size": len(content),
+                             "mime": "image/png"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_PNG).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm5_png_roundtrip",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, 6 + i % 5 AS w, 5 + i % 4 AS h
+        FROM range(0, {_N_PNG}) t(i)
+    ), px AS (
+        SELECT i,
+               CAST(FLOOR((x.x + 0.5) * w / {_RW}) AS BIGINT) AS sx,
+               CAST(FLOOR((y.y + 0.5) * h / {_RH}) AS BIGINT) AS sy
+        FROM imgs, range(0, {_RW}) AS x(x), range(0, {_RH}) AS y(y)
+    )
+    SELECT i AS media_id,
+           CAST(SUM((sx * 29 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((sy * 47 + i) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((sx * 5 + sy * 3 + i) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY i ORDER BY media_id
+    """,
+)
+def mm5_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib-zlib PNG codec graded end-to-end: encode 25 gradient
+    PNGs executor-side — one of the five scanline filters per image —
+    then run the SAME certified loop as mm4 (nearest-neighbor resize
+    of the real bytes, re-decode, exact channel sums). The oracle
+    recomputes the sums from the generation formulas and the
+    INTER_NEAREST coordinate convention, so a hash mismatch pinpoints
+    a wrong unfilter path (Sub/Up/Average/Paeth), wrong pixel
+    coordinates, or byte corruption anywhere in the
+    PNG-encode -> inflate/unfilter -> resize -> decode loop. With
+    this row green, the NotImplementedError codec boundary covers
+    only formats that genuinely need an external library (JPEG DCT,
+    ffmpeg containers).
+
+    Scale shape: identical to mm4 — generation, resize, decode are
+    Arrow-batched mapInPandas over skew-bucketed partitions; final
+    rollup is one mergeable aggregate. ``sf_dir`` unused (synthesized
+    corpus)."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        resize_image,
+    )
+
+    media = _png_gradient_fixture(spark)
+    resized = resize_image(media, out_w=_RW, out_h=_RH)
+    frame = resized.select(
+        "media_id", F.lit("image").alias("media_type"),
+        F.col("resized").alias("content"))
+    decoded = decode_image(frame)
+    n_px = F.col("width") * F.col("height")
+
+    def ch(idx: int) -> Column:
+        return (F.round(F.element_at("features", idx) * 255 * n_px)
+                .cast("long"))
+
+    return (decoded.select(
+        "media_id", ch(1).alias("sum_r"), ch(2).alias("sum_g"),
+        ch(3).alias("sum_b"))
+        .orderBy("media_id"))
