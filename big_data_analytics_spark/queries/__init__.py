@@ -37,90 +37,80 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 #: The driver harness grades registry entries head-first (exactly the
-#: first 50 each round), so ordering is the grading policy. Round-5
-#: head-50 = (a) the ENTIRE never-graded backlog (39 queries: the
-#: classical-ML wave ml5-ml22, retrieval/semantic-dedup/feature-prep,
-#: the monitoring suite, ts4, sm5, and the new f17b graded twin);
-#: (b) the two whose implementation changed this round (d6 single
-#: contamination-join execution, w10 stitched relative ranks);
-#: (c) the two standing canaries; and (d) the seven queries WRITTEN
-#: this round, graded immediately. After this round every one of the
-#: 228 registered queries has a driver row at least once — zero
-#: never-graded entries remain. Everything below the fold (including
-#: the multi-round-green round-1 rows the canaries represent)
-#: re-verifies locally every pytest run via
+#: first 50 each round), so ordering is the grading policy. With the
+#: never-graded backlog cleared in round 5, the STANDING ROTATION RULE
+#: from round 6 on is: (a) the two canaries, (b) every query written
+#: or whose implementation changed this round (graded immediately),
+#: (c) the remaining slots filled OLDEST-FIRST — the registered
+#: queries whose most recent driver row is the most rounds stale, in
+#: registry order, skipping the four declared no-oracle queries
+#: (d2/d3/p19/f17 — each already has a green graded deterministic
+#: twin; a head slot on a rows-only check refreshes nothing).
+#: Round-6 head-50: 2 canaries + 7 round-6 entries + the 41 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 5
+#: remaining r1 rows (q19, q16, q17, q15, q22) then the 35 r2 rows.
+#: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
-    # (a) the entire never-graded backlog — every registered query
-    # gets a driver row at least once after this round. All 39 are
-    # locally hash-green vs DuckDB every pytest run
-    # (tests/test_queries_vs_duckdb.py); the driver row is the hard
-    # evidence. Includes the four queries rewritten this round onto
-    # the stitched two-level ranked-window shape (sh1/ec1/seg1/oc1,
-    # operators/ranking.py) and f17b, the new graded twin for the
-    # uuid-tier f17.
-    "ml5_kmeans",
-    "ml6_knn_classify",
-    "ml7_gaussian_nb",
-    "ml8_decision_stump",
-    "ml9_logistic_gd",
-    "ml10_pca_2feature",
-    "ml11_lda_2feature",
-    "ml12_svm_subgradient",
-    "ml13_roc_auc",
-    "ml14_cv_ridge",
-    "ml15_gbt_stumps",
-    "ml16_qda_2feature",
-    "ml17_poisson_bootstrap",
-    "ml18_conformal_interval",
-    "ml19_poly_regression",
-    "ml20_vif",
-    "ml21_grouped_ols",
-    "ml22_mallows_cp",
-    "km1_survival_curve",
-    "gm1_gram_matrix",
-    "fs1_mutual_information",
-    "ir1_bm25_topk",
-    "d8_semantic_dedup",
-    "te1_target_encoding",
-    "fh1_feature_hashing",
-    "qn1_quantile_normalize",
-    "sh1_balanced_shards",
-    "cal1_reliability_diagram",
-    "dr1_psi_drift",
-    "ec1_revenue_gini",
-    "seg1_rfm_segmentation",
-    "ab1_cuped_adjustment",
-    "tp1_threshold_tuning",
-    "pp1_perplexity_filter",
-    "wp1_weighted_percentiles",
-    "oc1_max_concurrency",
-    "ts4_holt_trend",
-    "sm5_stream_static_enrich",
-    "f17b_hash_id_generation",
-    # (b) implementation changed this round: one contamination-join
-    # execution instead of two (queries/quality.py); w10 re-derived as
-    # stitched row-number arithmetic (rank==row_number under a unique
-    # ordering, so percent_rank/cume_dist are pure expressions)
-    "d6_decontaminate_train",
-    "w10_percent_rank_cume",
-    # (c) standing canaries — driver-green every round since r1
+    # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (d) the seven queries WRITTEN this round — graded immediately so
-    # the registry ends the round with zero never-graded entries:
-    # custom-state streaming, outer stream-stream finalization, ANN
-    # recall certification, binary-media dedup, the exactly-once
-    # Parquet upsert sink read back from disk, co-purchase link
-    # prediction (quantized Adamic-Adar), the image-resize loop
-    # certified on gradient pixels
-    "sm6_stream_stateful_user_totals",
-    "sm7_stream_stream_left_outer",
-    "v7_ann_recall",
-    "mm3_binary_dedup",
-    "sm8_stream_upsert_parquet_sink",
+    # (b) round-6 new/changed: the stdlib-zlib PNG round-trip (new);
+    # fn1 rewritten onto the exchange-free aggregate; gr5's pair
+    # stage rewritten (in-place neighbor arrays + shuffled-hash
+    # anti-join); qn1's two-level bounded histogram probe; w10's
+    # single-row percent_rank guard; sm6's double-rounding-order fix;
+    # oc1 re-graded over the integral-guarded stitched cumsum
+    "mm5_png_roundtrip",
+    "fn1_session_funnel",
     "gr5_link_prediction",
-    "mm4_resize_pipeline",
+    "qn1_quantile_normalize",
+    "w10_percent_rank_cume",
+    "sm6_stream_stateful_user_totals",
+    "oc1_max_concurrency",
+    # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
+    # ago), registry order, no-oracle entries skipped
+    "f1_string_functions",
+    "f8_date_functions",
+    "j1_revenue_by_nation",
+    "o1_top_orders_by_revenue",
+    "j2_customer_order_stats",
+    "j5_customers_with_urgent_orders",
+    "j6_customers_without_orders",
+    "p4_filter_compound",
+    "p11_part_size_buckets",
+    "a5_monthly_revenue",
+    "a7_order_priority_counts",
+    "a9_quantity_moments",
+    "a10_corr_regression",
+    "a12_event_daily_metrics",
+    "u1_union_distinct",
+    "p16_ordered_limit",
+    "w1_event_lag_delta",
+    "w5_customer_running_spend",
+    "w4_latest_order_per_customer",
+    "wr_rank_functions",
+    "j7_regional_supplier_volume",
+    "a6_forecast_revenue",
+    "a18_large_orders_having",
+    "g1_rollup_revenue",
+    "g2_cube_counts",
+    "pv1_status_pivot",
+    "a8_percentiles",
+    "p8_null_handling",
+    "p13_cast_coercion",
+    "f18_array_ops",
+    "a15_exists_over_array",
+    "f19_map_ops",
+    "p6_membership_and_regex",
+    "u3_intersect_except",
+    "u3b_intersect_all",
+    "f11_date_sequence",
+    "j5b_rowkey_decompose_join",
+    "a19_median_mode",
+    "q4_priority_with_late_items",
+    "q12_priority_shipping",
+    "q14_brand_revenue_share",
 ]
 
 
