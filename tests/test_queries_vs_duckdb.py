@@ -14,6 +14,7 @@ ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
 NO_ORACLE = sorted(n for n, q in REGISTRY.items() if not q.oracle)
 
 
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, name):
     q = REGISTRY[name]
@@ -22,6 +23,7 @@ def test_query_matches_oracle(spark, name):
     assert result.match, f"{name}: {result.detail} (spark={result.spark_rows}, oracle={result.oracle_rows})"
 
 
+@pytest.mark.oracle
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_query_runs(spark, name):
     """Non-SQL-expressible ops at least run and return a stable schema."""
