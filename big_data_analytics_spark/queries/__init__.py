@@ -46,9 +46,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 7 round-6 entries + the 41 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 5
-#: remaining r1 rows (q19, q16, q17, q15, q22) then the 35 r2 rows.
+#: Round-6 head-50: 2 canaries + 8 round-6 entries + the 40 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 6
+#: remaining r1 rows (q14, q19, q16, q17, q15, q22) then the 35 r2
+#: rows.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -60,7 +61,8 @@ GRADE_HEAD = [
     # stage rewritten (in-place neighbor arrays + shuffled-hash
     # anti-join); qn1's two-level bounded histogram probe; w10's
     # single-row percent_rank guard; sm6's double-rounding-order fix;
-    # oc1 re-graded over the integral-guarded stitched cumsum
+    # oc1 re-graded over the integral-guarded stitched cumsum; cf1's
+    # pair stage rewritten onto the same generator shape as gr5
     "mm5_png_roundtrip",
     "fn1_session_funnel",
     "gr5_link_prediction",
@@ -68,6 +70,7 @@ GRADE_HEAD = [
     "w10_percent_rank_cume",
     "sm6_stream_stateful_user_totals",
     "oc1_max_concurrency",
+    "cf1_item_item_cosine",
     # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
@@ -110,7 +113,6 @@ GRADE_HEAD = [
     "a19_median_mode",
     "q4_priority_with_late_items",
     "q12_priority_shipping",
-    "q14_brand_revenue_share",
 ]
 
 

@@ -5,9 +5,11 @@ Both queries materialize CO-OCCURRENCE PAIRS, the shape shared by
 recommender pre-computation and the dedup/LSH surface: a self-join on
 the basket key whose output is quadratic only in the per-basket item
 count (bounded, ~single digits for TPC-H orders; ~tens for customer
-histories), never in the corpus. At 100 TB the pair generation is one
-co-partitioned self-join on the basket key — both sides hash to the
-same exchange, so Catalyst reuses a single shuffle — followed by a
+histories), never in the corpus. At 100 TB the pair generation is
+either one co-partitioned self-join on the basket key (mb1 — both
+sides hash to the same exchange, so Catalyst reuses a single shuffle)
+or, where a per-basket cap bounds the vectors, an in-basket array
+combination generator with no join at all (cf1) — followed by a
 partial-combined aggregate on the (item_a, item_b) pair key. No
 broadcast of item-level relations (item cardinality grows with the
 corpus); the one-row corpus totals ARE broadcast.
@@ -170,10 +172,12 @@ def cf1_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = summed quantity), top-50 by similarity among pairs
     sharing >= 3 customers.
 
-    Same pair-generation shape as mb1 but keyed on the customer:
-    the self-join is co-partitioned on u (one exchange, reused),
-    the dot-product aggregate partial-combines on the item pair,
-    and norms join the pruned pair relation. Quantities are exact
+    Pair generation (round-6 rewrite, the gr5 shape): the capped
+    per-user item vectors collect to sorted (i, q) arrays and one
+    generator emits the C(d,2) i<j combinations carrying both
+    quantities — the ratings self-join is gone entirely. The
+    dot-product aggregate partial-combines on the item pair, and
+    norms join the pruned pair relation. Quantities are exact
     integers, so dot products and squared norms are bit-identical
     across engines; the single sqrt at the end is IEEE-deterministic
     from identical inputs. Ordering on the ROUNDED cosine plus the
@@ -204,13 +208,26 @@ def cf1_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = _cached(spark, sf_dir, "ratings", _build_ratings)
     norms = ratings.groupBy("i").agg(
         F.sum((F.col("q") * F.col("q")).cast(dec)).alias("n2"))
-    a = ratings.alias("a")
-    b = ratings.alias("b")
-    dots = (a.join(b, (F.col("a.u") == F.col("b.u"))
-                   & (F.col("a.i") < F.col("b.i")))
-            .groupBy(F.col("a.i").alias("item_a"),
-                     F.col("b.i").alias("item_b"))
-            .agg(F.sum((F.col("a.q") * F.col("b.q")).cast(dec))
+    # struct field order (i, q) makes sort_array order by item id, so
+    # the k<j generator emits ia < ib directly; arrays are <= 20
+    # elements by the cap, bounding the per-row combination cost.
+    # The explicit numPartitions matters twice over: the checkpointed
+    # ratings relation is AQE-coalesced to a couple of partitions
+    # (right for its byte size), but the C(20,2)-per-user pair
+    # fan-out below is the expensive stage and must run wide — and
+    # AQE sizes shuffles by INPUT bytes, so only a user-pinned
+    # partition count survives to carry the 190x generator fan-out.
+    n_part = spark.sparkContext.defaultParallelism
+    baskets = ratings.repartition(n_part, "u").groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("i", "q"))).alias("items"))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(items, (x, k) -> "
+        "transform(slice(items, k + 2, size(items) - k - 1), "
+        "y -> struct(x.i AS ia, y.i AS ib, x.q AS qa, y.q AS qb))))"
+    )).alias("p"))
+    dots = (pairs.groupBy(F.col("p.ia").alias("item_a"),
+                          F.col("p.ib").alias("item_b"))
+            .agg(F.sum((F.col("p.qa") * F.col("p.qb")).cast(dec))
                  .alias("dot"),
                  F.count(F.lit(1)).alias("n_common"))
             .filter(F.col("n_common") >= 3))
