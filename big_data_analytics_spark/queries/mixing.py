@@ -92,3 +92,108 @@ def mx1_mixture_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
         .cast("long").alias("alloc_docs"),
     )
+
+
+# --------------------------------------------------------------------
+# ds1 — importance resampling (DSIR, Xie et al. 2023, public): select
+# raw documents whose hashed n-gram profile best matches a target
+# distribution, by exact integer log-likelihood-ratio weights.
+# --------------------------------------------------------------------
+
+_DS_BUCKETS = 256
+_DS_Q = 1_000_000
+_DS_TOPK = 25
+
+_DS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(t.token), 1, 8))::BIGINT
+                   % {_DS_BUCKETS} AS bucket
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+    ), dist AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cr
+        FROM toks GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+               CAST(SUM(cr) AS BIGINT) AS nr
+        FROM dist
+    ), scores AS (
+        SELECT bucket,
+               CAST(FLOOR({_DS_Q} * ln(CAST(ct + 1 AS DOUBLE)
+                    / CAST(nt + {_DS_BUCKETS} AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR({_DS_Q} * ln(CAST(cr + 1 AS DOUBLE)
+                    / CAST(nr + {_DS_BUCKETS} AS DOUBLE))) AS BIGINT)
+                   AS s
+        FROM dist CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS weight_q
+    FROM toks JOIN scores USING (bucket)
+    WHERE lang <> 'en'
+    GROUP BY doc_id
+    ORDER BY weight_q DESC, doc_id
+    LIMIT {_DS_TOPK}
+"""
+
+
+@query("ds1_importance_resampling", oracle=_DS_ORACLE)
+def ds1_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023, public): rank candidate documents by how much their hashed
+    unigram profile looks like a target distribution — here the
+    'en' documents are the target, everything else the raw pool, and
+    the top-{K} candidates by importance weight are selected. The
+    weight is the log-likelihood ratio sum_tokens
+    [ln p_target(bucket) - ln p_raw(bucket)] over {B} md5-hashed
+    token buckets with add-1 smoothing. Every term is quantized
+    (floor(1e6 * ln(exact-int ratio))) BEFORE the per-document sum,
+    so the weights are exact integers and the row hash-grades: ln of
+    identical doubles is identical IEEE in both engines (the aa_t
+    recipe), and the bucket assignment is the md5-portable fh1 hash.
+
+    Scale shape: one explode pass builds BOTH distributions as
+    conditional sums in a single {B}-group aggregate; the {B}-row
+    score table broadcasts; the candidate scoring is a map-side
+    broadcast join + one mergeable per-doc aggregate; top-{K} is
+    TakeOrderedAndProject. No vocabulary state, no corpus-wide
+    window — the same properties that make fh1 survive 100 TB. At
+    production scale the top-k becomes a threshold or Gumbel-top-k
+    sample over the same weight column."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("long") % _DS_BUCKETS)
+    toks = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    is_t = (F.col("lang") == "en").cast("long")
+    dist = toks.groupBy("bucket").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"))
+    tot = dist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+
+    def logq(c, n):
+        return F.floor(
+            _DS_Q * F.log((c + 1).cast("double")
+                          / (n + _DS_BUCKETS).cast("double"))
+        ).cast("long")
+
+    scores = (dist.crossJoin(F.broadcast(tot))
+              .select("bucket",
+                      (logq(F.col("ct"), F.col("nt"))
+                       - logq(F.col("cr"), F.col("nr"))).alias("s")))
+    return (toks.filter(F.col("lang") != "en")
+            .join(F.broadcast(scores), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("s").cast("long").alias("weight_q"))
+            .orderBy(F.desc("weight_q"), "doc_id")
+            .limit(_DS_TOPK))
+
+
+ds1_importance_resampling.__doc__ = ds1_importance_resampling.__doc__.format(
+    K=_DS_TOPK, B=_DS_BUCKETS)
