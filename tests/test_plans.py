@@ -953,3 +953,30 @@ def test_gr5_anti_join_is_shuffled_hash(spark):
     plan = _plan(spark, "gr5_link_prediction")
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_cf1_pair_stage_is_joinless(spark):
+    """cf1's pair generation must be the in-basket combination
+    generator (one Generate/explode), not a ratings self-join: the
+    only joins left in the plan are the two broadcast norm joins on
+    the HAVING-pruned pair relation."""
+    plan = _plan(spark, "cf1_item_item_cosine")
+    assert "Generate explode" in plan, plan
+    # the two norm joins only (AQE converts them to broadcast at
+    # runtime from actual sizes; the pre-execution plan says SMJ) —
+    # a third join would mean the pair self-join came back
+    n_joins = (plan.count("SortMergeJoin")
+               + plan.count("BroadcastHashJoin")
+               + plan.count("ShuffledHashJoin"))
+    assert n_joins <= 2, plan
+
+
+def test_ds1_scoring_is_broadcast_mapside(spark):
+    """DSIR candidate scoring: the 256-row bucket score table joins
+    broadcast (map-side), the top-k is TakeOrderedAndProject, and no
+    Python eval appears anywhere."""
+    plan = _plan(spark, "ds1_importance_resampling")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EvalPython" not in plan, plan
