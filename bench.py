@@ -90,6 +90,9 @@ EXTENDED = [
     # capped-adjacency 2-path self-join + anti-join top-k (shares the
     # session-cached co-purchase edge relation with gr1)
     "gr5_link_prediction",
+    # round 8: DSIR importance resampling — explode-pass distribution
+    # build + broadcast bucket-score join + TakeOrdered
+    "ds1_importance_resampling",
 ]
 
 HEADLINE = CORE + EXTENDED
