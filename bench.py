@@ -127,6 +127,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # three stitched quintiles + checkpointed customer aggregate:
         # cold includes the localCheckpoint materialization
         "seg1_rfm_segmentation",
+        # the build-once LSH index (localCheckpoint of the corpus
+        # signature relation): every later probe (v3_lsh, v7) serves
+        # from it — this row is the one-off build cost
+        "v3_lsh_ann_topk",
         # capped-adjacency pair explode + shuffled-hash anti-join:
         # cold includes the session-cached co-purchase edge build when
         # gr1 has not run first (bench order: gr1 cold runs before, so
