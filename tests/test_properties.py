@@ -98,3 +98,31 @@ def test_hash_split_stable_and_exhaustive(spark):
     assert len(ids(tr1)) + len(ids(te1)) == 5000
     # the multiplicative hash actually scrambles: split ratio near 80/20
     assert abs(len(ids(tr1)) / 5000 - 0.8) < 0.05
+
+
+@given(
+    st.integers(min_value=1, max_value=12),   # width
+    st.integers(min_value=1, max_value=10),   # height
+    st.integers(min_value=0, max_value=4),    # scanline filter
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ft, seed):
+    """encode_png -> _png_pixels is the identity for ANY 8-bit RGB
+    image under ANY scanline filter — pixel content derived from an
+    LCG over the seed so every byte value (0..255) and every
+    filter-prediction pattern gets exercised."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        _png_pixels,
+        encode_png,
+    )
+
+    x = seed
+    px = []
+    for _ in range(h):
+        row = []
+        for _ in range(w):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            row.append(((x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF))
+        px.append(row)
+    assert _png_pixels(encode_png(px, filter_type=ft)) == px
