@@ -114,3 +114,66 @@ def cc1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(_cc_corpus(spark, sf_dir), threshold=0.5)
     comp = connected_components(pairs, max_iter=12)
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+# cc2 shares cc1's entire corpus -> pairs -> recursive-closure prefix;
+# only the final SELECT changes (the component labeling is demoted to
+# a CTE and the canonical argmax layered on top).
+_CC2_ORACLE = _CC1_ORACLE[:_CC1_ORACLE.rindex("    SELECT node AS doc_id")] + """
+    , comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM corpus
+    ), ranked AS (
+        SELECT c.component, c.doc_id, t.n_toks,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY t.n_toks DESC, c.doc_id) AS rn,
+               SUM(t.n_toks) OVER (PARTITION BY c.component) AS tot,
+               COUNT(*) OVER (PARTITION BY c.component) AS sz
+        FROM comp c JOIN toks t USING (doc_id)
+    )
+    SELECT component,
+           CAST(sz AS BIGINT) AS cluster_size,
+           doc_id AS canonical_doc,
+           CAST(n_toks AS BIGINT) AS canonical_toks,
+           CAST(tot - n_toks AS BIGINT) AS toks_removed
+    FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
+@query("cc2_canonical_selection", oracle=_CC2_ORACLE)
+def cc2_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster canonical selection — the step after
+    transitive clustering in a real dedup pipeline: within each
+    near-dup cluster keep the highest-quality variant (here: most
+    tokens, doc_id tiebreak — prefer the longest surviving edit) and
+    report the per-cluster reclaim manifest (size, canonical doc,
+    canonical length, tokens removed). Keep-FIRST (t13/d1) is an
+    arbitrary survivor; keep-best is what corpus curation actually
+    ships. The argmax is a single min-over-struct aggregate
+    ((-n_toks, doc_id) — no per-cluster window), so the whole
+    post-clustering step is one mergeable aggregate.
+
+    Scale shape: clustering is cc1's pair-list label propagation
+    (never corpus-quadratic); the quality join touches each clustered
+    doc once; the manifest aggregate partial-combines on the cluster
+    label."""
+    corpus = _cc_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    comp = connected_components(pairs, max_iter=12)
+    toks = corpus.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    labeled = (comp.select(F.col("node").alias("doc_id"), "component")
+               .join(toks, "doc_id"))
+    per = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min(F.struct((-F.col("n_toks")).alias("neg"),
+                       F.col("doc_id").alias("d"))).alias("best"),
+        F.sum("n_toks").alias("tot"))
+    return (per.select(
+        "component", "cluster_size",
+        F.col("best.d").alias("canonical_doc"),
+        (-F.col("best.neg")).cast("long").alias("canonical_toks"),
+        (F.col("tot") + F.col("best.neg")).cast("long")
+        .alias("toks_removed"))
+        .orderBy("component"))
