@@ -5,10 +5,11 @@ incremental-dedup ≡ restricted-full-recompute equivalence.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.queries import load_all
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 REGISTRY = load_all()
 
@@ -78,3 +79,18 @@ def test_cp1_stages_monotone(spark):
     # the planted junk must actually bite each stage
     assert row["n_input"] - row["n_after_quality"] >= 10
     assert row["n_after_language"] - row["n_after_exact_dedup"] >= 1
+
+
+def test_qn1_histogram_cardinality_guard(spark, monkeypatch):
+    """qn1's in-plan assert_true must actually fire when the
+    normalized key's distinct-value count exceeds the bound (the
+    unbounded-broadcast failure mode it exists to catch)."""
+    import pyspark.errors
+
+    from big_data_analytics_spark.queries import normalize
+
+    monkeypatch.setattr(normalize, "_QN_MAX_HIST", 5)
+    df = normalize.qn1_quantile_normalize(spark, SF_SMOKE)
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="histogram cardinality"):
+        df.collect()

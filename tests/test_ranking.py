@@ -186,3 +186,14 @@ def test_tie_bucket_splits_tie_runs(spark):
 def test_tie_bucket_requires_tiebreak(skewed):
     with pytest.raises(ValueError):
         stitched_row_number(skewed, "v", out="rn", tie_bucket=True)
+
+
+def test_stitched_cumsum_rejects_fractional_val(spark):
+    """The integral-val contract is enforced at plan time: a double
+    val column would truncate per bucket (bucket-boundary-dependent
+    results), so it must raise, not silently mis-sum."""
+    from big_data_analytics_spark.operators.ranking import stitched_cumsum
+
+    df = spark.range(10).selectExpr("id AS k", "id * 0.5 AS v")
+    with pytest.raises(TypeError, match="integral"):
+        stitched_cumsum(df, "k", val="v")
