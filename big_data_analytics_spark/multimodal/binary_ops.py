@@ -527,3 +527,56 @@ def _parse_png(data: bytes, feature_dim: int) -> dict:
     means = [s / n_px / 255.0 for s in sums]
     return {"width": w, "height": h, "n_channels": ch,
             "features": (means + [0.0] * feature_dim)[:feature_dim]}
+
+
+def resample_audio(df: DataFrame, out_rate: int) -> DataFrame:
+    """Nearest-neighbor PCM16 resample to ``out_rate`` Hz, re-encoded
+    as WAV bytes — the audio twin of resize_image (the train-time
+    "normalize every clip to one sample rate" step), executed for
+    real on mono PCM16 payloads with no codec dependency.
+
+    Sampling convention matches the image path: source index =
+    floor((j + 0.5) * n_in / n_out) with n_out = floor(n_in *
+    out_rate / in_rate) — deterministic, exactly testable, and the
+    standard zero-order-hold resampler. Arrow-batched mapInPandas
+    over skew-bucketed partitions; at 100 TB the resample is
+    embarrassingly parallel and scan-bound.
+
+    Output: media_id, sample_rate, n_samples, resampled (binary).
+    """
+    import struct
+
+    auds = with_skew_bucket(df.filter(F.col("media_type") == "audio"))
+    auds = auds.repartition(F.col("__bucket")).drop("__bucket")
+
+    def do_resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                meta = _parse_wav(data)
+                if meta["n_channels"] != 1:
+                    raise NotImplementedError(
+                        "resample path expects mono PCM16")
+                in_rate, n_in = meta["sample_rate"], meta["n_samples"]
+                # re-extract the raw samples (the _parse_wav chunk walk,
+                # kept int16-exact)
+                pos, pcm = 12, None
+                while pos + 8 <= len(data):
+                    cid = data[pos:pos + 4]
+                    clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+                    if cid == b"data":
+                        pcm = data[pos + 8:pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                samples = list(struct.unpack(f"<{n_in}h", pcm))
+                n_out = n_in * out_rate // in_rate
+                res = [samples[int((j + 0.5) * n_in / n_out)]
+                       for j in range(n_out)]
+                out.append({"media_id": mid, "sample_rate": out_rate,
+                            "n_samples": n_out,
+                            "resampled": encode_wav(res, out_rate)})
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, sample_rate int, n_samples long, "
+              "resampled binary")
+    return auds.mapInPandas(do_resample, schema=schema)

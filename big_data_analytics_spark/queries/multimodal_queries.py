@@ -481,3 +481,106 @@ def mm5_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", ch(1).alias("sum_r"), ch(2).alias("sum_g"),
         ch(3).alias("sum_b"))
         .orderBy("media_id"))
+
+
+_N_WAV = 25
+_IN_RATE, _OUT_RATE = 16_000, 8_000
+
+
+def _pcm_fixture(spark: SparkSession) -> DataFrame:
+    """25 executor-encoded mono PCM16 WAVs with closed-form samples
+    (sample k of clip i = ((7919 i + 104729 k) mod 65536) - 32768,
+    lengths 120..280) — full-range non-uniform content, so a wrong
+    resample index produces wrong sample sums, exactly like mm4's
+    gradient pixels."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 120 + 40 * (i % 5)
+                samples = [((i * 7919 + k * 104729) % 65536) - 32768
+                           for k in range(n)]
+                content = encode_wav(samples, _IN_RATE)
+                rows.append({
+                    "media_id": i, "media_type": "audio",
+                    "content": content,
+                    "meta": {"source": "pcm_lcg",
+                             "byte_size": len(content),
+                             "mime": "audio/wav"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_WAV).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm6_audio_resample",
+    oracle=f"""
+    WITH auds AS (
+        SELECT i, 120 + 40 * (i % 5) AS n_in FROM range(0, {_N_WAV}) t(i)
+    ), picked AS (
+        SELECT i,
+               ((i * 7919 + CAST(FLOOR((j.j + 0.5) * n_in
+                    / (n_in * {_OUT_RATE} // {_IN_RATE})) AS BIGINT)
+                 * 104729) % 65536) - 32768 AS s
+        FROM auds, range(0, 300) j(j)
+        WHERE j.j < n_in * {_OUT_RATE} // {_IN_RATE}
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM picked GROUP BY i ORDER BY media_id
+    """,
+)
+def mm6_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio RESAMPLE path graded end-to-end — the WAV twin of
+    mm4: encode 25 closed-form PCM16 clips executor-side, zero-order-
+    hold resample 16 kHz -> 8 kHz through
+    multimodal/binary_ops.resample_audio (real bytes), re-decode the
+    resampled payloads, and emit exact integer sample sums and
+    energy. The oracle recomputes WHICH samples the resampler must
+    pick (src = floor((j+0.5) * n_in / n_out), the same convention
+    as the image path) from the generation formula, so a hash
+    mismatch pinpoints off-by-one sample indexing, byte corruption,
+    or header drift anywhere in the encode -> resample -> re-encode
+    -> decode loop.
+
+    Scale shape: identical to mm4/mm5 — generation, resample, decode
+    are Arrow-batched mapInPandas over skew-bucketed partitions; the
+    rollup is one mergeable aggregate. ``sf_dir`` unused."""
+    import struct
+
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        resample_audio,
+    )
+
+    media = _pcm_fixture(spark)
+    resampled = resample_audio(media, out_rate=_OUT_RATE)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["resampled"]):
+                data = bytes(content)
+                pos, pcm = 12, None
+                while pos + 8 <= len(data):
+                    cid = data[pos:pos + 4]
+                    clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+                    if cid == b"data":
+                        pcm = data[pos + 8:pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)
+                samples = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+                out.append({"media_id": mid,
+                            "n_samples": len(samples),
+                            "sample_sum": sum(samples),
+                            "energy": sum(s * s for s in samples)})
+            yield pd.DataFrame(out)
+
+    schema = ("media_id long, n_samples long, sample_sum long, "
+              "energy long")
+    return (resampled.mapInPandas(decode, schema)
+            .orderBy("media_id"))

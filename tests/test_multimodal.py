@@ -256,3 +256,29 @@ def test_png_decode_through_spark_operator(spark):
         assert (r["width"], r["height"], r["n_channels"]) == (4, 3, 3)
         assert abs(r["features"][0] - 10 / 255.0) < 1e-12
         assert abs(r["features"][2] - 30 / 255.0) < 1e-12
+
+
+def test_resample_audio_exact_picks(spark):
+    """Zero-order-hold resample must pick exactly
+    samples[floor((j+0.5)*n_in/n_out)] — verified on a ramp where
+    every sample equals its own index (any wrong pick shifts the
+    value)."""
+    import struct
+
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        encode_wav,
+        resample_audio,
+    )
+
+    n_in = 64
+    payload = encode_wav(list(range(n_in)), 16_000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload))],
+        "media_id long, media_type string, content binary")
+    out = resample_audio(df, out_rate=4_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sample_rate"], r["n_samples"]) == (4_000, 16)
+    pcm_off = bytes(r["resampled"]).index(b"data") + 8
+    got = struct.unpack("<16h", bytes(r["resampled"])[pcm_off:pcm_off + 32])
+    assert list(got) == [int((j + 0.5) * 64 / 16) for j in range(16)]
