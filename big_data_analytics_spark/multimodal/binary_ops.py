@@ -229,6 +229,21 @@ def encode_wav(samples: list[int], sample_rate: int = 16_000,
     return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
 
 
+def _wav_pcm(data: bytes) -> bytes:
+    """Raw PCM payload of a RIFF/WAVE blob (the data chunk's bytes),
+    via the same word-aligned chunk walk as _parse_wav."""
+    pos, pcm = 12, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"data":
+            pcm = data[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if pcm is None:
+        raise NotImplementedError("missing data chunk")
+    return pcm
+
+
 def _parse_wav(data: bytes) -> dict:
     """Parse RIFF/WAVE header + PCM16 payload: rate, channels, length,
     duration, RMS amplitude (normalized to [0, 1])."""
@@ -559,16 +574,7 @@ def resample_audio(df: DataFrame, out_rate: int) -> DataFrame:
                     raise NotImplementedError(
                         "resample path expects mono PCM16")
                 in_rate, n_in = meta["sample_rate"], meta["n_samples"]
-                # re-extract the raw samples (the _parse_wav chunk walk,
-                # kept int16-exact)
-                pos, pcm = 12, None
-                while pos + 8 <= len(data):
-                    cid = data[pos:pos + 4]
-                    clen = int.from_bytes(data[pos + 4:pos + 8], "little")
-                    if cid == b"data":
-                        pcm = data[pos + 8:pos + 8 + clen]
-                    pos += 8 + clen + (clen & 1)
-                samples = list(struct.unpack(f"<{n_in}h", pcm))
+                samples = list(struct.unpack(f"<{n_in}h", _wav_pcm(data)))
                 n_out = n_in * out_rate // in_rate
                 res = [samples[int((j + 0.5) * n_in / n_out)]
                        for j in range(n_out)]

@@ -555,6 +555,7 @@ def mm6_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import struct
 
     from big_data_analytics_spark.multimodal.binary_ops import (
+        _wav_pcm,
         resample_audio,
     )
 
@@ -565,14 +566,7 @@ def mm6_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["resampled"]):
-                data = bytes(content)
-                pos, pcm = 12, None
-                while pos + 8 <= len(data):
-                    cid = data[pos:pos + 4]
-                    clen = int.from_bytes(data[pos + 4:pos + 8], "little")
-                    if cid == b"data":
-                        pcm = data[pos + 8:pos + 8 + clen]
-                    pos += 8 + clen + (clen & 1)
+                pcm = _wav_pcm(bytes(content))
                 samples = struct.unpack(f"<{len(pcm) // 2}h", pcm)
                 out.append({"media_id": mid,
                             "n_samples": len(samples),
