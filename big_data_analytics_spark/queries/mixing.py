@@ -156,24 +156,36 @@ def ds1_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles is identical IEEE in both engines (the aa_t
     recipe), and the bucket assignment is the md5-portable fh1 hash.
 
-    Scale shape: one explode pass builds BOTH distributions as
-    conditional sums in a single {B}-group aggregate; the {B}-row
-    score table broadcasts; the candidate scoring is a map-side
-    broadcast join + one mergeable per-doc aggregate; top-{K} is
-    TakeOrderedAndProject. No vocabulary state, no corpus-wide
-    window — the same properties that make fh1 survive 100 TB. At
-    production scale the top-k becomes a threshold or Gumbel-top-k
-    sample over the same weight column."""
+    Scale shape: the token explode is paid ONCE — it partial-
+    aggregates straight into per-(doc, lang, bucket) counts, which
+    are localCheckpoint-materialized so BOTH consumers (the
+    {B}-bucket distribution build and the candidate scoring) read the
+    same computed relation — predicate pushdown makes the two
+    subtrees structurally different, so ReusedExchange alone would
+    not dedup them and the explode would run twice. Everything
+    downstream moves counts, never token rows. (Locally the
+    materialization costs ~0.4 s more than just tokenizing twice —
+    the d2 trade again: at corpus scale tokenize+hash over every
+    token is the dominant CPU and paying it once wins.) The {B}-row score table broadcasts; the
+    candidate scoring is a map-side broadcast join + one mergeable
+    per-doc aggregate; top-{K} is TakeOrderedAndProject. No
+    vocabulary state, no corpus-wide window — the same properties
+    that make fh1 survive 100 TB. At production scale the top-k
+    becomes a threshold or Gumbel-top-k sample over the same weight
+    column."""
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         F.explode(F.split(F.col("text"), " ")).alias("token"))
     bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
               .cast("long") % _DS_BUCKETS)
-    toks = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    counts = (toks.select("doc_id", "lang", bucket.alias("bucket"))
+              .groupBy("doc_id", "lang", "bucket")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint())
     is_t = (F.col("lang") == "en").cast("long")
-    dist = toks.groupBy("bucket").agg(
-        F.sum(is_t).alias("ct"),
-        F.sum(1 - is_t).alias("cr"))
+    dist = counts.groupBy("bucket").agg(
+        F.sum(is_t * F.col("c")).alias("ct"),
+        F.sum((1 - is_t) * F.col("c")).alias("cr"))
     tot = dist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
 
     def logq(c, n):
@@ -186,11 +198,12 @@ def ds1_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("bucket",
                       (logq(F.col("ct"), F.col("nt"))
                        - logq(F.col("cr"), F.col("nr"))).alias("s")))
-    return (toks.filter(F.col("lang") != "en")
+    return (counts.filter(F.col("lang") != "en")
             .join(F.broadcast(scores), "bucket")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 F.sum("s").cast("long").alias("weight_q"))
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.sum(F.col("c") * F.col("s")).cast("long")
+                 .alias("weight_q"))
             .orderBy(F.desc("weight_q"), "doc_id")
             .limit(_DS_TOPK))
 
