@@ -46,10 +46,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 11 round-6 entries + the 37 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 9
-#: remaining r1 rows (a19, q4, q12, q14, q19, q16, q17, q15, q22)
-#: then the 35 r2 rows.
+#: Round-6 head-50: 2 canaries + 12 round-6 entries + the 36 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 10
+#: remaining r1 rows (j5b, a19, q4, q12, q14, q19, q16, q17, q15,
+#: q22) then the 35 r2 rows.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -74,6 +74,7 @@ GRADE_HEAD = [
     "ds1_importance_resampling",
     "cc2_canonical_selection",
     "mm6_audio_resample",
+    "ts5_acf",
     # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
@@ -112,7 +113,6 @@ GRADE_HEAD = [
     "u3_intersect_except",
     "u3b_intersect_all",
     "f11_date_sequence",
-    "j5b_rowkey_decompose_join",
 ]
 
 

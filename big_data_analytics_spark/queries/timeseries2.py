@@ -195,3 +195,78 @@ def ts3_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum((n >= 10).cast("long")).cast("long").alias("n_evaluated"),
         F.sum(is_anom.cast("long")).cast("long").alias("n_anomalies"))
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "ts5_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS vc
+        FROM orders GROUP BY 1
+    ), seq AS (
+        SELECT vc, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily
+    ), lags AS (
+        SELECT k FROM range(1, {_ACF_MAX_LAG} + 1) t(k)
+    )
+    SELECT k AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(a.vc AS HUGEINT) * b.vc) AS VARCHAR)
+               AS sum_prod,
+           CAST(SUM(a.vc) AS BIGINT) AS sum_lead,
+           CAST(SUM(b.vc) AS BIGINT) AS sum_lag
+    FROM lags
+    JOIN seq a ON TRUE
+    JOIN seq b ON b.i = a.i + k
+    GROUP BY k ORDER BY k
+    """,
+)
+def ts5_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation structure of the daily revenue series, as EXACT
+    integer sufficient statistics per lag 1..{L}: pair count,
+    sum of cross-products, and the two one-sided sums — everything
+    r(k) = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    needs, with the single float division left to the consumer (the
+    ts3 move: ship the exact integers, not the accumulation-order-
+    dependent float). sum_prod rides as an exact decimal
+    STRING: daily-revenue cents squared exceeds int64, and a decimal
+    column would decay to float in arrow transfer — the digit string
+    is the lossless cross-engine carrier. Lag alignment is LEAD over the date-ordered
+    daily aggregate — one window pass computes every lag column, no
+    self-join, no per-lag scan.
+
+    Scale shape: the daily aggregate is one mergeable groupBy (the
+    series is |dates| rows — bounded, thousands at any SF); the lag
+    window runs over that tiny relation, and the per-lag rollup is an
+    unpivot + one aggregate. The events-scale relation is touched
+    exactly once, by the aggregate."""
+    dec = "decimal(38,0)"
+    daily = (load_table(spark, sf_dir, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                        .cast("long")).cast("long").alias("vc")))
+    w = Window.orderBy("d")
+    leads = daily.select(
+        "vc",
+        *[F.lead("vc", k).over(w).alias(f"l{k}")
+          for k in range(1, _ACF_MAX_LAG + 1)])
+    lagged = leads.select(
+        "vc",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"l{k}").alias("y"))
+            for k in range(1, _ACF_MAX_LAG + 1)])).alias("p"))
+    pairs = lagged.filter(F.col("p.y").isNotNull())
+    return (pairs.groupBy(F.col("p.lag").cast("long").alias("lag"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum((F.col("vc").cast(dec) * F.col("p.y")))
+                 .cast(dec).cast("string").alias("sum_prod"),
+                 F.sum("vc").cast("long").alias("sum_lead"),
+                 F.sum("p.y").cast("long").alias("sum_lag"))
+            .orderBy("lag"))
+
+
+ts5_acf.__doc__ = ts5_acf.__doc__.format(L=_ACF_MAX_LAG)
