@@ -75,6 +75,7 @@ GRADE_HEAD = [
     "cc2_canonical_selection",
     "mm6_audio_resample",
     "ts5_acf",
+    "es1_exact_substring_spans",
     # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
@@ -112,7 +113,6 @@ GRADE_HEAD = [
     "p6_membership_and_regex",
     "u3_intersect_except",
     "u3b_intersect_all",
-    "f11_date_sequence",
 ]
 
 
@@ -162,6 +162,7 @@ def load_all() -> dict[str, Query]:
         timeseries2,
         stats_ext,
         text4,
+        text5,
         udf_queries,
         ml_queries,
         retrieval,
