@@ -76,6 +76,7 @@ GRADE_HEAD = [
     "mm6_audio_resample",
     "ts5_acf",
     "es1_exact_substring_spans",
+    "ivm1_retractable_view",
     # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
@@ -112,7 +113,6 @@ GRADE_HEAD = [
     "f19_map_ops",
     "p6_membership_and_regex",
     "u3_intersect_except",
-    "u3b_intersect_all",
 ]
 
 

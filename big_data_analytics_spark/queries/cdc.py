@@ -415,3 +415,111 @@ def at1_time_decay_attribution(spark: SparkSession,
         (F.sum("credit_cents").cast("double") / 100.0)
         .alias("credited_value"),
     )
+
+
+@query(
+    "ivm1_retractable_view",
+    oracle="""
+    WITH final_orders AS (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 5 THEN 10000 ELSE 0 END
+               AS cents
+        FROM orders WHERE o_orderkey % 11 NOT IN (2, 3, 4)
+    ), view_state AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM final_orders GROUP BY o_custkey
+    )
+    SELECT v.c_custkey, n.n_name AS nation,
+           v.n_orders, v.revenue_cents
+    FROM view_state v
+    JOIN customer c ON c.c_custkey = v.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY v.c_custkey
+    """,
+)
+def ivm1_retractable_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable incremental view maintenance (Z-set /
+    DBSP-style): a per-customer revenue view is maintained under a
+    CDC batch containing INSERTS, DELETES, and UPDATES — not rebuilt.
+    Where inc1 proves insert-only merge and up1 replays CDC against a
+    row snapshot, ivm1 maintains an AGGREGATE view under deletes: each
+    change is a signed-multiplicity row (+1 insert / -1 delete; an
+    update is the pair -1 old, +1 new), the delta aggregates alone,
+    merges into the base state with one full-outer combine, and groups
+    whose multiplicity reaches ZERO are dropped from the view — the
+    retraction case insert-only maintenance can never hit.
+
+    Deterministic CDC partition by o_orderkey % 11: 0 → late insert
+    (held out of the base), {2,3,4} → delete, 5 → price +100.00
+    update. At sf0.01 two customers lose their entire order set, so
+    the zero-multiplicity drop is exercised by data, not just by
+    code (tests/test_maintenance.py pins that).
+
+    Scale shape: the base state and the delta aggregate shuffle once
+    each on the view key; the combine is a key-colocated full-outer
+    join (with the view stored bucketed by key, exchange-free); the
+    dimension join for nation names is broadcast. History is never
+    re-scanned — the delta batch is the only input that grows with
+    the day, which is what makes a 100 TB view maintainable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = F.col("o_orderkey") % 11
+    o = orders.select(
+        "o_custkey", r.alias("r"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        .alias("cents"))
+
+    base = o.where(F.col("r") != 0)
+    base_state = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"))
+
+    # The CDC batch as a Z-set: (row, multiplicity) with an update
+    # decomposed into its retraction + re-insertion.
+    mult = F.col("mult")
+    delta = (
+        o.where(F.col("r") == 0)
+        .select("o_custkey", "cents", F.lit(1).alias("mult"))
+        .unionAll(o.where(F.col("r").isin(2, 3, 4))
+                  .select("o_custkey", "cents",
+                          F.lit(-1).alias("mult")))
+        .unionAll(o.where(F.col("r") == 5)
+                  .select("o_custkey", "cents",
+                          F.lit(-1).alias("mult")))
+        .unionAll(o.where(F.col("r") == 5)
+                  .select("o_custkey",
+                          (F.col("cents") + 10000).alias("cents"),
+                          F.lit(1).alias("mult")))
+    )
+    delta_state = delta.groupBy("o_custkey").agg(
+        F.sum(mult).cast("long").alias("dn"),
+        F.sum(mult * F.col("cents")).cast("long").alias("dcents"))
+
+    merged = (
+        base_state.alias("b")
+        .join(delta_state.alias("d"), "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (F.coalesce(F.col("b.n"), F.lit(0))
+             + F.coalesce(F.col("d.dn"), F.lit(0))).alias("n_orders"),
+            (F.coalesce(F.col("b.cents"), F.lit(0))
+             + F.coalesce(F.col("d.dcents"), F.lit(0)))
+            .alias("revenue_cents"))
+        .where(F.col("n_orders") > 0))
+
+    dim = (cust.select("c_custkey", "c_nationkey")
+           .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                 cust.c_nationkey == nation.n_nationkey)
+           .select("c_custkey", F.col("n_name").alias("nation")))
+    return (merged.join(
+        F.broadcast(dim),
+        merged.o_custkey == dim.c_custkey)
+        .select(
+            "c_custkey", "nation",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"))
+        .orderBy("c_custkey"))

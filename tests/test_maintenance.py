@@ -39,3 +39,26 @@ def test_read_evolved_merges_schemas_and_backfills(spark, tmp_path):
                     & (F.col("quality") == 0.0)).count() == 100
     assert df.where((F.col("id") >= 100)
                     & (F.col("quality") == 0.9)).count() == 100
+
+
+def test_ivm1_retraction_drops_zeroed_groups(spark):
+    """The Z-set maintenance path must DROP groups whose multiplicity
+    reaches zero — and the sf0.01 CDC partition actually produces such
+    groups, so the retraction branch is exercised by data."""
+    from tests.conftest import SF_CORRECT
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.queries.cdc import ivm1_retractable_view
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    r = F.col("o_orderkey") % 11
+    per = (orders.where(r != 0)
+           .groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(r.isin(2, 3, 4).cast("long")).alias("nd")))
+    zeroed = [row.o_custkey
+              for row in per.where(F.col("n") == F.col("nd")).collect()]
+    assert zeroed, "CDC partition no longer zeroes any customer"
+    view = ivm1_retractable_view(spark, SF_CORRECT)
+    present = {row.c_custkey for row in view.collect()}
+    for ck in zeroed:
+        assert ck not in present
