@@ -586,3 +586,56 @@ def resample_audio(df: DataFrame, out_rate: int) -> DataFrame:
     schema = ("media_id long, sample_rate int, n_samples long, "
               "resampled binary")
     return auds.mapInPandas(do_resample, schema=schema)
+
+
+_DHASH_W, _DHASH_H = 9, 8  # 9x8 grid -> 8x8 = 64 difference bits
+
+
+def dhash_image(df: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) of image payloads: decode
+    (BMP or PNG), nearest-neighbor resize to a 9x8 grayscale grid
+    (same INTER_NEAREST convention as resize_image), and emit one bit
+    per horizontally-adjacent cell pair (right > left). The 64 bits
+    are packed as two 32-bit halves in BIGINT columns ``h_hi`` /
+    ``h_lo`` (bit idx = gy*8 + gx; idx 0-31 -> lo, 32-63 -> hi,
+    both zero-extended) — two halves keep every value unsigned-safe
+    in engines without unsigned 64-bit integers.
+
+    dHash is the standard cheap image near-dup signature (robust to
+    rescaling and small local edits, 64 bits per image); downstream,
+    Hamming-distance <= d candidate pairs come from a 4x16-bit
+    band-equality join — the pigeonhole guarantee that d <= 3 implies
+    at least one equal band, so the banded join misses nothing a
+    brute-force scan would find. Arrow-batched mapInPandas over
+    skew-bucketed partitions like decode_image; at corpus scale the
+    hash is scan-bound and the band join shuffles 16-bit keys."""
+    imgs = with_skew_bucket(df.filter(F.col("media_type") == "image"))
+    imgs = imgs.repartition(F.col("__bucket")).drop("__bucket")
+
+    def do_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                px = (_png_pixels(data) if data[:8] == _PNG_SIG
+                      else _bmp_pixels(data))
+                src_h, src_w = len(px), len(px[0])
+                gray = [
+                    [sum(px[int((y + 0.5) * src_h / _DHASH_H)]
+                            [int((x + 0.5) * src_w / _DHASH_W)]) // 3
+                     for x in range(_DHASH_W)]
+                    for y in range(_DHASH_H)
+                ]
+                lo = hi = 0
+                for gy in range(_DHASH_H):
+                    for gx in range(_DHASH_W - 1):
+                        if gray[gy][gx + 1] > gray[gy][gx]:
+                            idx = gy * 8 + gx
+                            if idx < 32:
+                                lo |= 1 << idx
+                            else:
+                                hi |= 1 << (idx - 32)
+                out.append({"media_id": mid, "h_hi": hi, "h_lo": lo})
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(do_hash, "media_id long, h_hi long, h_lo long")

@@ -46,10 +46,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 12 round-6 entries + the 36 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 10
-#: remaining r1 rows (j5b, a19, q4, q12, q14, q19, q16, q17, q15,
-#: q22) then the 35 r2 rows.
+#: Round-6 head-50: 2 canaries + 15 round-6 entries + the 33 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 13
+#: remaining r1 rows (u3, u3b, f11, j5b, a19, q4, q12, q14, q19,
+#: q16, q17, q15, q22) then the 35 r2 rows.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -77,7 +77,8 @@ GRADE_HEAD = [
     "ts5_acf",
     "es1_exact_substring_spans",
     "ivm1_retractable_view",
-    # (c) oldest-first: 41 r1-vintage rows (last driver row 5 rounds
+    "mm7_dhash_neardup",
+    # (c) oldest-first: 33 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
     "f8_date_functions",
@@ -112,7 +113,6 @@ GRADE_HEAD = [
     "a15_exists_over_array",
     "f19_map_ops",
     "p6_membership_and_regex",
-    "u3_intersect_except",
 ]
 
 

@@ -578,3 +578,137 @@ def mm6_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               "energy long")
     return (resampled.mapInPandas(decode, schema)
             .orderBy("media_id"))
+
+
+_N_DH = 30  # 15 content classes x 2: image i and i+15 share a class
+
+
+def _dhash_fixture(spark: SparkSession) -> DataFrame:
+    """30 executor-encoded grayscale BMPs in 15 content classes
+    (j = i % 15): pixel (x, y) of class j has r=g=b =
+    (23x^2 + 31y^2 + 17xy + 41j + 13jx + 7jy) % 256, size
+    (9 + j%4) x (8 + j%3). The second copy of each class (i >= 15)
+    perturbs ONLY source pixel (0, 0) by +50 mod 256 — a small local
+    edit that flips at most one dHash bit, so every (i, i+15) pair is
+    a planted near-duplicate at Hamming distance <= 1."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i % 15
+                w, h = 9 + j % 4, 8 + j % 3
+                px = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        g = (23 * x * x + 31 * y * y + 17 * x * y
+                             + 41 * j + 13 * j * x + 7 * j * y) % 256
+                        if i >= 15 and x == 0 and y == 0:
+                            g = (g + 50) % 256
+                        row.append((g, g, g))
+                    px.append(row)
+                content = encode_bmp(px)
+                rows.append({
+                    "media_id": i, "media_type": "image",
+                    "content": content,
+                    "meta": {"source": "dhash_grad",
+                             "byte_size": len(content),
+                             "mime": "image/bmp"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_DH).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm7_dhash_neardup",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, i % 15 AS j,
+               9 + (i % 15) % 4 AS w, 8 + (i % 15) % 3 AS h
+        FROM range(0, {_N_DH}) t(i)
+    ), cells AS (
+        SELECT i, j, gx.x AS gx, gy.y AS gy,
+               CAST(FLOOR((gx.x + 0.5) * w / 9) AS BIGINT) AS sx,
+               CAST(FLOOR((gy.y + 0.5) * h / 8) AS BIGINT) AS sy
+        FROM imgs, range(0, 9) gx(x), range(0, 8) gy(y)
+    ), gray AS (
+        SELECT i, gx, gy,
+               ((23 * sx * sx + 31 * sy * sy + 17 * sx * sy
+                 + 41 * j + 13 * j * sx + 7 * j * sy)
+                + CASE WHEN i >= 15 AND sx = 0 AND sy = 0
+                       THEN 50 ELSE 0 END) % 256 AS g
+        FROM cells
+    ), bits AS (
+        SELECT a.i, a.gy * 8 + a.gx AS idx,
+               CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b
+          ON b.i = a.i AND b.gy = a.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+    ), hashes AS (
+        SELECT i,
+               CAST(SUM(CASE WHEN idx >= 32
+                             THEN bit::BIGINT << (idx - 32)
+                             ELSE 0 END) AS BIGINT) AS h_hi,
+               CAST(SUM(CASE WHEN idx < 32
+                             THEN bit::BIGINT << idx
+                             ELSE 0 END) AS BIGINT) AS h_lo
+        FROM bits GROUP BY i
+    )
+    SELECT x.i AS media_id_a, y.i AS media_id_b,
+           CAST(bit_count(xor(x.h_lo, y.h_lo))
+                + bit_count(xor(x.h_hi, y.h_hi)) AS BIGINT) AS hamming
+    FROM hashes x JOIN hashes y ON x.i < y.i
+    WHERE bit_count(xor(x.h_lo, y.h_lo))
+          + bit_count(xor(x.h_hi, y.h_hi)) <= 3
+    ORDER BY media_id_a, media_id_b
+    """,
+)
+def mm7_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection, the multimodal twin
+    of d2's MinHash-LSH: dHash every image (real bytes through the
+    decode -> 9x8 resize -> difference-bit loop in
+    multimodal/binary_ops.dhash_image), generate candidate pairs with
+    a 4x16-bit BAND-EQUALITY join (pigeonhole: Hamming <= 3 over 64
+    bits forces at least one of 4 bands equal, so the banded join
+    provably misses nothing), verify exact Hamming distance on
+    candidates, and emit pairs at distance <= 3. The fixture plants
+    15 near-dup pairs (same gradient content, one +50 pixel edit);
+    the oracle recomputes hashes from the generation formulas and the
+    INTER_NEAREST convention and brute-forces all pairs — equality
+    proves both the codec-to-bits loop AND that banding lost no pair.
+
+    Scale shape: hashing is scan-bound mapInPandas; the band join
+    shuffles four 16-bit keys per image instead of comparing all
+    pairs — at N images, candidate cost tracks true near-dup density,
+    not N^2. ``sf_dir`` unused (synthesized corpus)."""
+    from big_data_analytics_spark.multimodal.binary_ops import dhash_image
+
+    hashes = dhash_image(_dhash_fixture(spark))
+    bands = hashes.select(
+        "media_id", "h_hi", "h_lo",
+        F.posexplode(F.array(
+            F.col("h_lo").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("h_lo", 16),
+            F.col("h_hi").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("h_hi", 16),
+        )).alias("band", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("media_id_a"),
+                    F.col("b.media_id").alias("media_id_b"),
+                    F.col("a.h_hi").alias("a_hi"),
+                    F.col("a.h_lo").alias("a_lo"),
+                    F.col("b.h_hi").alias("b_hi"),
+                    F.col("b.h_lo").alias("b_lo"))
+            .distinct())
+    ham = (F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+           + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi"))))
+    return (cand.select(
+        "media_id_a", "media_id_b",
+        ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("media_id_a", "media_id_b"))

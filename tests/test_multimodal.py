@@ -282,3 +282,31 @@ def test_resample_audio_exact_picks(spark):
     pcm_off = bytes(r["resampled"]).index(b"data") + 8
     got = struct.unpack("<16h", bytes(r["resampled"])[pcm_off:pcm_off + 32])
     assert list(got) == [int((j + 0.5) * 64 / 16) for j in range(16)]
+
+
+def test_dhash_bit_layout_and_invariance(spark):
+    """dHash packs bit gy*8+gx into lo (idx<32) / hi halves; a flat
+    image hashes to zero, a strictly right-increasing image sets all
+    64 comparison bits, and rescaling the same content leaves the
+    hash unchanged (the property that makes dHash a near-dup key)."""
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        dhash_image,
+        encode_bmp,
+    )
+
+    def img(mid, w, h, fn):
+        px = [[(fn(x, y),) * 3 for x in range(w)] for y in range(h)]
+        return (mid, "image", bytearray(encode_bmp(px)))
+
+    rows = [
+        img(0, 9, 8, lambda x, y: 7),            # flat -> 0
+        img(1, 9, 8, lambda x, y: x * 20),       # increasing -> all bits
+        img(2, 18, 16, lambda x, y: (x // 2) * 20),  # 2x upscale of #1
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary")
+    got = {r["media_id"]: (r["h_hi"], r["h_lo"])
+           for r in dhash_image(df).collect()}
+    assert got[0] == (0, 0)
+    assert got[1] == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert got[2] == got[1]
