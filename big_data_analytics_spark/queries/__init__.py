@@ -46,10 +46,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 15 round-6 entries + the 33 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 13
-#: remaining r1 rows (u3, u3b, f11, j5b, a19, q4, q12, q14, q19,
-#: q16, q17, q15, q22) then the 35 r2 rows.
+#: Round-6 head-50: 2 canaries + 16 round-6 entries + the 32 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 14
+#: remaining r1 rows (p6, u3, u3b, f11, j5b, a19, q4, q12, q14,
+#: q19, q16, q17, q15, q22) then the 35 r2 rows.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -62,7 +62,10 @@ GRADE_HEAD = [
     # anti-join); qn1's two-level bounded histogram probe; w10's
     # single-row percent_rank guard; sm6's double-rounding-order fix;
     # oc1 re-graded over the integral-guarded stitched cumsum; cf1's
-    # pair stage rewritten onto the same generator shape as gr5
+    # pair stage rewritten onto the same generator shape as gr5.
+    # Late round-6 additions: es1 sliding-window exact-substring
+    # spans, ivm1 retraction-capable view maintenance, mm7 dHash
+    # near-dup banding, sm9 watermark late-data accounting
     "mm5_png_roundtrip",
     "fn1_session_funnel",
     "gr5_link_prediction",
@@ -78,7 +81,8 @@ GRADE_HEAD = [
     "es1_exact_substring_spans",
     "ivm1_retractable_view",
     "mm7_dhash_neardup",
-    # (c) oldest-first: 33 r1-vintage rows (last driver row 5 rounds
+    "sm9_stream_late_data_accounting",
+    # (c) oldest-first: 32 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
     "f8_date_functions",
@@ -112,7 +116,6 @@ GRADE_HEAD = [
     "f18_array_ops",
     "a15_exists_over_array",
     "f19_map_ops",
-    "p6_membership_and_regex",
 ]
 
 

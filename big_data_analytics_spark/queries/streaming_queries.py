@@ -595,3 +595,172 @@ def sm8_stream_upsert_parquet_sink(spark: SparkSession,
             .select(F.date_format("day", "yyyy-MM-dd HH:mm:ss")
                     .alias("day"),
                     "event_type", "n_events", "value_sum"))
+
+
+def _events_stream_dir_redelivery(spark: SparkSession, sf_dir: str) -> Path:
+    """The LATE-DATA fixture: four files arriving as Q2, Q2 again,
+    Q4, Q2 a third time (strictly increasing mtimes, one file per
+    micro-batch). Quarter boundaries are INTEGER-MICROSECOND
+    arithmetic — lo_us + i * ((hi_us - lo_us) // 4) — so the DuckDB
+    oracle reproduces the file contents exactly with epoch_us() and
+    integer division, never floating-point timestamp math.
+
+    The shape models at-least-once redelivery against a watermark:
+    the second Q2 copy arrives one batch after the original (some
+    rows still inside the watermark -> accepted, double-counted;
+    the rest dropped), and the third copy arrives after Q4 pushed
+    the watermark far past Q2 (every row dropped)."""
+    root = _FIXTURE_ROOT / f"events_stream_redelivery_{Path(sf_dir).name}"
+    data = root / "data"
+    sig = _source_sig(sf_dir)
+    if not _fixture_fresh(root, sig):
+        if data.exists():
+            import shutil
+            shutil.rmtree(data)
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                   F.max(F.unix_micros("ts")).alias("hi")).collect()[0]
+        span = (b.hi - b.lo) // 4
+        t = F.unix_micros("ts")
+        q2 = ev.filter((t >= b.lo + span) & (t < b.lo + 2 * span))
+        q4 = ev.filter(t >= b.lo + 3 * span)
+        seen: set[Path] = set()
+        base = 1_700_000_000
+        for step, sl in enumerate((q2, q2, q4, q2)):
+            sl.coalesce(1).write.mode("append").parquet(str(data))
+            now = set(data.glob("*.parquet"))
+            for f in now - seen:
+                os.utime(f, (base + step, base + step))
+            seen = now
+        for crc in root.rglob("*.crc"):
+            crc.unlink()
+        (root / "_DONE").write_text(sig)
+    return root
+
+
+def _sm9_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body for sm9: hourly windowed counts over the
+    redelivery fixture, append mode, one file per micro-batch."""
+    root = _events_stream_dir_redelivery(spark, sf_dir)
+    files = sorted((root / "data").glob("*.parquet"),
+                   key=lambda p: p.stat().st_mtime)
+    first = spark.read.parquet(str(files[0]))
+    b = first.agg(F.min(F.unix_micros("ts")).alias("lo")).collect()[0]
+    # delay = span/8 rounded down to whole seconds (the fixture's Q2
+    # starts at lo_us + span; recover span from the full table to
+    # keep the delay identical to the oracle's formula)
+    ev = load_table(spark, sf_dir, "events")
+    full = ev.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                  F.max(F.unix_micros("ts")).alias("hi")).collect()[0]
+    span = (full.hi - full.lo) // 4
+    delay_s = span // 8 // 1_000_000
+
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    agg = (src.withWatermark("ts", f"{delay_s} seconds")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 10000.0 + 0.5)
+                      .cast("long")).alias("vq")))
+    qname = f"sm9_mem_{next(_QNAME)}"
+    ckpt = tempfile.mkdtemp(prefix="sm9_ckpt_")
+    with _state_partitions(spark):
+        q = (agg.select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("hour"),
+                "event_type", "n_events",
+                (F.col("vq").cast("double") / 10000.0)
+                .alias("value_sum"))
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.table(qname).orderBy("hour", "event_type")
+
+
+@query(
+    "sm9_stream_late_data_accounting",
+    oracle="""
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+               FROM events),
+    s AS (SELECT lo, hi, (hi - lo) // 4 AS span,
+                 ((hi - lo) // 4) // 8 // 1000000 * 1000000 AS d
+          FROM b),
+    q2 AS (SELECT e.* FROM events e, s
+           WHERE epoch_us(ts) >= lo + span
+             AND epoch_us(ts) < lo + 2 * span),
+    q4 AS (SELECT e.* FROM events e, s
+           WHERE epoch_us(ts) >= lo + 3 * span),
+    wm AS (SELECT
+        (SELECT epoch_us(date_trunc('milliseconds', max(ts))) FROM q2)
+            - (SELECT d FROM s) AS wm_filter,
+        greatest(
+            (SELECT epoch_us(date_trunc('milliseconds', max(ts))) FROM q4),
+            (SELECT epoch_us(date_trunc('milliseconds', max(ts))) FROM q2))
+            - (SELECT d FROM s) AS wm_emit),
+    contrib AS (
+        SELECT ts, event_type, value,
+               2 + CASE WHEN epoch_us(date_trunc('hour', ts)
+                                      + INTERVAL 1 HOUR)
+                             > (SELECT wm_filter FROM wm)
+                        THEN 1 ELSE 0 END AS m
+        FROM q2
+        UNION ALL
+        SELECT ts, event_type, value, 1 AS m FROM q4),
+    emit AS (
+        SELECT * FROM contrib
+        WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+              <= (SELECT wm_emit FROM wm))
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(SUM(m) AS BIGINT) AS n_events,
+           CAST(SUM(m * CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS value_sum
+    FROM emit GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sm9_stream_late_data_accounting(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS graded end-to-end: hourly windowed counts
+    in APPEND mode over an at-least-once redelivery arrival (Q2, Q2
+    again, Q4, Q2 a third time; one file per micro-batch), where the
+    engine must (a) accept the second copy — the watermark hasn't
+    advanced yet — (b) drop most of the third copy as late, keeping
+    only windows still open, and (c) hold windows beyond the final
+    watermark back from the append output. The oracle restates all
+    three rules in SQL, so the hash pins the engine's exact
+    late-data/eviction behavior, not just the happy path.
+
+    MEASURED Spark semantics the oracle encodes (pinned empirically
+    on this engine version via StreamingQueryProgress: the late-row
+    FILTER in batch k uses the watermark computed from event-time
+    stats through batch k-2, while EMISSION/eviction at the end of
+    batch k uses stats through batch k-1; watermark = ms-truncated
+    max event time minus the delay):
+    - copy 1 (batch 0) and copy 2 (batch 1) of Q2 are both fully
+      accepted — batch 1's filter watermark is still the initial 0;
+    - copy 3 (batch 3) filters against max(Q2) - delay: windows
+      ending at or before it are DROPPED (late), open windows gain a
+      third count;
+    - the append output at availableNow completion contains exactly
+      the windows ending at or before max(all) - delay — Q4's tail
+      stays in state, unemitted.
+    Boundary ties are impossible by construction: hour-window ends
+    are whole hours while the watermark carries the max event time's
+    sub-second fraction (delay is whole seconds), so the <=/< choice
+    cannot affect the result.
+
+    The delay is span/8 rounded down to whole seconds, derived from
+    the same integer-microsecond quarter arithmetic the fixture
+    writer uses — both engines compute identical boundaries with
+    integer division, no floating-point timestamp math anywhere.
+
+    Scale: this is the property that makes unbounded ingestion
+    bounded — state is O(open windows), late rows cost nothing, and
+    redelivered data cannot double-count finalized windows (the
+    exactly-once upsert sink sm8 composes on top)."""
+    return _sm9_run(spark, sf_dir)
