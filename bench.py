@@ -93,6 +93,12 @@ EXTENDED = [
     # round 8: DSIR importance resampling — explode-pass distribution
     # build + broadcast bucket-score join + TakeOrdered
     "ds1_importance_resampling",
+    # sliding 8-gram occurrence window + per-doc gaps-and-islands
+    # span merge (the ExactSubstr sub-document dedup shape)
+    "es1_exact_substring_spans",
+    # Z-set view maintenance: base + signed-delta aggregates merged
+    # with one full-outer combine, zeroed groups retracted
+    "ivm1_retractable_view",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -139,7 +145,11 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # outer stream-stream join: two stateful sides + outer-row
         # finalization across 4 triggers at right-sized state
         # partitions (the sizing lever measured by sm4_backfill below)
-        "sm7_stream_stream_left_outer"]
+        "sm7_stream_stream_left_outer",
+        # watermark late-data accounting: 4 append-mode micro-batches
+        # with late-drop + held-open windows; cold includes the
+        # redelivery fixture split
+        "sm9_stream_late_data_accounting"]
 
 
 def _run(q, spark, sf_dir) -> float:
