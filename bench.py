@@ -99,6 +99,11 @@ EXTENDED = [
     # Z-set view maintenance: base + signed-delta aggregates merged
     # with one full-outer combine, zeroed groups retracted
     "ivm1_retractable_view",
+    # storage-layout levers: exchange-free bucketed SMJ (warm = the
+    # recurring join; the one-time bucketed write is in COLD) and the
+    # date-partition-pruned scan aggregate
+    "bj1_bucketed_colocated_join",
+    "pr1_partition_pruned_scan",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -149,7 +154,12 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # watermark late-data accounting: 4 append-mode micro-batches
         # with late-drop + held-open windows; cold includes the
         # redelivery fixture split
-        "sm9_stream_late_data_accounting"]
+        "sm9_stream_late_data_accounting",
+        # cold pays the one-time bucketed write of both join sides —
+        # the amortized shuffle the warm exchange-free join rides on
+        "bj1_bucketed_colocated_join",
+        # cold pays the one-time date-partitioned rewrite fixture
+        "pr1_partition_pruned_scan"]
 
 
 def _run(q, spark, sf_dir) -> float:

@@ -980,3 +980,32 @@ def test_ds1_scoring_is_broadcast_mapside(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bj1_bucketed_join_no_exchange(spark):
+    """bj1: both sides of the SortMergeJoin come from bucketed+sorted
+    tables on the join key — the plan must contain ZERO exchanges on
+    either key (the one-time bucketed write IS the shuffle) and no
+    per-task Sort for the join beyond the bucket sort order."""
+    plan = _plan(spark, "bj1_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 0, plan
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 0, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_pr1_scan_prunes_partitions(spark):
+    """pr1: the 7-day range must prune at the DIRECTORY level — the
+    scan shows PartitionFilters on d and selects only the 7 matching
+    of ~30 date partitions (PartitionCount in the FileIndex)."""
+    df = REGISTRY["pr1_partition_pruned_scan"].spark_fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "d#" in pf or "(d" in pf
+    # post-pruning, the FileSourceScan selects exactly the 7 matching
+    # date partitions out of the ~30-day span (inputFiles() lists the
+    # relation pre-pruning, so go to the scan node itself)
+    aqe = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scan = aqe.initialPlan().collectLeaves().apply(0)
+    assert scan.selectedPartitions().partitionCount() == 7
