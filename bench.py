@@ -104,6 +104,9 @@ EXTENDED = [
     # date-partition-pruned scan aggregate
     "bj1_bucketed_colocated_join",
     "pr1_partition_pruned_scan",
+    # manifest-consult min/max file skipping over the range-clustered
+    # store (reads <=3 of 16 files; residual filter keeps it safe)
+    "dsk1_minmax_file_skipping",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -159,7 +162,9 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # the amortized shuffle the warm exchange-free join rides on
         "bj1_bucketed_colocated_join",
         # cold pays the one-time date-partitioned rewrite fixture
-        "pr1_partition_pruned_scan"]
+        "pr1_partition_pruned_scan",
+        # cold pays the range-clustered rewrite + manifest build
+        "dsk1_minmax_file_skipping"]
 
 
 def _run(q, spark, sf_dir) -> float:

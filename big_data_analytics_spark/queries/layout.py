@@ -167,3 +167,94 @@ def pr1_partition_pruned_scan(spark: SparkSession,
                         .cast("long")).cast("double") / 10000.0)
                  .alias("value_sum"))
             .orderBy("event_type"))
+
+
+_N_SKIP_FILES = 16
+
+
+def _range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> Path:
+    """Lineitem rewritten as 16 files range-clustered on l_shipdate
+    (repartitionByRange + in-partition sort), plus a FILE-STATS
+    MANIFEST (one row per file: min/max shipdate) — the lakehouse
+    data-skipping layout (Iceberg/Delta manifests, parquet footer
+    stats) expressed with plain parquet. Built once per scale,
+    rebuilt when the source testdata changes."""
+    root = _FIXTURE_ROOT / f"lineitem_rangeclustered_{Path(sf_dir).name}"
+    sig = _source_sig(sf_dir)  # events signature tracks testdata regen
+    if not _fixture_fresh(root, sig):
+        if root.exists():
+            import shutil
+            shutil.rmtree(root)
+        li = load_table(spark, sf_dir, "lineitem")
+        (li.repartitionByRange(_N_SKIP_FILES, "l_shipdate")
+         .sortWithinPartitions("l_shipdate")
+         .write.mode("overwrite").parquet(str(root / "data")))
+        manifest = (spark.read.parquet(str(root / "data"))
+                    .groupBy(F.input_file_name().alias("file"))
+                    .agg(F.min("l_shipdate").alias("min_ship"),
+                         F.max("l_shipdate").alias("max_ship")))
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            str(root / "manifest"))
+        for crc in root.rglob("*.crc"):
+            crc.unlink()
+        (root / "_DONE").write_text(sig)
+    return root
+
+
+_SKIP_LO, _SKIP_HI = "1997-03-01", "1997-05-01"
+
+
+def skip_files_for_range(spark: SparkSession, root: Path,
+                         lo: str, hi: str) -> list[str]:
+    """Consult the file-stats manifest and return only the files whose
+    [min, max] shipdate interval intersects [lo, hi) — the driver-side
+    pruning step a table format's manifest read performs. The manifest
+    is O(files), kilobytes at any corpus size; collecting it is the
+    one intentional driver-side step in this module."""
+    m = spark.read.parquet(str(root / "manifest"))
+    picked = (m.where((F.col("max_ship") >= F.lit(lo))
+                      & (F.col("min_ship") < F.lit(hi)))
+              .select("file").collect())
+    return [r.file.removeprefix("file:") for r in picked]
+
+
+@query(
+    "dsk1_minmax_file_skipping",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_SKIP_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_SKIP_HI} 00:00:00'
+    """,
+)
+def dsk1_minmax_file_skipping(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MIN/MAX FILE SKIPPING without a table format: lineitem is
+    stored range-clustered on l_shipdate (16 files, each covering a
+    narrow band) with a file-stats manifest; a 2-month revenue query
+    consults the manifest, reads ONLY the files whose [min, max]
+    intersects the range (tests/test_plans.py asserts ≤3 of 16), and
+    applies the residual filter — which parquet row-group stats then
+    prune further within each file. Correctness never depends on the
+    skip: the residual filter makes a wrongly-included file harmless,
+    and a wrongly-EXCLUDED file fails the hash against the full-scan
+    oracle — exactly the safety contract of Iceberg/Delta manifests.
+
+    Scale: the manifest is O(files) and kilobytes even at 100 TB; the
+    skip converts a time-banded query from a full-corpus scan into
+    reading the intersecting band. Clustering (here range; z1's
+    Z-order for multi-column) is what makes the per-file min/max
+    intervals narrow enough to skip."""
+    root = _range_clustered_lineitem(spark, sf_dir)
+    files = skip_files_for_range(spark, root, _SKIP_LO, _SKIP_HI)
+    li = spark.read.parquet(*files)
+    band = li.where((F.col("l_shipdate") >= F.lit(_SKIP_LO))
+                    & (F.col("l_shipdate") < F.lit(_SKIP_HI)))
+    return band.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) * 100.0 + 0.5)
+              .cast("long")).cast("long").alias("revenue_cents"))

@@ -1009,3 +1009,24 @@ def test_pr1_scan_prunes_partitions(spark):
     aqe = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     scan = aqe.initialPlan().collectLeaves().apply(0)
     assert scan.selectedPartitions().partitionCount() == 7
+
+
+def test_dsk1_reads_minority_of_files(spark):
+    """dsk1: the manifest consult must select only the files whose
+    min/max shipdate band intersects the 2-month range — ≤3 of the 16
+    range-clustered files — and the scan must read exactly those."""
+    from big_data_analytics_spark.queries.layout import (
+        _SKIP_HI,
+        _SKIP_LO,
+        _range_clustered_lineitem,
+        skip_files_for_range,
+    )
+
+    root = _range_clustered_lineitem(spark, SF_CORRECT)
+    files = skip_files_for_range(spark, root, _SKIP_LO, _SKIP_HI)
+    total = len(list((root / "data").glob("*.parquet")))
+    assert total == 16
+    assert 1 <= len(files) <= 3, files
+    df = REGISTRY["dsk1_minmax_file_skipping"].spark_fn(spark, SF_CORRECT)
+    read = {f.removeprefix("file:") for f in df.inputFiles()}
+    assert read == set(files)
