@@ -2,7 +2,7 @@
 §2.11). Everything else in the registry is deliberately JVM-only —
 the plan audit enforces "no Python eval in oracled queries" — but the
 Arrow tiers themselves are first-class engine surface and deserve
-hash-graded rows, not just unit tests. These two queries are the
+hash-graded rows, not just unit tests. These queries are the
 sanctioned exceptions (exempted by name in tests/test_plans.py):
 
 - x11: grouped ``applyInPandas`` (tier 3) — an imperative per-group
@@ -16,8 +16,12 @@ sanctioned exceptions (exempted by name in tests/test_plans.py):
   fixed-point convention, proving the Python⇄JVM Arrow boundary
   neither reorders nor perturbs values.
 
-Both keep the Python work integer-exact (cents), so cross-engine hash
-parity holds bit-for-bit despite the round trip through numpy.
+- x13: Python UDTF (tier 4) — an Arrow-batched TABLE function
+  (one row in, many out) through a LATERAL join, proving row
+  multiplicity and values survive the boundary.
+
+All keep the Python work integer-exact, so cross-engine hash parity
+holds bit-for-bit despite the round trip through numpy.
 """
 
 from __future__ import annotations
@@ -125,3 +129,68 @@ def x12_arrow_cents_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.col("c") % 7).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("c").cast("long").alias("cents_sum")))
+
+
+@query(
+    "x13_udtf_chunk_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), idx AS (
+        SELECT doc_id, t,
+               unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS ci
+        FROM toks
+    ), chunks AS (
+        SELECT CAST(ci AS INTEGER) AS ci,
+               len(t[ci * 16 + 1 : ci * 16 + 16]) AS n_toks,
+               len(list_distinct(t[ci * 16 + 1 : ci * 16 + 16]))
+                   AS n_distinct
+        FROM idx
+    )
+    SELECT ci,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct
+    FROM chunks GROUP BY ci ORDER BY ci
+    """,
+)
+def x13_udtf_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (tier 4, table-valued: one row in → many rows out)
+    certified like x11/x12 certify tiers 2-3: a chunk profiler UDTF
+    emits (chunk_index, token_count, distinct_token_count) per
+    16-token chunk of each document through a LATERAL join, then a
+    plain JVM aggregate rolls the corpus up by chunk index. Arrow
+    transfer is asserted in the plan (ArrowEvalPythonUDTF — the
+    session enables spark.sql.execution.pythonUDTF.arrow.enabled);
+    all UDTF outputs are exact integers, so the hash proves the
+    Python⇄JVM table-function boundary preserves row multiplicity
+    and values bit-for-bit.
+
+    Scale: the UDTF runs embarrassingly parallel over document
+    partitions (no shuffle until the final bounded rollup); the
+    fan-out is linear in corpus tokens. Real tier-4 payloads —
+    sentence splitters, parser emissions, per-doc candidate
+    generators — ride the identical plumbing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ci int, n_toks int, n_distinct int")
+    class ChunkProfile:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for ci in range(0, (len(toks) + 15) // 16):
+                ch = toks[ci * 16:(ci + 1) * 16]
+                yield ci, len(ch), len(set(ch))
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled",
+                   "true")
+    spark.udtf.register("x13_chunk_profile", ChunkProfile)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "x13_docs")
+    chunks = spark.sql(
+        "SELECT f.ci, f.n_toks, f.n_distinct "
+        "FROM x13_docs d, LATERAL x13_chunk_profile(d.text) f")
+    return (chunks.groupBy("ci")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("n_toks").cast("long").alias("sum_toks"),
+                 F.sum("n_distinct").cast("long").alias("sum_distinct"))
+            .orderBy("ci"))

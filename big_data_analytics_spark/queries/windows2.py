@@ -229,3 +229,59 @@ def w12_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format("d0", "yyyy-MM-dd").alias("day"),
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"))
+
+
+@query(
+    "w14_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                         <= 1800000000
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def w14_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``session_window`` aggregate in BATCH mode — the
+    third leg of the sessionization triangle: w7 derives sessions
+    with manual lag/flag/cumsum windows, sm2 runs session_window
+    under streaming state, w14 grades the same built-in on a bounded
+    input (every session finalized, no watermark cut). All three must
+    agree; the shared oracle states gap semantics once (session end =
+    last event + 30-minute gap, a new session when the inter-event
+    gap exceeds it).
+
+    Plan shape: session_window plans as a single aggregation over
+    (user, merged-window) — one exchange on user_id, the window merge
+    happens inside the aggregate; no self-join, no second shuffle.
+    At 100 TB it inherits partial aggregation and AQE sizing like any
+    groupBy."""
+    from big_data_analytics_spark.streaming.events import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return (session_windows(ev, gap="30 minutes")
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_start"),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_end"),
+                "n_events")
+            .orderBy("user_id", "session_start"))

@@ -24,6 +24,9 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs (x13) ride the same Arrow boundary as pandas UDFs;
+    # without this they fall back to pickled row batches.
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # TPC-H-ish dims (region/nation/customer/supplier/part) are far below
     # this; broadcast them instead of shuffling the fact side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
