@@ -596,3 +596,72 @@ def exact_ngram_contamination(left: DataFrame, right: DataFrame,
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def prefix_filtered_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  shingle_k: int = 3,
+                                  threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard-similar pairs with PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) — the scale path for exact set-similarity
+    joins: instead of indexing EVERY (doc, shingle) pair like
+    ngram_jaccard_pairs, index only each doc's PREFIX — its
+    ``|A| - ceil(t*|A|) + 1`` rarest shingles under one global
+    canonical order (ascending corpus frequency, shingle text as the
+    tie-break). Completeness is a theorem, not a heuristic: if
+    J(A,B) >= t, the two prefixes must share a shingle — were they
+    disjoint, more than (1-t)|A| of A's shingles would fall outside
+    B, forcing J < t. Candidates additionally pass the size-ratio
+    bound min(|A|,|B|) >= t * max(|A|,|B|); survivors are verified
+    with the exact intersection count.
+
+    Shuffle economics vs the full inverted index: the index join
+    carries only prefix rows (about a (1-t) fraction of shingle
+    occurrences, and the RAREST ones, so bucket fan-out is small);
+    frequent shingles — the quadratic blowup in a naive index — land
+    in the LONG suffix and are never joined. threshold*|A| must be
+    exactly representable (t = 0.5 here) for the prefix length to be
+    engine-stable."""
+    sh = df.select(
+        id_col,
+        F.explode(word_shingles(F.col(text_col), shingle_k))
+        .alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("freq", "shingle")))
+        .withColumn("p",
+                    F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
+                    + F.lit(1)))
+    prefix = ranked.filter(F.col("r") <= F.col("p")).select(
+        F.col(id_col), "shingle", "n")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle",
+                      F.col("n").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
+                      F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct())
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common")))
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))

@@ -46,11 +46,11 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 21 round-6 entries + the 27 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 19
-#: remaining r1 rows (p8, p13, f18, a15, f19, p6, u3, u3b, f11,
-#: j5b, a19, q4, q12, q14, q19, q16, q17, q15, q22) then the 35
-#: r2 rows.
+#: Round-6 head-50: 2 canaries + 22 round-6 entries + the 26 oldest
+#: r1-vintage rows. The round-7 backlog under this rule: the 20
+#: remaining r1 rows (a8, p8, p13, f18, a15, f19, p6, u3, u3b,
+#: f11, j5b, a19, q4, q12, q14, q19, q16, q17, q15, q22) then the
+#: 35 r2 rows.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -88,7 +88,8 @@ GRADE_HEAD = [
     "dsk1_minmax_file_skipping",
     "w14_session_window_batch",
     "x13_udtf_chunk_profile",
-    # (c) oldest-first: 27 r1-vintage rows (last driver row 5 rounds
+    "d9_prefix_filter_jaccard",
+    # (c) oldest-first: 26 r1-vintage rows (last driver row 5 rounds
     # ago), registry order, no-oracle entries skipped
     "f1_string_functions",
     "f8_date_functions",
@@ -116,7 +117,6 @@ GRADE_HEAD = [
     "g1_rollup_revenue",
     "g2_cube_counts",
     "pv1_status_pivot",
-    "a8_percentiles",
 ]
 
 

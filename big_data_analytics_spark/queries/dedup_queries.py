@@ -24,6 +24,7 @@ from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
     simhash_near_dup_pairs,
 )
 from big_data_analytics_spark.operators.similarity import (
@@ -31,7 +32,7 @@ from big_data_analytics_spark.operators.similarity import (
     lsh_index,
     lsh_topk,
 )
-from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.queries import REGISTRY, query
 
 #: Session-cached LSH index relations (the graph-module pattern): the
 #: corpus signature build — 16 tables x 4 planes of interpreted
@@ -641,3 +642,30 @@ def d5_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.9)
     return pairs.select("id_small", "id_big",
                         F.round("containment", 6).alias("containment"))
+
+
+_D4_ORACLE = REGISTRY["d4_ngram_jaccard_pairs"].oracle
+
+
+@query("d9_prefix_filter_jaccard", oracle=_D4_ORACLE)
+def d9_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs >= 0.5 via PPJoin-style PREFIX FILTERING
+    (operators/dedup.prefix_filtered_jaccard_pairs): only each doc's
+    |A| - ceil(0.5|A|) + 1 globally-rarest shingles enter the index
+    join, plus a size-ratio prune, then exact verification. The
+    oracle is d4's brute-force inverted-index SQL VERBATIM — a hash
+    match proves the prefix filter lost no pair (completeness is the
+    PPJoin theorem; the hash certifies the implementation honors it),
+    the same certify-the-shortcut discipline as fj1's deletion
+    neighborhood and mm7's Hamming bands.
+
+    Scale: the full inverted index joins EVERY (doc, shingle)
+    occurrence — its hottest buckets are the most frequent shingles,
+    exactly where candidate fan-out explodes quadratically. The
+    prefix join indexes only the ~(1-t) rarest shingles per doc
+    (tests/test_dedup.py measures the candidate-pair reduction), so
+    shuffle volume and bucket skew both shrink as t rises."""
+    return (prefix_filtered_jaccard_pairs(
+        _doc_corpus_with_dups(spark, sf_dir), threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b"))
