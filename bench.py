@@ -107,6 +107,10 @@ EXTENDED = [
     # manifest-consult min/max file skipping over the range-clustered
     # store (reads <=3 of 16 files; residual filter keeps it safe)
     "dsk1_minmax_file_skipping",
+    # the built-in session_window aggregate — same data as w7's
+    # manual lag/flag/cumsum sessionization, so the pair tracks the
+    # built-in's cost against the three-window derivation
+    "w14_session_window_batch",
 ]
 
 HEADLINE = CORE + EXTENDED
