@@ -90,14 +90,27 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans, and report per document: token count, duplicated-position
     count, span count, and tokens covered by the span union.
 
-    Plan shape: explode to (doc, pos, kgram) — linear in corpus
-    tokens; ONE exchange keyed on the kgram for the corpus-wide
-    occurrence count (window COUNT, partial-merge only, no join
-    back); the island merge runs inside a per-document window over
-    just the duplicated positions. At 100 TB the kgram key becomes a
-    128-bit fingerprint and the same plan holds: the exchange carries
-    16-byte keys and the per-doc windows stay bounded by document
-    length."""
+    Plan shape: ONE tokenize+explode pass materialized with
+    localCheckpoint (the ds1 checkpointed-counts pattern — the
+    interpreted slice/join fold is the expensive step, so both
+    consumers read the materialized relation); the corpus-wide
+    occurrence count is a PARTIAL-AGGREGATED groupBy filtered to
+    cnt >= 2 BEFORE joining back, so the join's probe side is the
+    checkpoint and its build side is only the duplicated k-grams
+    (near-dup density, not corpus size — AQE sees the real
+    post-checkpoint sizes and broadcasts the dup set when small,
+    skew-splits when not). The island merge runs inside a
+    per-document window over just the duplicated positions.
+
+    REJECTED ALTERNATIVE (A/B'd at sf0.1): a window COUNT over
+    PARTITION BY kgram is ~0.6 s faster warm (no checkpoint write,
+    single exchange) but WindowExec buffers every occurrence of one
+    key in one task's group buffer — a degenerate hot k-gram
+    ("the the the …" boilerplate) at corpus scale is an unbounded
+    single-task buffer, the same hazard class as an unsalted skew
+    join. The mergeable-count path caps per-key state at one long
+    per map task. At 100 TB the kgram key becomes a 128-bit
+    fingerprint; the checkpoint becomes a shuffle-stage reuse."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     pos = (toks.filter(F.size("t") >= _K)
@@ -107,11 +120,12 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = pos.select(
         "doc_id", "p",
         F.array_join(F.slice("t", F.col("p") + 1, _K), " ")
-        .alias("kgram"))
-    cnt_w = Window.partitionBy("kgram")
-    dup = (kg.withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
-           .filter(F.col("cnt") >= 2)
-           .select("doc_id", "p"))
+        .alias("kgram")).localCheckpoint()
+    dup_kgrams = (kg.groupBy("kgram")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .filter(F.col("cnt") >= 2)
+                  .select("kgram"))
+    dup = kg.join(dup_kgrams, "kgram").select("doc_id", "p")
     seq_w = Window.partitionBy("doc_id").orderBy("p")
     isl = (dup.withColumn("prev", F.lag("p").over(seq_w))
            .withColumn(
