@@ -39,28 +39,39 @@ def _sf_tag(sf_dir: str) -> str:
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders/customer as bucketed+sorted tables (once per
-    session and scale): bucketBy(8, key) + sortBy(key), external
-    location under .fixtures. Bucket metadata lives in the session
-    catalog — a fresh session re-registers (cheap overwrite); the
-    point is that every LATER join on the key plans with zero
-    exchanges, which is how a recurring 100 TB join amortizes its
-    shuffle into the layout."""
+    scale AND source version): bucketBy(8, key) + sortBy(key),
+    external location under .fixtures. Bucket metadata lives in the
+    session catalog — a fresh session re-registers (cheap overwrite).
+    The data itself is gated on the SOURCE signature like every other
+    .fixtures writer (a _DONE file beside the table directories): a
+    metastore that outlives a testdata regeneration must not silently
+    serve stale bucketed copies, so a signature change forces a
+    rebuild even when the catalog says the tables exist. The point is
+    that every LATER join on the key plans with zero exchanges, which
+    is how a recurring 100 TB join amortizes its shuffle into the
+    layout."""
     tag = _sf_tag(sf_dir)
     to, tc = f"bj1_orders_{tag}", f"bj1_customer_{tag}"
+    root = _FIXTURE_ROOT / f"bj1_bucketed_{tag}"
+    sig = (_source_sig(sf_dir, "orders") + "|"
+           + _source_sig(sf_dir, "customer"))
     cat = spark.catalog
-    if not (cat.tableExists(to) and cat.tableExists(tc)):
+    if (not (cat.tableExists(to) and cat.tableExists(tc))
+            or not _fixture_fresh(root, sig)):
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice")
         cust = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment")
         (orders.write.mode("overwrite")
-         .option("path", str(_FIXTURE_ROOT / f"bj1_orders_{tag}"))
+         .option("path", str(root / "orders"))
          .bucketBy(_N_BUCKETS, "o_custkey").sortBy("o_custkey")
          .saveAsTable(to))
         (cust.write.mode("overwrite")
-         .option("path", str(_FIXTURE_ROOT / f"bj1_customer_{tag}"))
+         .option("path", str(root / "customer"))
          .bucketBy(_N_BUCKETS, "c_custkey").sortBy("c_custkey")
          .saveAsTable(tc))
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "_DONE").write_text(sig)
     return to, tc
 
 
@@ -180,7 +191,7 @@ def _range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> Path:
     stats) expressed with plain parquet. Built once per scale,
     rebuilt when the source testdata changes."""
     root = _FIXTURE_ROOT / f"lineitem_rangeclustered_{Path(sf_dir).name}"
-    sig = _source_sig(sf_dir)  # events signature tracks testdata regen
+    sig = _source_sig(sf_dir, "lineitem")  # the table this derives from
     if not _fixture_fresh(root, sig):
         if root.exists():
             import shutil

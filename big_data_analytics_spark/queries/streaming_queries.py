@@ -43,14 +43,16 @@ _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 _QNAME = itertools.count()
 
 
-def _source_sig(sf_dir: str) -> str:
-    """Content signature of the events source: (size, mtime_ns) of
-    every file under events.parquet. The stream fixtures are derived
-    data — if the driver regenerates the testdata between rounds, a
-    fixture gated only on its own existence would silently replay
-    STALE events and every sm* oracle comparison would be wrong.
-    Stored inside _DONE; any difference forces a rebuild."""
-    src = Path(sf_dir) / "events.parquet"
+def _source_sig(sf_dir: str, table: str = "events") -> str:
+    """Content signature of a source table: (size, mtime_ns) of every
+    file under <table>.parquet. Derived fixtures (stream splits,
+    partitioned/bucketed/range-clustered rewrites) are gated on the
+    signature of the table they were derived FROM — if the driver
+    regenerates the testdata between rounds, a fixture gated only on
+    its own existence would silently serve STALE rows and every
+    oracle comparison through it would be wrong. Stored inside
+    _DONE; any difference forces a rebuild."""
+    src = Path(sf_dir) / f"{table}.parquet"
     parts = sorted(src.rglob("*")) if src.is_dir() else [src]
     return ";".join(f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
                     for p in parts if p.is_file())
@@ -642,10 +644,6 @@ def _sm9_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared body for sm9: hourly windowed counts over the
     redelivery fixture, append mode, one file per micro-batch."""
     root = _events_stream_dir_redelivery(spark, sf_dir)
-    files = sorted((root / "data").glob("*.parquet"),
-                   key=lambda p: p.stat().st_mtime)
-    first = spark.read.parquet(str(files[0]))
-    b = first.agg(F.min(F.unix_micros("ts")).alias("lo")).collect()[0]
     # delay = span/8 rounded down to whole seconds (the fixture's Q2
     # starts at lo_us + span; recover span from the full table to
     # keep the delay identical to the oracle's formula)
