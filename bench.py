@@ -7,13 +7,19 @@ JVM-side; nothing is collected to the driver beyond metrics).
 
 Two timing sections:
 
-- ``queries`` — warm, best-of-2 (codegen compiled, files listed): the
-  steady-state per-query cost.
+- ``queries`` — warm, best-of-2 (best-of-3 when sub-second; codegen
+  compiled, files listed): the steady-state per-query cost.
 - ``cold_queries`` — the *first* execution of the heaviest queries in
   this process, timed before any other query runs. Best-of-N hides
   one-off costs that matter at 100 TB (the IVF quantizer fit, LSH
   signature computation, codegen of very wide expressions); this
   section makes them visible round-over-round.
+
+The printed line is the compact summary (it must fit the driver's
+2000-char stdout tail capture — tests/test_bench_output.py guards
+the byte budget); the full detail including the per-query cold
+breakdown is written to BENCH_FULL.json, which is committed so its
+history lives in git.
 """
 
 from __future__ import annotations
@@ -111,9 +117,34 @@ EXTENDED = [
     # manual lag/flag/cumsum sessionization, so the pair tracks the
     # built-in's cost against the three-window derivation
     "w14_session_window_batch",
+    # round 8: PPJoin prefix-filtered exact Jaccard — the join-heavy
+    # dedup shape (rarest-shingle prefix index + size-ratio prune)
+    "d9_prefix_filter_jaccard",
+]
+
+#: Fixed-cost queries: their fixtures are constant-size (synthetic
+#: codec payloads, a 20-row ACF series, a bounded canonical-selection
+#: cluster set) so their wall time does NOT grow with SF. Tracked so
+#: plan/codegen regressions are visible, but reported outside the
+#: headline total to keep it a data-scaling signal.
+FIXED = [
+    "cc2_canonical_selection",
+    "ts5_acf",
+    "x13_udtf_chunk_profile",
+    "mm5_png_roundtrip",
+    "mm6_audio_resample",
+    "mm7_dhash_neardup",
 ]
 
 HEADLINE = CORE + EXTENDED
+
+#: FROZEN: the exact 45-query headline graded in rounds 6-7
+#: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
+#: warm timings over this set, so round-over-round totals compare the
+#: SAME work even as EXTENDED grows. Update only by freezing the
+#: previous round's HEADLINE when queries are added.
+R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
+                            - {"d9_prefix_filter_jaccard"})
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
 #: iteration checkpoints, the shared co-purchase edge build) is worth
@@ -168,7 +199,11 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # cold pays the one-time date-partitioned rewrite fixture
         "pr1_partition_pruned_scan",
         # cold pays the range-clustered rewrite + manifest build
-        "dsk1_minmax_file_skipping"]
+        "dsk1_minmax_file_skipping",
+        # cold pays the shingle/prefix-index build of both join sides
+        # before the banded equality join (warm rides codegen + page
+        # cache); the warm/cold pair bounds the one-off index cost
+        "d9_prefix_filter_jaccard"]
 
 
 def _run(q, spark, sf_dir) -> float:
@@ -213,31 +248,46 @@ def main() -> None:
      .write.format("noop").mode("overwrite").save())
     cold["sm4_backfill_1trigger"] = round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        # best of 2: the first run pays one-off costs (file listing,
-        # codegen compile, fixture generation) that aren't the query
-        best = float("inf")
-        for _ in range(2):
+    def _best(q) -> float:
+        # best of 2; sub-second queries get a third run — their
+        # round-over-round comparisons sit inside the machine-drift
+        # band, so one extra sample tightens the minimum for exactly
+        # the timings drift distorts the most
+        best = min(_run(q, spark, sf_dir), _run(q, spark, sf_dir))
+        if best < 1.0:
             best = min(best, _run(q, spark, sf_dir))
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings = {name: _best(registry[name]) for name in HEADLINE}
+    fixed = {name: _best(registry[name]) for name in FIXED}
 
     total = round(sum(timings.values()), 3)
-    core_total = round(sum(timings[n] for n in CORE), 3)
-    ext_total = round(sum(timings[n] for n in EXTENDED), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         # frozen round-3 set: the round-over-round comparability anchor
-        "core_total": core_total,
+        "core_total": round(sum(timings[n] for n in CORE), 3),
         # post-round-3 additions (grows round over round)
-        "extended_total": ext_total,
-        "queries": timings,
-        "cold_queries": cold,
+        "extended_total": round(sum(timings[n] for n in EXTENDED), 3),
+        # constant-size-fixture queries, outside the headline total
+        "fixed_total": round(sum(fixed.values()), 3),
+        # this round's timings over the frozen round-7 45-query set:
+        # the like-for-like round-over-round comparison
+        "common_subset_total": round(
+            sum(t for n, t in timings.items() if n in R7_SET), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "queries": {**timings, **fixed},
         "sf": sf,
-    }))
+    }
+    # full detail (cold per-query breakdown included) goes to a file;
+    # the printed line must stay under the driver's 2000-char stdout
+    # tail capture or it is recorded truncated and unparseable
+    # (tests/test_bench_output.py guards the budget)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**summary, "cold_queries": cold}, f, indent=1)
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -939,7 +939,7 @@ def test_plans_md_covers_headline():
     plans = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     rows = set(re.findall(r"^\| (\w+) \|", open(plans).read(), re.M))
-    missing = [n for n in bench.HEADLINE if n not in rows]
+    missing = [n for n in bench.HEADLINE + bench.FIXED if n not in rows]
     assert not missing, (
         f"PLANS.md is stale — headline queries without an audit row: "
         f"{missing}. Run python -m big_data_analytics_spark.tools.plan_report")
