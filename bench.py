@@ -134,6 +134,7 @@ FIXED = [
     "mm5_png_roundtrip",
     "mm6_audio_resample",
     "mm7_dhash_neardup",
+    "mm8_jpeg_roundtrip",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -15,9 +15,12 @@ Design (the part that matters at 100 TB):
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
 The actual codecs (PIL/ffmpeg/torchaudio) are NOT installed in this
-environment. Three formats decode for real with no dependency at all:
-uncompressed 24-bit BMP, PCM16 WAV, and non-interlaced 8-bit RGB/RGBA
-PNG (stdlib zlib + the five PNG prediction filters). Anything else
+environment. Four formats decode for real with no dependency beyond
+numpy: uncompressed 24-bit BMP, PCM16 WAV, non-interlaced 8-bit
+RGB/RGBA PNG (stdlib zlib + the five PNG prediction filters), and
+baseline-sequential JPEG (SOF0 — Huffman + dequant + IDCT + YCbCr in
+multimodal/jpeg.py). Anything else — progressive/subsampled JPEG,
+ffmpeg video containers —
 raises NotImplementedError unless given ``fake=True``, which runs a
 deterministic stand-in (hash-derived dimensions/features) so the
 Spark-side plumbing — schemas, batching, partitioning, UDF
@@ -159,12 +162,13 @@ def decode_image(df: DataFrame, fake: bool = False,
     """Decode image payloads → (dims, channels, feature vector).
 
     Arrow-batched mapInPandas over skew-bucketed partitions. The real
-    path decodes uncompressed 24-bit BMP and non-interlaced 8-bit
-    RGB/RGBA PNG payloads with the dependency-free parsers in this
-    module (PNG is stdlib zlib + the five prediction filters); any
-    other format raises NotImplementedError at execution time (no
-    JPEG/ffmpeg codec in this container — swapping in PIL changes
-    only the per-payload inner call). ``fake=True``
+    path decodes uncompressed 24-bit BMP, non-interlaced 8-bit
+    RGB/RGBA PNG (stdlib zlib + the five prediction filters), and
+    baseline-sequential SOF0 JPEG (multimodal/jpeg.py) payloads with
+    the dependency-free parsers in this package; any other format
+    raises NotImplementedError at execution time (no ffmpeg codec in
+    this container — swapping in PIL changes only the per-payload
+    inner call). ``fake=True``
     derives deterministic pseudo-decodes from the payload hash,
     exercising the identical plan for arbitrary payloads.
     """
@@ -191,13 +195,19 @@ def decode_image(df: DataFrame, fake: bool = False,
                 elif data[:8] == _PNG_SIG:
                     out.append({"media_id": mid,
                                 **_parse_png(data, feature_dim)})
+                elif data[:2] == b"\xff\xd8":
+                    from big_data_analytics_spark.multimodal.jpeg import (
+                        parse_jpeg,
+                    )
+                    out.append({"media_id": mid,
+                                **parse_jpeg(data, feature_dim)})
                 else:
                     raise NotImplementedError(
                         "no codec for this payload in this environment; "
-                        "uncompressed BMP and non-interlaced 8-bit "
-                        "RGB/RGBA PNG decode natively — install PIL and "
-                        "replace this branch with "
-                        "Image.open(io.BytesIO(content))")
+                        "uncompressed BMP, non-interlaced 8-bit RGB/RGBA "
+                        "PNG, and baseline-sequential (SOF0) JPEG decode "
+                        "natively — install PIL and replace this branch "
+                        "with Image.open(io.BytesIO(content))")
             yield pd.DataFrame(out)
 
     return imgs.mapInPandas(decode, DECODED_SCHEMA)

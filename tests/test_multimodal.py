@@ -310,3 +310,150 @@ def test_dhash_bit_layout_and_invariance(spark):
     assert got[0] == (0, 0)
     assert got[1] == (0xFFFFFFFF, 0xFFFFFFFF)
     assert got[2] == got[1]
+
+
+# --------------------------------------------------------------------
+# Baseline JPEG (SOF0) codec — multimodal/jpeg.py
+# --------------------------------------------------------------------
+
+def _jpeg_reference_decode(px, qdc, qac):
+    """Independent reference: replicate the only lossy step
+    (quantization of the float FDCT) directly in numpy, with no
+    Huffman/zigzag/bitstream code shared with the codec. Everything
+    the entropy layer does must be exactly invertible, so
+    decode(encode(px)) must equal this for ANY grayscale image."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import _M
+
+    a = np.array(px, dtype=np.float64)
+    h, w = a.shape
+    q = np.full((8, 8), float(qac))
+    q[0, 0] = float(qdc)
+    out = np.zeros_like(a)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coef = np.floor(_M @ blk @ _M.T / q + 0.5) * q
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                _M.T @ coef @ _M + 128.0)
+    return np.clip(np.floor(out + 0.5), 0, 255)
+
+
+def test_jpeg_entropy_layer_exactly_invertible():
+    """Random dense images: decode(encode(px)) == quantize-roundtrip
+    reference. Dense coefficients exercise the full AC run/length
+    path (every run length, EOB placement, DC differences of both
+    signs across blocks)."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    rng = np.random.default_rng(42)
+    for trial, (qdc, qac) in enumerate([(1, 1), (8, 16), (3, 5)]):
+        px = rng.integers(0, 256, size=(16, 24)).tolist()
+        dec = jpeg_planes(encode_jpeg(px, qdc=qdc, qac=qac))[0]
+        ref = _jpeg_reference_decode(px, qdc, qac)
+        assert np.array_equal(dec, ref), (trial, qdc, qac)
+
+
+def test_jpeg_zrl_long_zero_runs():
+    """A pure high-frequency block (basis (7,7) only) puts its single
+    AC coefficient at the END of the zigzag order — the encoder must
+    emit ZRL (16-zero-run) codes, and the decoder must skip exactly
+    as many. Verified against the same quantize-roundtrip reference."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        _M, encode_jpeg, jpeg_planes)
+
+    basis = np.outer(_M[7], _M[7])  # IDCT of coefficient (7,7) = 1
+    px = np.clip(np.floor(128.0 + 400.0 * basis + 0.5), 0,
+                 255).astype(int).tolist()
+    dec = jpeg_planes(encode_jpeg(px, qdc=8, qac=4))[0]
+    ref = _jpeg_reference_decode(px, 8, 4)
+    assert np.array_equal(dec, ref)
+    # the scan really is ZRL-shaped: one AC coefficient at the last
+    # zigzag position (62 zeros precede it -> 3 ZRL codes)
+    q = np.full((8, 8), 4.0)
+    q[0, 0] = 8.0
+    coef = np.floor(_M @ (np.array(px, float) - 128.0) @ _M.T / q + 0.5)
+    nz = {(u, v) for u in range(8) for v in range(8)
+          if coef[u, v] and (u, v) != (0, 0)}
+    assert nz == {(7, 7)}, nz
+
+
+def test_jpeg_lossless_block_constant():
+    """The mm8 exactness contract, at codec level: piecewise-constant
+    8x8 blocks with DC quant step 8 round-trip bit-losslessly."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    px = [[(23 * 5 + 11 * (x // 8) + 17 * (y // 8)) % 256
+           for x in range(32)] for y in range(24)]
+    dec = jpeg_planes(encode_jpeg(px, qdc=8, qac=16))[0]
+    assert np.array_equal(dec, np.array(px, dtype=float))
+
+
+def test_jpeg_color_444_roundtrip():
+    """3-component 4:4:4 color: YCbCr forward/backward transforms and
+    three interleaved DC chains; block-constant content bounds the
+    total error at the +-2 the two float color transforms' rounding
+    can introduce."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    px = [[((x // 8 * 40 + 30) % 256, (y // 8 * 50 + 60) % 256,
+            (x // 8 * 20 + y // 8 * 30 + 90) % 256)
+           for x in range(24)] for y in range(16)]
+    planes = jpeg_planes(encode_jpeg(px, qdc=8, qac=16, color=True))
+    assert len(planes) == 3
+    got = np.stack(planes, axis=-1)
+    want = np.array(px, dtype=np.float64)
+    assert np.abs(got - want).max() <= 2.0
+
+
+def test_jpeg_boundaries_raise():
+    """Progressive (SOF2), chroma subsampling, restart intervals, and
+    non-JPEG payloads must fail loudly, not decode garbage."""
+    import pytest as _pytest
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    px = [[100] * 16 for _ in range(16)]
+    data = bytearray(encode_jpeg(px))
+
+    with _pytest.raises(NotImplementedError, match="SOI"):
+        jpeg_planes(b"\x00\x01\x02")
+
+    prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_planes(prog)
+
+    sof_at = bytes(data).find(b"\xff\xc0")
+    sub = bytearray(data)
+    sub[sof_at + 11] = 0x22  # sampling factor of component 1
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        jpeg_planes(bytes(sub))
+
+
+def test_jpeg_decode_through_spark_operator(spark):
+    """The mm8 plumbing: JPEG payloads dispatch through decode_image
+    (mapInPandas) and produce exact stats for a known image."""
+    import pandas as pd
+
+    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+
+    px = [[(7 * (x // 8) + 13 * (y // 8) + 40) % 256
+           for x in range(16)] for y in range(16)]
+    content = encode_jpeg(px, qdc=8, qac=16)
+    pdf = pd.DataFrame([{
+        "media_id": 0, "media_type": "image", "content": content,
+        "meta": {"source": "t", "byte_size": len(content),
+                 "mime": "image/jpeg"},
+    }])
+    df = spark.createDataFrame(pdf, schema=synthetic_media(spark, 1).schema)
+    row = decode_image(df).collect()[0]
+    want_sum = sum(v for r in px for v in r)
+    assert (row.width, row.height, row.n_channels) == (16, 16, 1)
+    assert round(row.features[0] * 255 * 256) == want_sum
