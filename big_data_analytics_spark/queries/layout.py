@@ -58,6 +58,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cat = spark.catalog
     if (not (cat.tableExists(to) and cat.tableExists(tc))
             or not _fixture_fresh(root, sig)):
+        # drop the pre-round-7 layout (tables written directly under
+        # bj1_orders_<tag>/bj1_customer_<tag>) so old checkouts don't
+        # leave orphan directories accumulating in .fixtures
+        import shutil
+        for legacy in (_FIXTURE_ROOT / to, _FIXTURE_ROOT / tc):
+            shutil.rmtree(legacy, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice")
         cust = load_table(spark, sf_dir, "customer").select(
@@ -269,3 +275,76 @@ def dsk1_minmax_file_skipping(spark: SparkSession,
         F.sum(F.floor(F.col("l_extendedprice")
                       * (1 - F.col("l_discount")) * 100.0 + 0.5)
               .cast("long")).cast("long").alias("revenue_cents"))
+
+
+def _partitioned_bucketed_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events stored date-PARTITIONED and user-BUCKETED at once —
+    the composed layout pr1's docstring promises ("partition by day,
+    bucket by user within each day"): partitionBy(d) prunes time
+    ranges to directories, bucketBy(8, user_id) pre-hashes every
+    directory's files on the user key so per-user aggregations and
+    user-keyed joins plan with no exchange. Same catalog + source-
+    signature gating as _bucketed_tables."""
+    tag = _sf_tag(sf_dir)
+    tbl = f"bp1_events_{tag}"
+    root = _FIXTURE_ROOT / f"bp1_events_pb_{tag}"
+    sig = _source_sig(sf_dir)
+    cat = spark.catalog
+    if not cat.tableExists(tbl) or not _fixture_fresh(root, sig):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.to_date("ts").alias("d"))
+        (ev.repartition("d", "user_id")
+         .write.mode("overwrite")
+         .option("path", str(root / "events"))
+         .partitionBy("d")
+         .bucketBy(_N_BUCKETS, "user_id").sortBy("user_id")
+         .saveAsTable(tbl))
+        root.mkdir(parents=True, exist_ok=True)
+        (root / "_DONE").write_text(sig)
+    return tbl
+
+
+@query(
+    "bp1_partitioned_bucketed_rollup",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS value_sum
+    FROM events, b
+    WHERE CAST(ts AS DATE) >= b.d0 + 4
+      AND CAST(ts AS DATE) < b.d0 + 11
+    GROUP BY user_id
+    """,
+)
+def bp1_partitioned_bucketed_rollup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """BOTH storage levers in ONE plan: a per-user rollup over a 7-day
+    window of the date-partitioned, user-bucketed events store. The
+    date filter must reach the scan as PartitionFilters (reads 7 of
+    ~30 date directories) AND the groupBy(user_id) must ride the
+    bucketed layout with ZERO exchanges — the scan's hash-partitioning
+    on user_id (8 buckets, coalesced across the surviving date
+    directories) already satisfies the aggregation's distribution.
+    tests/test_plans.py asserts both properties in the same plan; this
+    driver row certifies the rollup through the composed layout
+    matches the oracle's full-scan WHERE + GROUP BY.
+
+    Scale: this is the canonical event-store layout at 100 TB — time
+    ranges prune to directories, and every per-user computation
+    (sessionization, feature rollups, joins against user dims) runs
+    shuffle-free inside bucket-aligned tasks. The one-time layout
+    write amortizes the shuffle exactly as bj1's join does."""
+    tbl = _partitioned_bucketed_events(spark, sf_dir)
+    ev = spark.table(tbl)
+    d0 = ev.agg(F.min("d")).first()[0]
+    pruned = ev.where(
+        (F.col("d") >= F.date_add(F.lit(d0), 4))
+        & (F.col("d") < F.date_add(F.lit(d0), 11)))
+    return (pruned.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)
+                        .cast("long")).cast("double") / 10000.0)
+                 .alias("value_sum")))

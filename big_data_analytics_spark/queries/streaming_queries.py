@@ -599,6 +599,86 @@ def sm8_stream_upsert_parquet_sink(spark: SparkSession,
                     "event_type", "n_events", "value_sum"))
 
 
+@query(
+    "sm10_stream_crash_recovery",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sm10_stream_crash_recovery(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exactly-once graded as a RECOVERY claim: run sm8's stream →
+    stateful-upsert-sink pipeline, but kill the query in the WORST
+    window — after trigger 2's target write landed on disk, before
+    the checkpoint commit log recorded it — then restart from the
+    same checkpoint, run to completion, and return the read-back
+    target. The oracle is sm8's plain batch aggregate: a green hash
+    means the restart replayed the uncommitted batch against the
+    partially-written target and the dynamic partition overwrite made
+    that replay byte-idempotent (the property "exactly-once" rests
+    on). The query itself asserts the crash fired mid-stream and that
+    the checkpoint showed genuine partial progress (batch 0 committed,
+    batch 1 not) before recovering — if the failure injection ever
+    stops firing, the row errors rather than silently grading sm8's
+    crash-free path. Pytest's twin
+    (tests/test_streaming.py::test_stateful_upsert_sink_mid_stream_
+    crash_recovery) proves the same on the unordered split; this row
+    puts the recovery semantics under the driver's hash gate on the
+    production-shaped time-ordered fixture."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_analytics_spark.streaming.events import (
+        start_stateful_upsert_sink,
+    )
+
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+
+    def src() -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(root / "data")))
+
+    target = tempfile.mkdtemp(prefix="sm10_target_")
+    ckpt = tempfile.mkdtemp(prefix="sm10_ckpt_")
+    crashed: list[int] = []
+
+    def crash_once(batch_id: int) -> None:
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash after batch 1 target write")
+
+    with _state_partitions(spark):
+        q = start_stateful_upsert_sink(src(), target, ckpt,
+                                       on_batch_committed=crash_once)
+        try:
+            q.awaitTermination()
+            raise RuntimeError(
+                "sm10 failure injection did not fire — the stream "
+                "completed crash-free; the row would not be grading "
+                "recovery")
+        except StreamingQueryException:
+            pass
+        commits = set(os.listdir(os.path.join(ckpt, "commits")))
+        if crashed != [1] or "1" in commits or "0" not in commits:
+            raise RuntimeError(
+                f"sm10 crash window not as claimed: crashed={crashed}, "
+                f"commits={sorted(commits)} — expected batch 0 "
+                "committed and batch 1 written-but-uncommitted")
+        q2 = start_stateful_upsert_sink(src(), target, ckpt)
+        q2.awaitTermination()
+    return (spark.read.parquet(target)
+            .select(F.date_format("day", "yyyy-MM-dd HH:mm:ss")
+                    .alias("day"),
+                    "event_type", "n_events", "value_sum"))
+
+
 def _events_stream_dir_redelivery(spark: SparkSession, sf_dir: str) -> Path:
     """The LATE-DATA fixture: four files arriving as Q2, Q2 again,
     Q4, Q2 a third time (strictly increasing mtimes, one file per

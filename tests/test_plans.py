@@ -1030,3 +1030,20 @@ def test_dsk1_reads_minority_of_files(spark):
     df = REGISTRY["dsk1_minmax_file_skipping"].spark_fn(spark, SF_CORRECT)
     read = {f.removeprefix("file:") for f in df.inputFiles()}
     assert read == set(files)
+
+
+def test_bp1_pruned_and_exchange_free(spark):
+    """The composed layout (date-partitioned + user-bucketed events)
+    must show BOTH levers in ONE plan: the 7-day filter prunes to 7
+    date directories (PartitionFilters + 7-path file index) and the
+    per-user aggregate rides the 8-bucket hash layout with ZERO
+    exchanges (partial and final HashAggregate both bucket-local)."""
+    import re
+
+    plan = _plan(spark, "bp1_partitioned_bucketed_rollup")
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and ">=" in m.group(1) and "<" in m.group(1), plan
+    assert "InMemoryFileIndex(7 paths)" in plan, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
