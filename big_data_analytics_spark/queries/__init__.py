@@ -46,77 +46,71 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-6 head-50: 2 canaries + 22 round-6 entries + the 26 oldest
-#: r1-vintage rows. The round-7 backlog under this rule: the 20
-#: remaining r1 rows (a8, p8, p13, f18, a15, f19, p6, u3, u3b,
-#: f11, j5b, a19, q4, q12, q14, q19, q16, q17, q15, q22) then the
-#: 35 r2 rows.
+#: Round-8 head-50: 2 canaries + 4 round-8 new/changed (mm8 JPEG,
+#: sm10 crash-recovery, bp1 partitioned+bucketed, bj1 whose fixture
+#: gained the legacy-dir cleanup) + the 20 remaining r1-vintage rows
+#: + the 24 oldest r2 rows in registry order. The round-9 backlog
+#: under the standing rule: the 9 remaining r2 rows (w8, w9, f22,
+#: f23, h1, sa1, g3, sk3, t6), then r3 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-6 new/changed: the stdlib-zlib PNG round-trip (new);
-    # fn1 rewritten onto the exchange-free aggregate; gr5's pair
-    # stage rewritten (in-place neighbor arrays + shuffled-hash
-    # anti-join); qn1's two-level bounded histogram probe; w10's
-    # single-row percent_rank guard; sm6's double-rounding-order fix;
-    # oc1 re-graded over the integral-guarded stitched cumsum; cf1's
-    # pair stage rewritten onto the same generator shape as gr5.
-    # Late round-6 additions: es1 sliding-window exact-substring
-    # spans, ivm1 retraction-capable view maintenance, mm7 dHash
-    # near-dup banding, sm9 watermark late-data accounting
-    "mm5_png_roundtrip",
-    "fn1_session_funnel",
-    "gr5_link_prediction",
-    "qn1_quantile_normalize",
-    "w10_percent_rank_cume",
-    "sm6_stream_stateful_user_totals",
-    "oc1_max_concurrency",
-    "cf1_item_item_cosine",
-    "ds1_importance_resampling",
-    "cc2_canonical_selection",
-    "mm6_audio_resample",
-    "ts5_acf",
-    "es1_exact_substring_spans",
-    "ivm1_retractable_view",
-    "mm7_dhash_neardup",
-    "sm9_stream_late_data_accounting",
+    # (b) round-8 new/changed
+    "mm8_jpeg_roundtrip",
+    "sm10_stream_crash_recovery",
+    "bp1_partitioned_bucketed_rollup",
     "bj1_bucketed_colocated_join",
-    "pr1_partition_pruned_scan",
-    "dsk1_minmax_file_skipping",
-    "w14_session_window_batch",
-    "x13_udtf_chunk_profile",
-    "d9_prefix_filter_jaccard",
-    # (c) oldest-first: 26 r1-vintage rows (last driver row 5 rounds
-    # ago), registry order, no-oracle entries skipped
-    "f1_string_functions",
-    "f8_date_functions",
-    "j1_revenue_by_nation",
-    "o1_top_orders_by_revenue",
-    "j2_customer_order_stats",
-    "j5_customers_with_urgent_orders",
-    "j6_customers_without_orders",
-    "p4_filter_compound",
-    "p11_part_size_buckets",
-    "a5_monthly_revenue",
-    "a7_order_priority_counts",
-    "a9_quantity_moments",
-    "a10_corr_regression",
-    "a12_event_daily_metrics",
-    "u1_union_distinct",
-    "p16_ordered_limit",
-    "w1_event_lag_delta",
-    "w5_customer_running_spend",
-    "w4_latest_order_per_customer",
-    "wr_rank_functions",
-    "j7_regional_supplier_volume",
-    "a6_forecast_revenue",
-    "a18_large_orders_having",
-    "g1_rollup_revenue",
-    "g2_cube_counts",
-    "pv1_status_pivot",
+    # (c) oldest-first: the 20 r1-vintage rows (last driver row in
+    # round 1), registry order, no-oracle entries (p19/f17) skipped
+    "a8_percentiles",
+    "p8_null_handling",
+    "p13_cast_coercion",
+    "f18_array_ops",
+    "a15_exists_over_array",
+    "f19_map_ops",
+    "p6_membership_and_regex",
+    "u3_intersect_except",
+    "u3b_intersect_all",
+    "f11_date_sequence",
+    "j5b_rowkey_decompose_join",
+    "a19_median_mode",
+    "q4_priority_with_late_items",
+    "q12_priority_shipping",
+    "q14_brand_revenue_share",
+    "q19_or_of_ands",
+    "q16_supplier_variety",
+    "q17_below_avg_quantity",
+    "q15_top_suppliers",
+    "q22_idle_rich_customers",
+    # (c cont.) the 24 oldest r2-vintage rows, registry order,
+    # no-oracle entries (d2/d3) skipped
+    "d1_exact_dedup",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
+    "t5_corpus_stats",
+    "v1_cosine_topk",
+    "v2_label_centroid_norms",
+    "v3_ivf_topk",
+    "d4_ngram_jaccard_pairs",
+    "aj1_asof_purchase_view",
+    "aj2_forward_asof_tolerance",
+    "rj1_value_band_join",
+    "f13_math_functions",
+    "f20_json_extract",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
 ]
 
 
