@@ -357,9 +357,22 @@ def _bmp_pixels(data: bytes) -> list[list[tuple[int, int, int]]]:
     return out
 
 
+def _pixels_any(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Dispatch a payload to its pixel decoder by magic bytes: PNG,
+    baseline JPEG (multimodal/jpeg.py), or 24-bit BMP — the shared
+    entry for the resize and dHash paths, so every operator that
+    consumes pixels accepts every format the decode path does."""
+    if data[:8] == _PNG_SIG:
+        return _png_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from big_data_analytics_spark.multimodal.jpeg import jpeg_pixels
+        return jpeg_pixels(data)
+    return _bmp_pixels(data)
+
+
 def resize_image(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
-    """Nearest-neighbor resize of BMP payloads to (out_w, out_h),
-    re-encoded as BMP bytes — the standard train-time image
+    """Nearest-neighbor resize of BMP/PNG/JPEG payloads to
+    (out_w, out_h), re-encoded as BMP bytes — the standard train-time image
     normalization step, executed for real (no codec dependency).
     Output: media_id, width, height, resized (binary).
 
@@ -376,8 +389,7 @@ def resize_image(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content)
-                px = (_png_pixels(data) if data[:8] == _PNG_SIG
-                      else _bmp_pixels(data))
+                px = _pixels_any(data)
                 src_h, src_w = len(px), len(px[0])
                 resized = [
                     [px[int((y + 0.5) * src_h / out_h)]
@@ -603,7 +615,7 @@ _DHASH_W, _DHASH_H = 9, 8  # 9x8 grid -> 8x8 = 64 difference bits
 
 def dhash_image(df: DataFrame) -> DataFrame:
     """Perceptual difference hash (dHash) of image payloads: decode
-    (BMP or PNG), nearest-neighbor resize to a 9x8 grayscale grid
+    (BMP, PNG, or baseline JPEG), nearest-neighbor resize to a 9x8 grayscale grid
     (same INTER_NEAREST convention as resize_image), and emit one bit
     per horizontally-adjacent cell pair (right > left). The 64 bits
     are packed as two 32-bit halves in BIGINT columns ``h_hi`` /
@@ -627,8 +639,7 @@ def dhash_image(df: DataFrame) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content)
-                px = (_png_pixels(data) if data[:8] == _PNG_SIG
-                      else _bmp_pixels(data))
+                px = _pixels_any(data)
                 src_h, src_w = len(px), len(px[0])
                 gray = [
                     [sum(px[int((y + 0.5) * src_h / _DHASH_H)]

@@ -49,20 +49,24 @@ def query(name: str, oracle: Optional[str] = None):
 #: Round-8 head-50: 2 canaries + 4 round-8 new/changed (mm8 JPEG,
 #: sm10 crash-recovery, bp1 partitioned+bucketed, bj1 whose fixture
 #: gained the legacy-dir cleanup) + the 20 remaining r1-vintage rows
-#: + the 24 oldest r2 rows in registry order. The round-9 backlog
-#: under the standing rule: the 9 remaining r2 rows (w8, w9, f22,
-#: f23, h1, sa1, g3, sk3, t6), then r3 vintage.
+#: + the 21 oldest r2 rows in registry order. The round-9 backlog
+#: under the standing rule: the 12 remaining r2 rows (q13, q18,
+#: q21, w8, w9, f22, f23, h1, sa1, g3, sk3, t6), then r3 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-8 new/changed
+    # (b) round-8 new/changed (mm4/mm5/mm7 re-graded because the
+    # resize/dHash pixel path gained the shared JPEG dispatcher)
     "mm8_jpeg_roundtrip",
     "sm10_stream_crash_recovery",
     "bp1_partitioned_bucketed_rollup",
     "bj1_bucketed_colocated_join",
+    "mm4_resize_pipeline",
+    "mm5_png_roundtrip",
+    "mm7_dhash_neardup",
     # (c) oldest-first: the 20 r1-vintage rows (last driver row in
     # round 1), registry order, no-oracle entries (p19/f17) skipped
     "a8_percentiles",
@@ -108,9 +112,6 @@ GRADE_HEAD = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q13_order_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_late_supplier",
 ]
 
 

@@ -457,3 +457,43 @@ def test_jpeg_decode_through_spark_operator(spark):
     want_sum = sum(v for r in px for v in r)
     assert (row.width, row.height, row.n_channels) == (16, 16, 1)
     assert round(row.features[0] * 255 * 256) == want_sum
+
+
+def test_jpeg_payloads_through_resize_and_dhash(spark):
+    """The pixel dispatcher: the SAME image content encoded as BMP and
+    as a lossless-by-construction JPEG must produce identical resize
+    output and identical dHash bits — i.e. JPEG payloads are
+    first-class through every pixel-consuming operator, not just
+    decode_image."""
+    import pandas as pd
+
+    from big_data_analytics_spark.multimodal.binary_ops import (
+        dhash_image, resize_image)
+    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+
+    # block-constant grayscale content (lossless through SOF0 @ qdc=8)
+    gray = [[(31 * (x // 8) + 47 * (y // 8) + 20) % 256
+             for x in range(32)] for y in range(24)]
+    rgb = [[(v, v, v) for v in row] for row in gray]
+    jpg = encode_jpeg(gray, qdc=8, qac=16)
+    bmp = encode_bmp(rgb)
+
+    def media(mid, content, mime):
+        return {"media_id": mid, "media_type": "image",
+                "content": content,
+                "meta": {"source": "t", "byte_size": len(content),
+                         "mime": mime}}
+
+    df = spark.createDataFrame(
+        pd.DataFrame([media(0, bmp, "image/bmp"),
+                      media(1, jpg, "image/jpeg")]),
+        schema=synthetic_media(spark, 1).schema)
+
+    resized = {r.media_id: bytes(r.resized)
+               for r in resize_image(df, out_w=4, out_h=3).collect()}
+    assert resized[0] == resized[1]  # same pixels -> same BMP bytes
+
+    hashes = {r.media_id: (r.h_hi, r.h_lo)
+              for r in dhash_image(df).collect()}
+    assert hashes[0] == hashes[1]
+    assert hashes[0] != (0, 0)  # content has gradient -> nonzero bits
