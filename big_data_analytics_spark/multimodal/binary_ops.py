@@ -18,8 +18,9 @@ The actual codecs (PIL/ffmpeg/torchaudio) are NOT installed in this
 environment. Four formats decode for real with no dependency beyond
 numpy: uncompressed 24-bit BMP, PCM16 WAV, non-interlaced 8-bit
 RGB/RGBA PNG (stdlib zlib + the five PNG prediction filters), and
-baseline-sequential JPEG (SOF0 — Huffman + dequant + IDCT + YCbCr in
-multimodal/jpeg.py). Anything else — progressive/subsampled JPEG,
+baseline-sequential JPEG (SOF0, incl. 4:2:0/4:2:2 subsampling —
+Huffman + dequant + IDCT + chroma upsample + YCbCr in
+multimodal/jpeg.py). Anything else — progressive JPEG,
 ffmpeg video containers —
 raises NotImplementedError unless given ``fake=True``, which runs a
 deterministic stand-in (hash-derived dimensions/features) so the

@@ -5,15 +5,16 @@ BMP, PNG, and WAV already decoding natively, JPEG's DCT pipeline was
 the one image format still behind ``NotImplementedError``. This
 module implements the baseline path end-to-end:
 
-- **Decoder** (`jpeg_pixels` / `jpeg_channel_stats`): marker parse
+- **Decoder** (`jpeg_pixels` / `parse_jpeg`): marker parse
   (DQT/SOF0/DHT/SOS, APPn/COM skipped), canonical Huffman table
   build from the stream's own DHT segments, entropy decode with
   0xFF00 byte-unstuffing, DC differential + AC run/length decode,
   dequantize, 8x8 IDCT (numpy, separable orthonormal basis), level
-  shift + clamp, and YCbCr->RGB for 3-component scans. The honest
+  shift + clamp, replication upsampling for subsampled chroma
+  (4:2:0 / 4:2:2), and YCbCr->RGB for 3-component scans. The honest
   ``NotImplementedError`` boundary is now: progressive (SOF2) /
-  arithmetic coding, chroma subsampling != 1x1 (4:2:0 upsampling),
-  and restart intervals — plus ffmpeg video containers.
+  arithmetic coding and restart intervals — plus ffmpeg video
+  containers.
 - **Encoder** (`encode_jpeg`): the inverse pipeline (level shift,
   FDCT, quantize, zigzag, DC-diff + run/length Huffman with the
   Annex-K-style tables below, byte stuffing). The encoder exists for
@@ -223,16 +224,17 @@ def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.floor(coef / q + 0.5).astype(np.int64)
 
 
-def _encode_blocks(blocks_per_comp: list[list[np.ndarray]],
-                   dc_codes, ac_codes) -> bytes:
-    """Entropy-encode interleaved MCUs of already-quantized 8x8 blocks
-    (1x1 sampling: one block per component per MCU)."""
+def _encode_blocks(mcu_blocks: list[list[tuple[int, np.ndarray]]],
+                   dc_codes, ac_codes, n_comp: int) -> bytes:
+    """Entropy-encode interleaved MCUs of already-quantized 8x8
+    blocks. ``mcu_blocks[m]`` is the MCU's (component-index, block)
+    sequence in scan order — one block per component at 1x1
+    sampling, hi*vi luma blocks first under subsampling. DC
+    prediction chains per component across the whole scan."""
     w = _BitWriter()
-    n_mcu = len(blocks_per_comp[0])
-    pred = [0] * len(blocks_per_comp)
-    for m in range(n_mcu):
-        for ci, blocks in enumerate(blocks_per_comp):
-            blk = blocks[m]
+    pred = [0] * n_comp
+    for mcu in mcu_blocks:
+        for ci, blk in mcu:
             zz = [int(blk.flat[ZIGZAG[k]]) for k in range(64)]
             diff = zz[0] - pred[ci]
             pred[ci] = zz[0]
@@ -269,18 +271,24 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
-                color: bool = False) -> bytes:
+                color: bool = False, subsample: bool = False) -> bytes:
     """Baseline sequential JPEG writer. ``pixels`` is rows of ints
     0..255 (grayscale, ``color=False``) or rows of (r, g, b) tuples
-    (``color=True``, encoded 4:4:4 YCbCr). Dimensions must be
-    multiples of 8 (this is a fixture/test encoder, not a general
-    image library). DC/AC quant steps are uniform (``qdc`` for the
-    DC term, ``qac`` for all 63 AC terms): qdc=8 makes piecewise-
-    constant-block images round-trip losslessly (see module doc)."""
+    (``color=True``; 4:4:4, or 4:2:0 with ``subsample=True`` — luma
+    sampling 2x2, chroma 2x2-box-averaged to half resolution).
+    Dimensions must be multiples of 8 (16 for 4:2:0; this is a
+    fixture/test encoder, not a general image library). DC/AC quant
+    steps are uniform (``qdc`` for the DC term, ``qac`` for all 63 AC
+    terms): qdc=8 makes piecewise-constant-block images round-trip
+    losslessly (see module doc)."""
     h = len(pixels)
     wd = len(pixels[0])
-    if h % 8 or wd % 8:
-        raise ValueError("encoder requires dimensions that are multiples of 8")
+    mod = 16 if (color and subsample) else 8
+    if h % mod or wd % mod:
+        raise ValueError(
+            f"encoder requires dimensions that are multiples of {mod}")
+    if subsample and not color:
+        raise ValueError("subsample applies to color encoding only")
 
     if color:
         rgb = np.array(pixels, dtype=np.float64)  # h x w x 3
@@ -290,36 +298,54 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
             128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
+        if subsample:
+            # 2x2 box average halves the chroma planes (the standard
+            # 4:2:0 downsample); luma stays full resolution
+            planes[1:] = [
+                (p[0::2, 0::2] + p[0::2, 1::2]
+                 + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                for p in planes[1:]
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
     else:
         planes = [np.array(pixels, dtype=np.float64)]
+        samp = [(1, 1)]
 
     q = np.full((8, 8), float(qac))
     q[0, 0] = float(qdc)
-    blocks_per_comp: list[list[np.ndarray]] = []
-    for plane in planes:
-        blocks = []
-        for by in range(h // 8):
-            for bx in range(wd // 8):
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                coef = _M @ blk @ _M.T
-                blocks.append(_quantize(coef, q))
-        blocks_per_comp.append(blocks)
-    # MCU-interleave: component-major per MCU, so regroup
-    n_mcu = len(blocks_per_comp[0])
-    interleaved = [[comp[m] for m in range(n_mcu)]
-                   for comp in blocks_per_comp]
+
+    def block_at(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
+        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        return _quantize(_M @ blk @ _M.T, q)
+
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = wd // (8 * hmax), h // (8 * vmax)
+    mcu_blocks: list[list[tuple[int, np.ndarray]]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu: list[tuple[int, np.ndarray]] = []
+            for ci, (plane, (hi, vi)) in enumerate(zip(planes, samp)):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        mcu.append((ci, block_at(plane, my * vi + byi,
+                                                 mx * hi + bxi)))
+            mcu_blocks.append(mcu)
 
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    scan = _encode_blocks(interleaved, dc_codes, ac_codes)
+    scan = _encode_blocks(mcu_blocks, dc_codes, ac_codes, len(planes))
 
-    ncomp = 3 if color else 1
+    ncomp = len(planes)
     zz_q = bytes(int(q.flat[ZIGZAG[k]]) for k in range(64))
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + zz_q)  # DQT, 8-bit, table 0
     sof = bytearray([8]) + struct.pack(">HH", h, wd) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])  # id, sampling, qtbl
     out += _seg(0xC0, bytes(sof))
     out += _seg(0xC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
     out += _seg(0xC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
@@ -339,55 +365,73 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
 
 def _decode_scan(data: bytes, comps, qtables, htables,
                  w: int, h: int) -> list[np.ndarray]:
-    """Entropy-decode an interleaved 1x1-sampled scan into one pixel
-    plane per component (float, pre-color-transform, clamped)."""
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    """Entropy-decode an interleaved scan into one full-resolution
+    pixel plane per component (float, pre-color-transform, rounded and
+    clamped per plane; subsampled components are decoded at their own
+    resolution then upsampled by pixel replication). ``comps`` rows:
+    (cid, hi, vi, qid, dc_table, ac_table)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     rd = _BitReader(data)
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _, _, _ in comps}
-    for m in range(bw * bh):
-        for cid, qid, dc_t, ac_t in comps:
+    pred = {c[0]: 0 for c in comps}
+    planes = {c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8))
+              for c in comps}
+
+    def read_symbol(tab):
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+            if ln > 16:
+                raise NotImplementedError(
+                    "invalid Huffman code in JPEG scan")
+
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for cid, hi, vi, qid, dc_t, ac_t in comps:
             dc_tab, ac_tab = htables[(0, dc_t)], htables[(1, ac_t)]
-
-            def read_symbol(tab):
-                code, ln = 0, 0
-                while True:
-                    code = (code << 1) | rd.bit()
-                    ln += 1
-                    if (ln, code) in tab:
-                        return tab[(ln, code)]
-                    if ln > 16:
-                        raise NotImplementedError(
-                            "invalid Huffman code in JPEG scan")
-
-            zz = [0] * 64
-            s = read_symbol(dc_tab)
-            diff = _extend(rd.receive(s), s)
-            pred[cid] += diff
-            zz[0] = pred[cid]
-            k = 1
-            while k < 64:
-                rs = read_symbol(ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise NotImplementedError("AC run past block end")
-                zz[k] = _extend(rd.receive(size), size)
-                k += 1
-            coef = np.zeros(64)
-            q = qtables[qid]
-            for k in range(64):
-                coef[ZIGZAG[k]] = zz[k] * q[k]
-            blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-            by, bx = divmod(m, bw)
-            planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
-    return [np.clip(np.floor(planes[cid] + 0.5), 0, 255)[:h, :w]
-            for cid, _, _, _ in comps]
+            for byi in range(vi):
+                for bxi in range(hi):
+                    zz = [0] * 64
+                    s = read_symbol(dc_tab)
+                    diff = _extend(rd.receive(s), s)
+                    pred[cid] += diff
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = read_symbol(ac_tab)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise NotImplementedError(
+                                "AC run past block end")
+                        zz[k] = _extend(rd.receive(size), size)
+                        k += 1
+                    coef = np.zeros(64)
+                    q = qtables[qid]
+                    for k in range(64):
+                        coef[ZIGZAG[k]] = zz[k] * q[k]
+                    blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
+                    by, bx = my * vi + byi, mx * hi + bxi
+                    planes[cid][by * 8:by * 8 + 8,
+                                bx * 8:bx * 8 + 8] = blk
+    out = []
+    for cid, hi, vi, _, _, _ in comps:
+        p = np.clip(np.floor(planes[cid] + 0.5), 0, 255)
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        out.append(p[:h, :w])
+    return out
 
 
 def jpeg_planes(data: bytes) -> list[np.ndarray]:
@@ -433,11 +477,17 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
             comps_sof = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "chroma subsampling != 1x1 needs an upsampling "
-                        "stage this baseline decoder does not implement")
-                comps_sof.append((cid, qid))
+                        f"unsupported sampling factor {hi}x{vi}")
+                comps_sof.append((cid, hi, vi, qid))
+            hmax = max(c[1] for c in comps_sof)
+            vmax = max(c[2] for c in comps_sof)
+            if any(hmax % c[1] or vmax % c[2] for c in comps_sof):
+                raise NotImplementedError(
+                    "non-integral sampling ratios need a fractional "
+                    "upsampler this decoder does not implement")
             sof = (w, h, comps_sof)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -451,10 +501,12 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
                 raise NotImplementedError("SOS before SOF0")
             nc = body[0]
             comps = []
-            sof_q = dict(sof[2])
+            sof_by_id = {c[0]: c for c in sof[2]}
             for ci in range(nc):
                 cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
-                comps.append((cid, sof_q[cid], tids >> 4, tids & 0x0F))
+                _, hi, vi, qid = sof_by_id[cid]
+                comps.append((cid, hi, vi, qid,
+                              tids >> 4, tids & 0x0F))
             w, h = sof[0], sof[1]
             # qtables are stored in zigzag order; _decode_scan indexes
             # them by zigzag position, so pass through as-is

@@ -432,8 +432,8 @@ def test_jpeg_boundaries_raise():
 
     sof_at = bytes(data).find(b"\xff\xc0")
     sub = bytearray(data)
-    sub[sof_at + 11] = 0x22  # sampling factor of component 1
-    with _pytest.raises(NotImplementedError, match="subsampling"):
+    sub[sof_at + 11] = 0x31  # 3x1 sampling: not a supported factor
+    with _pytest.raises(NotImplementedError, match="sampling"):
         jpeg_planes(bytes(sub))
 
 
@@ -497,3 +497,58 @@ def test_jpeg_payloads_through_resize_and_dhash(spark):
               for r in dhash_image(df).collect()}
     assert hashes[0] == hashes[1]
     assert hashes[0] != (0, 0)  # content has gradient -> nonzero bits
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 (2x2 luma sampling, box-averaged half-resolution chroma)
+    — the layout nearly every real-world JPEG uses. Decode must
+    exactly equal an independent numpy replication of the pipeline:
+    color transform, chroma 2x2 box average, per-plane quantize
+    round-trip, per-plane round/clamp, replication upsample, inverse
+    color transform, round/clamp."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        _M, encode_jpeg, jpeg_planes)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(32, 48, 3))
+    qdc, qac = 3, 5
+    data = encode_jpeg(px.tolist(), qdc=qdc, qac=qac,
+                       color=True, subsample=True)
+    got = np.stack(jpeg_planes(data), axis=-1)
+
+    # ---- independent reference ----
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb = (cb[0::2, 0::2] + cb[0::2, 1::2]
+          + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+    cr = (cr[0::2, 0::2] + cr[0::2, 1::2]
+          + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+    q = np.full((8, 8), float(qac))
+    q[0, 0] = float(qdc)
+
+    def qrt(plane):
+        out = np.zeros_like(plane)
+        for by in range(plane.shape[0] // 8):
+            for bx in range(plane.shape[1] // 8):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = np.floor(_M @ blk @ _M.T / q + 0.5) * q
+                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _M.T @ coef @ _M + 128.0)
+        return np.clip(np.floor(out + 0.5), 0, 255)
+
+    y2, cb2, cr2 = qrt(y), qrt(cb), qrt(cr)
+    cb2 = np.repeat(np.repeat(cb2, 2, axis=0), 2, axis=1)
+    cr2 = np.repeat(np.repeat(cr2, 2, axis=0), 2, axis=1)
+    rr = y2 + 1.402 * (cr2 - 128.0)
+    gg = y2 - 0.344136 * (cb2 - 128.0) - 0.714136 * (cr2 - 128.0)
+    bb = y2 + 1.772 * (cb2 - 128.0)
+    want = np.stack([np.clip(np.floor(p + 0.5), 0, 255)
+                     for p in (rr, gg, bb)], axis=-1)
+    assert np.array_equal(got, want)
+    # the path really is lossy on this content (random per-pixel color
+    # is chroma subsampling's worst case — errors can be large; the
+    # contract under test is codec==reference, not visual quality)
+    assert np.abs(got.astype(int) - px).max() > 0
