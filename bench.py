@@ -120,6 +120,10 @@ EXTENDED = [
     # round 8: PPJoin prefix-filtered exact Jaccard — the join-heavy
     # dedup shape (rarest-shingle prefix index + size-ratio prune)
     "d9_prefix_filter_jaccard",
+    # composed storage layout: date-partition pruning + bucket-local
+    # per-user aggregate in one exchange-free plan (warm = the
+    # recurring rollup; the one-time layout write is in COLD)
+    "bp1_partitioned_bucketed_rollup",
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
@@ -145,7 +149,8 @@ HEADLINE = CORE + EXTENDED
 #: SAME work even as EXTENDED grows. Update only by freezing the
 #: previous round's HEADLINE when queries are added.
 R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
-                            - {"d9_prefix_filter_jaccard"})
+                            - {"d9_prefix_filter_jaccard",
+                               "bp1_partitioned_bucketed_rollup"})
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
 #: iteration checkpoints, the shared co-purchase edge build) is worth
@@ -204,7 +209,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         # cold pays the shingle/prefix-index build of both join sides
         # before the banded equality join (warm rides codegen + page
         # cache); the warm/cold pair bounds the one-off index cost
-        "d9_prefix_filter_jaccard"]
+        "d9_prefix_filter_jaccard",
+        # cold pays the one-time date-partitioned + user-bucketed
+        # events rewrite — the amortized shuffle both levers ride
+        "bp1_partitioned_bucketed_rollup"]
 
 
 def _run(q, spark, sf_dir) -> float:
