@@ -11,10 +11,11 @@ module implements the baseline path end-to-end:
   0xFF00 byte-unstuffing, DC differential + AC run/length decode,
   dequantize, 8x8 IDCT (numpy, separable orthonormal basis), level
   shift + clamp, replication upsampling for subsampled chroma
-  (4:2:0 / 4:2:2), and YCbCr->RGB for 3-component scans. The honest
+  (4:2:0 / 4:2:2), restart-interval resync (DRI/RSTn with DC
+  prediction reset and modulo-8 sequence verification), and
+  YCbCr->RGB for 3-component scans. The honest
   ``NotImplementedError`` boundary is now: progressive (SOF2) /
-  arithmetic coding and restart intervals — plus ffmpeg video
-  containers.
+  arithmetic coding — plus ffmpeg video containers.
 - **Encoder** (`encode_jpeg`): the inverse pipeline (level shift,
   FDCT, quantize, zigzag, DC-diff + run/length Huffman with the
   Annex-K-style tables below, byte stuffing). The encoder exists for
@@ -159,10 +160,21 @@ class _BitWriter:
             self._n -= 8
         self._acc &= (1 << self._n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec); a pad byte that
+        comes out 0xFF gets stuffed like any other entropy byte."""
         if self._n:
             pad = 8 - self._n
-            self.put((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+            self.put((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing) — caller must
+        have aligned first."""
+        assert self._n == 0
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -187,8 +199,10 @@ class _BitReader:
                     self.pos += 1  # stuffed byte
                 else:
                     raise NotImplementedError(
-                        "marker inside entropy data (restart intervals "
-                        "are not supported by this baseline decoder)")
+                        "unexpected marker inside entropy data (only "
+                        "RSTn at declared restart boundaries is "
+                        "handled; the stream is corrupt or uses a "
+                        "feature this baseline decoder lacks)")
             self._acc = b
             self._n = 8
         self._n -= 1
@@ -199,6 +213,26 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a declared restart boundary:
+        discard the current byte's leftover pad bits (the encoder's
+        1-bit padding lives in the partially-read final entropy byte,
+        so dropping the bit buffer IS the byte-align) and verify the
+        modulo-8 marker sequence number."""
+        self._n = 0
+        if (self.pos + 2 > len(self.data)
+                or self.data[self.pos] != 0xFF
+                or not 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise NotImplementedError(
+                "missing RSTn marker at a declared restart interval "
+                "boundary — corrupt stream or wrong DRI")
+        got = self.data[self.pos + 1] - 0xD0
+        if got != expect % 8:
+            raise NotImplementedError(
+                f"RST sequence error: got RST{got}, "
+                f"expected RST{expect % 8}")
+        self.pos += 2
 
 
 def _extend(bits: int, size: int) -> int:
@@ -225,15 +259,21 @@ def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def _encode_blocks(mcu_blocks: list[list[tuple[int, np.ndarray]]],
-                   dc_codes, ac_codes, n_comp: int) -> bytes:
+                   dc_codes, ac_codes, n_comp: int,
+                   restart_interval: int = 0) -> bytes:
     """Entropy-encode interleaved MCUs of already-quantized 8x8
     blocks. ``mcu_blocks[m]`` is the MCU's (component-index, block)
     sequence in scan order — one block per component at 1x1
     sampling, hi*vi luma blocks first under subsampling. DC
-    prediction chains per component across the whole scan."""
+    prediction chains per component, reset at every restart boundary
+    (an RST(n mod 8) marker after each ``restart_interval`` MCUs)."""
     w = _BitWriter()
     pred = [0] * n_comp
-    for mcu in mcu_blocks:
+    for m, mcu in enumerate(mcu_blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            w.align()
+            w.raw(bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8]))
+            pred = [0] * n_comp
         for ci, blk in mcu:
             zz = [int(blk.flat[ZIGZAG[k]]) for k in range(64)]
             diff = zz[0] - pred[ci]
@@ -271,7 +311,8 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
-                color: bool = False, subsample: bool = False) -> bytes:
+                color: bool = False, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Baseline sequential JPEG writer. ``pixels`` is rows of ints
     0..255 (grayscale, ``color=False``) or rows of (r, g, b) tuples
     (``color=True``; 4:4:4, or 4:2:0 with ``subsample=True`` — luma
@@ -336,12 +377,15 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
 
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    scan = _encode_blocks(mcu_blocks, dc_codes, ac_codes, len(planes))
+    scan = _encode_blocks(mcu_blocks, dc_codes, ac_codes, len(planes),
+                          restart_interval)
 
     ncomp = len(planes)
     zz_q = bytes(int(q.flat[ZIGZAG[k]]) for k in range(64))
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + zz_q)  # DQT, 8-bit, table 0
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sof = bytearray([8]) + struct.pack(">HH", h, wd) + bytes([ncomp])
     for ci in range(ncomp):
         hi, vi = samp[ci]
@@ -364,7 +408,7 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
 # --------------------------------------------------------------------
 
 def _decode_scan(data: bytes, comps, qtables, htables,
-                 w: int, h: int) -> list[np.ndarray]:
+                 w: int, h: int, dri: int = 0) -> list[np.ndarray]:
     """Entropy-decode an interleaved scan into one full-resolution
     pixel plane per component (float, pre-color-transform, rounded and
     clamped per plane; subsampled components are decoded at their own
@@ -391,6 +435,9 @@ def _decode_scan(data: bytes, comps, qtables, htables,
                     "invalid Huffman code in JPEG scan")
 
     for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            rd.sync_restart(m // dri - 1)
+            pred = {c[0]: 0 for c in comps}
         my, mx = divmod(m, mcux)
         for cid, hi, vi, qid, dc_t, ac_t in comps:
             dc_tab, ac_tab = htables[(0, dc_t)], htables[(1, ac_t)]
@@ -444,6 +491,7 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    dri = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker stream desynchronized")
@@ -494,8 +542,8 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
             raise NotImplementedError(
                 "only baseline sequential (SOF0) JPEG decodes here "
                 "(progressive/arithmetic need an external codec)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI — MCUs per restart interval
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise NotImplementedError("SOS before SOF0")
@@ -511,7 +559,7 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
             # qtables are stored in zigzag order; _decode_scan indexes
             # them by zigzag position, so pass through as-is
             planes = _decode_scan(data[pos:], comps, qtables, htables,
-                                  w, h)
+                                  w, h, dri)
             if nc == 1:
                 return planes
             if nc == 3:

@@ -552,3 +552,43 @@ def test_jpeg_420_subsampled_roundtrip():
     # is chroma subsampling's worst case — errors can be large; the
     # contract under test is codec==reference, not visual quality)
     assert np.abs(got.astype(int) - px).max() > 0
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: streams with restart markers every N MCUs must decode
+    identically to the marker-free stream (restarts only resync and
+    reset DC prediction — values never change), the markers must
+    actually be present, and a wrong-sequence RST must fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 40)).tolist()
+    plain = jpeg_planes(encode_jpeg(px, qdc=1, qac=1))[0]
+    for ri in (1, 2, 3, 7):
+        data = encode_jpeg(px, qdc=1, qac=1, restart_interval=ri)
+        n_rst = sum(data.count(bytes([0xFF, 0xD0 + i]))
+                    for i in range(8))
+        # 24x40 gray = 15 MCUs -> a marker after every ri-th MCU
+        # except the last boundary (entropy 0xFF is always stuffed,
+        # so counting FF Dn byte pairs is exact)
+        assert n_rst == (15 - 1) // ri, (ri, n_rst)
+        assert np.array_equal(jpeg_planes(data)[0], plain), ri
+
+    # 4:2:0 + restarts compose
+    px3 = rng.integers(0, 256, size=(32, 32, 3)).tolist()
+    a = jpeg_planes(encode_jpeg(px3, qdc=3, qac=5, color=True,
+                                subsample=True))
+    b = jpeg_planes(encode_jpeg(px3, qdc=3, qac=5, color=True,
+                                subsample=True, restart_interval=1))
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    # corrupt the first RST's sequence number -> sequence error
+    data = bytearray(encode_jpeg(px, qdc=1, qac=1, restart_interval=2))
+    at = bytes(data).find(bytes([0xFF, 0xD0]))
+    assert at > 0
+    data[at + 1] = 0xD5
+    with _pytest.raises(NotImplementedError, match="RST sequence"):
+        jpeg_planes(bytes(data))
