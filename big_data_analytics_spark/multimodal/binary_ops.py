@@ -18,10 +18,10 @@ The actual codecs (PIL/ffmpeg/torchaudio) are NOT installed in this
 environment. Four formats decode for real with no dependency beyond
 numpy: uncompressed 24-bit BMP, PCM16 WAV, non-interlaced 8-bit
 RGB/RGBA PNG (stdlib zlib + the five PNG prediction filters), and
-baseline-sequential JPEG (SOF0, incl. 4:2:0/4:2:2 subsampling —
-Huffman + dequant + IDCT + chroma upsample + YCbCr in
-multimodal/jpeg.py). Anything else — progressive JPEG,
-ffmpeg video containers —
+JPEG (baseline SOF0 and progressive SOF2, incl. 4:2:0/4:2:2
+subsampling and restart intervals — Huffman + dequant + IDCT +
+chroma upsample + YCbCr in multimodal/jpeg.py). Anything else —
+arithmetic-coded JPEG, ffmpeg video containers —
 raises NotImplementedError unless given ``fake=True``, which runs a
 deterministic stand-in (hash-derived dimensions/features) so the
 Spark-side plumbing — schemas, batching, partitioning, UDF
@@ -165,7 +165,7 @@ def decode_image(df: DataFrame, fake: bool = False,
     Arrow-batched mapInPandas over skew-bucketed partitions. The real
     path decodes uncompressed 24-bit BMP, non-interlaced 8-bit
     RGB/RGBA PNG (stdlib zlib + the five prediction filters), and
-    baseline-sequential SOF0 JPEG (multimodal/jpeg.py) payloads with
+    baseline/progressive JPEG (multimodal/jpeg.py) payloads with
     the dependency-free parsers in this package; any other format
     raises NotImplementedError at execution time (no ffmpeg codec in
     this container — swapping in PIL changes only the per-payload
@@ -206,7 +206,7 @@ def decode_image(df: DataFrame, fake: bool = False,
                     raise NotImplementedError(
                         "no codec for this payload in this environment; "
                         "uncompressed BMP, non-interlaced 8-bit RGB/RGBA "
-                        "PNG, and baseline-sequential (SOF0) JPEG decode "
+                        "PNG, and baseline/progressive JPEG decode "
                         "natively — install PIL and replace this branch "
                         "with Image.open(io.BytesIO(content))")
             yield pd.DataFrame(out)

@@ -1,4 +1,4 @@
-"""Baseline sequential JPEG (SOF0) codec — stdlib + numpy only.
+"""JPEG codec (baseline SOF0 + progressive SOF2) — stdlib + numpy only.
 
 Closes the last closable codec gap in the multimodal boundary: with
 BMP, PNG, and WAV already decoding natively, JPEG's DCT pipeline was
@@ -13,9 +13,13 @@ module implements the baseline path end-to-end:
   shift + clamp, replication upsampling for subsampled chroma
   (4:2:0 / 4:2:2), restart-interval resync (DRI/RSTn with DC
   prediction reset and modulo-8 sequence verification), and
-  YCbCr->RGB for 3-component scans. The honest
-  ``NotImplementedError`` boundary is now: progressive (SOF2) /
-  arithmetic coding — plus ffmpeg video containers.
+  YCbCr->RGB for 3-component scans. Progressive streams decode
+  through the same unified coefficient store: any number of
+  spectral-selection / successive-approximation scans (DC bit-plane
+  + refinement, AC band scans, the EOBRUN + correction-bit
+  refinement protocol). The honest ``NotImplementedError`` boundary
+  is now: arithmetic-coded and lossless JPEG — plus ffmpeg video
+  containers.
 - **Encoder** (`encode_jpeg`): the inverse pipeline (level shift,
   FDCT, quantize, zigzag, DC-diff + run/length Huffman with the
   Annex-K-style tables below, byte stuffing). The encoder exists for
@@ -274,8 +278,7 @@ def _encode_blocks(mcu_blocks: list[list[tuple[int, np.ndarray]]],
             w.align()
             w.raw(bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8]))
             pred = [0] * n_comp
-        for ci, blk in mcu:
-            zz = [int(blk.flat[ZIGZAG[k]]) for k in range(64)]
+        for ci, zz in mcu:
             diff = zz[0] - pred[ci]
             pred[ci] = zz[0]
             s = _size_of(diff)
@@ -310,18 +313,13 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
-                color: bool = False, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline sequential JPEG writer. ``pixels`` is rows of ints
-    0..255 (grayscale, ``color=False``) or rows of (r, g, b) tuples
-    (``color=True``; 4:4:4, or 4:2:0 with ``subsample=True`` — luma
-    sampling 2x2, chroma 2x2-box-averaged to half resolution).
-    Dimensions must be multiples of 8 (16 for 4:2:0; this is a
-    fixture/test encoder, not a general image library). DC/AC quant
-    steps are uniform (``qdc`` for the DC term, ``qac`` for all 63 AC
-    terms): qdc=8 makes piecewise-constant-block images round-trip
-    losslessly (see module doc)."""
+def _quantized_components(pixels, qdc: int, qac: int, color: bool,
+                          subsample: bool):
+    """Shared encoder front half: color transform, optional 4:2:0
+    chroma box-downsample, per-block FDCT + quantize. Returns
+    (samp, q, comps) where comps[ci][by][bx] is the block's 64
+    quantized coefficients in ZIGZAG order at the component's own
+    resolution."""
     h = len(pixels)
     wd = len(pixels[0])
     mod = 16 if (color and subsample) else 8
@@ -356,31 +354,27 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
 
     q = np.full((8, 8), float(qac))
     q[0, 0] = float(qdc)
+    comps = []
+    for plane in planes:
+        bh_, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = []
+        for by in range(bh_):
+            row = []
+            for bx in range(bw_):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                c = _quantize(_M @ blk @ _M.T, q)
+                row.append([int(c.flat[ZIGZAG[k]]) for k in range(64)])
+            grid.append(row)
+        comps.append(grid)
+    return samp, q, comps
 
-    def block_at(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
-        blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-        return _quantize(_M @ blk @ _M.T, q)
 
-    hmax = max(hi for hi, _ in samp)
-    vmax = max(vi for _, vi in samp)
-    mcux, mcuy = wd // (8 * hmax), h // (8 * vmax)
-    mcu_blocks: list[list[tuple[int, np.ndarray]]] = []
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mcu: list[tuple[int, np.ndarray]] = []
-            for ci, (plane, (hi, vi)) in enumerate(zip(planes, samp)):
-                for byi in range(vi):
-                    for bxi in range(hi):
-                        mcu.append((ci, block_at(plane, my * vi + byi,
-                                                 mx * hi + bxi)))
-            mcu_blocks.append(mcu)
-
-    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
-    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    scan = _encode_blocks(mcu_blocks, dc_codes, ac_codes, len(planes),
-                          restart_interval)
-
-    ncomp = len(planes)
+def _jpeg_headers(h: int, wd: int, samp, q, sof_marker: int,
+                  dht: list[tuple[int, list[int], list[int]]],
+                  restart_interval: int = 0) -> bytearray:
+    """SOI + DQT (+DRI) + SOFn + DHT segments shared by the baseline
+    and progressive writers. ``dht``: (class<<4|id, BITS, VALS)."""
+    ncomp = len(samp)
     zz_q = bytes(int(q.flat[ZIGZAG[k]]) for k in range(64))
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + zz_q)  # DQT, 8-bit, table 0
@@ -390,9 +384,52 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0])  # id, sampling, qtbl
-    out += _seg(0xC0, bytes(sof))
-    out += _seg(0xC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
-    out += _seg(0xC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
+    out += _seg(sof_marker, bytes(sof))
+    for cls_id, bits, vals in dht:
+        out += _seg(0xC4, bytes([cls_id] + bits) + bytes(vals))
+    return out
+
+
+def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
+                color: bool = False, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG writer. ``pixels`` is rows of ints
+    0..255 (grayscale, ``color=False``) or rows of (r, g, b) tuples
+    (``color=True``; 4:4:4, or 4:2:0 with ``subsample=True`` — luma
+    sampling 2x2, chroma 2x2-box-averaged to half resolution).
+    Dimensions must be multiples of 8 (16 for 4:2:0; this is a
+    fixture/test encoder, not a general image library). DC/AC quant
+    steps are uniform (``qdc`` for the DC term, ``qac`` for all 63 AC
+    terms): qdc=8 makes piecewise-constant-block images round-trip
+    losslessly (see module doc)."""
+    h = len(pixels)
+    wd = len(pixels[0])
+    samp, q, comps = _quantized_components(pixels, qdc, qac, color,
+                                           subsample)
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = wd // (8 * hmax), h // (8 * vmax)
+    mcu_blocks: list[list[tuple[int, list[int]]]] = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu: list[tuple[int, list[int]]] = []
+            for ci, (hi, vi) in enumerate(samp):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        mcu.append((ci, comps[ci][my * vi + byi]
+                                    [mx * hi + bxi]))
+            mcu_blocks.append(mcu)
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    scan = _encode_blocks(mcu_blocks, dc_codes, ac_codes, len(samp),
+                          restart_interval)
+
+    ncomp = len(samp)
+    out = _jpeg_headers(h, wd, samp, q, 0xC0,
+                        [(0x00, DC_BITS, DC_VALS),
+                         (0x10, AC_BITS, AC_VALS)],
+                        restart_interval)
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
@@ -403,25 +440,309 @@ def encode_jpeg(pixels, qdc: int = 8, qac: int = 16,
     return bytes(out)
 
 
+#: Uniform 8-bit AC table for progressive scans: all (run, size)
+#: symbols with size <= 10 plus every EOBn (run<<4) and ZRL — 176
+#: symbols, Kraft 176/256. Progressive needs EOBn symbols the
+#: Annex-K baseline table lacks; uniform lengths keep it trivially
+#: canonical (compression is irrelevant for fixtures).
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _put_mag(w: _BitWriter, v: int, nbits: int) -> None:
+    """Magnitude-code a nonzero value (baseline/first-scan coding)."""
+    w.put(v if v > 0 else v + (1 << nbits) - 1, nbits)
+
+
+class _ProgACState:
+    """Cross-block state for one progressive AC scan: the EOB run
+    counter plus the correction bits that ride with it (refinement
+    scans only)."""
+
+    def __init__(self, w: _BitWriter, ac_codes) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bb: list[int] = []  # correction bits buffered with the run
+
+    def sym(self, s: int) -> None:
+        code, ln = self.ac[s]
+        self.w.put(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.w.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.bb:
+            self.w.put(bit, 1)
+        self.bb = []
+
+
+def _prog_ac_first_block(st: _ProgACState, zz, ss: int, se: int,
+                         al: int) -> None:
+    """Encode one block of a first (Ah=0) AC scan (T.81 G.1.2.2 /
+    libjpeg encode_mcu_AC_first): run/size over point-transformed
+    magnitudes, trailing zeros folded into the cross-block EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = zz[k]
+        mag = (-v if v < 0 else v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            st.sym(0xF0)  # ZRL
+            r -= 16
+        nbits = mag.bit_length()
+        st.sym((r << 4) | nbits)
+        _put_mag(st.w, mag if v > 0 else -mag, nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _prog_ac_refine_block(st: _ProgACState, zz, ss: int, se: int,
+                          al: int) -> None:
+    """Encode one block of a successive-approximation (Ah=Al+1) AC
+    refinement scan — the libjpeg encode_mcu_AC_refine control flow:
+    newly-significant coefficients emit (run, 1) + sign, previously-
+    significant ones emit one buffered correction bit, ZRLs are only
+    emitted when a significant coefficient still follows (otherwise
+    everything folds into the EOB run and its buffered bits)."""
+    mags = [((-zz[k] if zz[k] < 0 else zz[k]) >> al)
+            for k in range(ss, se + 1)]
+    eob = 0  # band position AFTER the last newly-significant coeff
+    for i, m in enumerate(mags):
+        if m == 1:
+            eob = ss + i
+    r = 0
+    br: list[int] = []  # this block's pending correction bits
+    for k in range(ss, se + 1):
+        m = mags[k - ss]
+        if m == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eobrun()
+            st.sym(0xF0)  # ZRL
+            r -= 16
+            for bit in br:
+                st.w.put(bit, 1)
+            br = []
+        if m > 1:
+            br.append(m & 1)
+            continue
+        st.flush_eobrun()
+        st.sym((r << 4) | 1)
+        st.w.put(1 if zz[k] > 0 else 0, 1)
+        for bit in br:
+            st.w.put(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bb.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels, qdc: int = 8, qac: int = 16,
+                            color: bool = False,
+                            subsample: bool = False) -> bytes:
+    """Progressive (SOF2, Huffman) JPEG writer over the same quantized
+    coefficients as ``encode_jpeg`` — so for any input,
+    decode(progressive) must equal decode(baseline) bit-for-bit,
+    which is exactly what the round-trip tests assert. The
+    progression exercises every scan type the format allows:
+
+    1. DC, all components interleaved, successive approximation
+       Ah=0/Al=1 (coarse bit-plane);
+    2. DC refinement, Ah=1/Al=0 (one raw bit per block);
+    3. per component: AC spectral band 1-5 then 6-63, Ah=0/Al=1;
+    4. per component: AC refinement 1-63, Ah=1/Al=0 (the EOBRUN +
+       correction-bit path).
+    """
+    h = len(pixels)
+    wd = len(pixels[0])
+    samp, q, comps = _quantized_components(pixels, qdc, qac, color,
+                                           subsample)
+    ncomp = len(samp)
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = wd // (8 * hmax), h // (8 * vmax)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = _jpeg_headers(h, wd, samp, q, 0xC2,
+                        [(0x00, DC_BITS, DC_VALS),
+                         (0x10, PROG_AC_BITS, PROG_AC_VALS)])
+
+    def sos(comp_ids, ss, se, ah, al, scan_bytes):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(body)) + scan_bytes
+
+    def mcu_block_coords():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samp):
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            yield ci, my * vi + byi, mx * hi + bxi
+
+    # scan 1: interleaved DC first, Al=1 (values arithmetic-shifted)
+    w1 = _BitWriter()
+    pred = [0] * ncomp
+    for ci, by, bx in mcu_block_coords():
+        v = comps[ci][by][bx][0] >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = _size_of(diff)
+        code, ln = dc_codes[s]
+        w1.put(code, ln)
+        if s:
+            _put_mag(w1, diff, s)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1, w1.flush())
+
+    # scan 2: DC refinement, one raw bit per block (Ah=1, Al=0)
+    w2 = _BitWriter()
+    for ci, by, bx in mcu_block_coords():
+        w2.put(comps[ci][by][bx][0] & 1, 1)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0, w2.flush())
+
+    # per component: AC first scans (two spectral bands, Al=1), then
+    # one refinement scan over the full band (Ah=1 -> Al=0)
+    for ci in range(ncomp):
+        grid = comps[ci]
+        blocks = [grid[by][bx] for by in range(len(grid))
+                  for bx in range(len(grid[0]))]
+        for ss, se in ((1, 5), (6, 63)):
+            w3 = _BitWriter()
+            st = _ProgACState(w3, ac_codes)
+            for zz in blocks:
+                _prog_ac_first_block(st, zz, ss, se, 1)
+            st.flush_eobrun()
+            out += sos([ci + 1], ss, se, 0, 1, w3.flush())
+        w4 = _BitWriter()
+        st = _ProgACState(w4, ac_codes)
+        for zz in blocks:
+            _prog_ac_refine_block(st, zz, 1, 63, 0)
+        st.flush_eobrun()
+        out += sos([ci + 1], 1, 63, 1, 0, w4.flush())
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # --------------------------------------------------------------------
-# Decoder
+# Decoder — unified coefficient-store architecture. Every scan
+# (baseline's single full-band scan, or progressive's DC/AC spectral
+# + successive-approximation scans) deposits quantized zigzag-order
+# coefficients into a per-component store; dequantize + IDCT +
+# upsample + color-transform run once at EOI. Baseline is simply the
+# one-scan special case (Ss=0, Se=63, Ah=Al=0, interleaved).
 # --------------------------------------------------------------------
 
-def _decode_scan(data: bytes, comps, qtables, htables,
-                 w: int, h: int, dri: int = 0) -> list[np.ndarray]:
-    """Entropy-decode an interleaved scan into one full-resolution
-    pixel plane per component (float, pre-color-transform, rounded and
-    clamped per plane; subsampled components are decoded at their own
-    resolution then upsampled by pixel replication). ``comps`` rows:
-    (cid, hi, vi, qid, dc_table, ac_table)."""
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+def _ac_first(rd, read_symbol, tab, zz, ss: int, se: int, al: int,
+              eobrun: int) -> int:
+    """First (Ah=0) AC decode for one block's band [ss, se] at point
+    transform al, with cross-block EOB-run state. Returns the
+    remaining EOB run. Baseline AC is the ss=1, se=63, al=0 case
+    (where EOB symbols always carry r=0 -> eobrun stays 0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = read_symbol(tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.receive(r)
+            break
+        k += r
+        if k > se:
+            raise NotImplementedError("AC run past band end")
+        zz[k] = _extend(rd.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rd, read_symbol, tab, zz, ss: int, se: int, al: int,
+               eobrun: int) -> int:
+    """Successive-approximation (Ah=Al+1) AC refinement for one
+    block's band: newly-significant coefficients arrive as
+    (run, size=1) symbols with a sign bit, previously-significant
+    ones as one correction bit each (T.81 G.2 semantics, the
+    libjpeg-compatible control flow). Returns remaining EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = read_symbol(tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise NotImplementedError(
+                        "invalid coefficient size in AC refinement")
+                val = p1 if rd.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    if rd.bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if rd.bit() and (abs(int(zz[k])) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(store, data: bytes, scan_comps, sof, htables,
+                      dri: int, ss: int, se: int, ah: int,
+                      al: int) -> int:
+    """Decode one entropy-coded scan into the coefficient store and
+    return the number of scan bytes consumed (the next marker starts
+    there — the encoder's 1-bit padding lives inside the final
+    partially-read byte, so rd.pos is already aligned).
+
+    ``scan_comps``: (cid, dc_table, ac_table) in scan order;
+    ``sof``: (w, h, [(cid, hi, vi, qid), ...]).
+    """
+    w, h, sof_comps = sof
+    by_id = {c[0]: c for c in sof_comps}
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
     rd = _BitReader(data)
-    pred = {c[0]: 0 for c in comps}
-    planes = {c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8))
-              for c in comps}
 
     def read_symbol(tab):
         code, ln = 0, 0
@@ -431,49 +752,86 @@ def _decode_scan(data: bytes, comps, qtables, htables,
             if (ln, code) in tab:
                 return tab[(ln, code)]
             if ln > 16:
-                raise NotImplementedError(
-                    "invalid Huffman code in JPEG scan")
+                raise NotImplementedError("invalid Huffman code in scan")
 
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            rd.sync_restart(m // dri - 1)
-            pred = {c[0]: 0 for c in comps}
-        my, mx = divmod(m, mcux)
-        for cid, hi, vi, qid, dc_t, ac_t in comps:
-            dc_tab, ac_tab = htables[(0, dc_t)], htables[(1, ac_t)]
-            for byi in range(vi):
-                for bxi in range(hi):
-                    zz = [0] * 64
-                    s = read_symbol(dc_tab)
-                    diff = _extend(rd.receive(s), s)
-                    pred[cid] += diff
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = read_symbol(ac_tab)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise NotImplementedError(
-                                "AC run past block end")
-                        zz[k] = _extend(rd.receive(size), size)
-                        k += 1
-                    coef = np.zeros(64)
-                    q = qtables[qid]
-                    for k in range(64):
-                        coef[ZIGZAG[k]] = zz[k] * q[k]
-                    blk = _M.T @ coef.reshape(8, 8) @ _M + 128.0
-                    by, bx = my * vi + byi, mx * hi + bxi
-                    planes[cid][by * 8:by * 8 + 8,
-                                bx * 8:bx * 8 + 8] = blk
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        n_units = mcux * mcuy
+    else:
+        cid0 = scan_comps[0][0]
+        _, hi0, vi0, _ = by_id[cid0]
+        cw = (w * hi0 + hmax - 1) // hmax
+        ch = (h * vi0 + vmax - 1) // vmax
+        bw_c, bh_c = (cw + 7) // 8, (ch + 7) // 8
+        n_units = bw_c * bh_c
+
+    pred = {c[0]: 0 for c in scan_comps}
+    eobrun = 0
+    for u in range(n_units):
+        if dri and u and u % dri == 0:
+            rd.sync_restart(u // dri - 1)
+            pred = {c[0]: 0 for c in scan_comps}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            blocks = []
+            for cid, dc_t, ac_t in scan_comps:
+                _, hi, vi, _ = by_id[cid]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blocks.append((cid, dc_t, ac_t,
+                                       my * vi + byi, mx * hi + bxi))
+        else:
+            cid, dc_t, ac_t = scan_comps[0]
+            by, bx = divmod(u, bw_c)
+            blocks = [(cid, dc_t, ac_t, by, bx)]
+        for cid, dc_t, ac_t, by, bx in blocks:
+            zz = store[cid][by, bx]
+            if ss == 0:  # scan carries DC (baseline also carries AC)
+                if ah == 0:
+                    s = read_symbol(htables[(0, dc_t)])
+                    pred[cid] += _extend(rd.receive(s), s)
+                    zz[0] = pred[cid] << al
+                elif rd.bit():  # DC refinement: one raw bit
+                    zz[0] |= 1 << al
+                if se > 0:
+                    eobrun = _ac_first(rd, read_symbol,
+                                       htables[(1, ac_t)], zz,
+                                       1, se, al, eobrun)
+            elif ah == 0:
+                eobrun = _ac_first(rd, read_symbol, htables[(1, ac_t)],
+                                   zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(rd, read_symbol,
+                                    htables[(1, ac_t)], zz,
+                                    ss, se, al, eobrun)
+    return rd.pos
+
+
+def _render(store, sof, qtables) -> list[np.ndarray]:
+    """Coefficient store -> per-component full-resolution pixel
+    planes (dequantize, IDCT, round/clamp, replication upsample,
+    crop)."""
+    w, h, sof_comps = sof
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
     out = []
-    for cid, hi, vi, _, _, _ in comps:
-        p = np.clip(np.floor(planes[cid] + 0.5), 0, 255)
+    for cid, hi, vi, qid in sof_comps:
+        grid = store[cid]
+        bh_, bw_ = grid.shape[0], grid.shape[1]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        q = qtables[qid]
+        for by in range(bh_):
+            for bx in range(bw_):
+                zz = grid[by, bx]
+                coef = np.zeros(64)
+                for k in range(64):
+                    coef[ZIGZAG[k]] = zz[k] * q[k]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _M.T @ coef.reshape(8, 8) @ _M + 128.0)
+        p = np.clip(np.floor(plane + 0.5), 0, 255)
         if hi < hmax or vi < vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0),
                           hmax // hi, axis=1)
@@ -482,17 +840,21 @@ def _decode_scan(data: bytes, comps, qtables, htables,
 
 
 def jpeg_planes(data: bytes) -> list[np.ndarray]:
-    """Decode a baseline JPEG byte stream to per-channel uint8-valued
-    planes (1 plane grayscale, 3 planes RGB). Tables come from the
-    stream's own DQT/DHT segments."""
+    """Decode a baseline (SOF0) or progressive (SOF2, Huffman) JPEG
+    byte stream to per-channel uint8-valued planes (1 plane
+    grayscale, 3 planes RGB). All tables come from the stream's own
+    DQT/DHT segments; progressive streams may carry any number of
+    spectral-selection / successive-approximation scans."""
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    store = None
     dri = 0
-    while pos + 4 <= len(data):
+    saw_scan = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker stream desynchronized")
         marker = data[pos + 1]
@@ -518,7 +880,7 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
                 vals = list(body[p + 17:p + 17 + n])
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
@@ -537,41 +899,49 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
                     "non-integral sampling ratios need a fractional "
                     "upsampler this decoder does not implement")
             sof = (w, h, comps_sof)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            store = {cid: np.zeros((mcuy * vi, mcux * hi, 64),
+                                   dtype=np.int64)
+                     for cid, hi, vi, _ in comps_sof}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG decodes here "
-                "(progressive/arithmetic need an external codec)")
+                "only baseline (SOF0) and Huffman progressive (SOF2) "
+                "JPEG decode here (arithmetic coding / lossless need "
+                "an external codec)")
         elif marker == 0xDD:  # DRI — MCUs per restart interval
             dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
-                raise NotImplementedError("SOS before SOF0")
+                raise NotImplementedError("SOS before SOF")
             nc = body[0]
-            comps = []
-            sof_by_id = {c[0]: c for c in sof[2]}
+            scan_comps = []
             for ci in range(nc):
                 cid, tids = body[1 + 2 * ci], body[2 + 2 * ci]
-                _, hi, vi, qid = sof_by_id[cid]
-                comps.append((cid, hi, vi, qid,
-                              tids >> 4, tids & 0x0F))
-            w, h = sof[0], sof[1]
-            # qtables are stored in zigzag order; _decode_scan indexes
-            # them by zigzag position, so pass through as-is
-            planes = _decode_scan(data[pos:], comps, qtables, htables,
-                                  w, h, dri)
-            if nc == 1:
-                return planes
-            if nc == 3:
-                y, cb, cr = planes
-                r = y + 1.402 * (cr - 128.0)
-                g = (y - 0.344136 * (cb - 128.0)
-                     - 0.714136 * (cr - 128.0))
-                b = y + 1.772 * (cb - 128.0)
-                return [np.clip(np.floor(p + 0.5), 0, 255)
-                        for p in (r, g, b)]
-            raise NotImplementedError(f"{nc}-component JPEG")
-    raise NotImplementedError("JPEG stream ended before SOS")
+                scan_comps.append((cid, tids >> 4, tids & 0x0F))
+            ss, se = body[1 + 2 * nc], body[2 + 2 * nc]
+            ahal = body[3 + 2 * nc]
+            ah, al = ahal >> 4, ahal & 0x0F
+            consumed = _decode_scan_into(store, data[pos:], scan_comps,
+                                         sof, htables, dri, ss, se,
+                                         ah, al)
+            pos += consumed
+            saw_scan = True
+    if not saw_scan:
+        raise NotImplementedError("JPEG stream ended before SOS")
+    planes = _render(store, sof, qtables)
+    if len(planes) == 1:
+        return planes
+    if len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = (y - 0.344136 * (cb - 128.0)
+             - 0.714136 * (cr - 128.0))
+        b = y + 1.772 * (cb - 128.0)
+        return [np.clip(np.floor(p + 0.5), 0, 255)
+                for p in (r, g, b)]
+    raise NotImplementedError(f"{len(planes)}-component JPEG")
 
 
 def jpeg_pixels(data: bytes):

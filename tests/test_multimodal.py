@@ -414,8 +414,9 @@ def test_jpeg_color_444_roundtrip():
 
 
 def test_jpeg_boundaries_raise():
-    """Progressive (SOF2), chroma subsampling, restart intervals, and
-    non-JPEG payloads must fail loudly, not decode garbage."""
+    """Unsupported sampling factors and non-JPEG payloads must fail
+    loudly, not decode garbage (SOF2/4:2:0/restarts decode natively
+    now — their boundary tests live with their round-trip tests)."""
     import pytest as _pytest
     from big_data_analytics_spark.multimodal.jpeg import (
         encode_jpeg, jpeg_planes)
@@ -425,10 +426,6 @@ def test_jpeg_boundaries_raise():
 
     with _pytest.raises(NotImplementedError, match="SOI"):
         jpeg_planes(b"\x00\x01\x02")
-
-    prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError, match="baseline"):
-        jpeg_planes(prog)
 
     sof_at = bytes(data).find(b"\xff\xc0")
     sub = bytearray(data)
@@ -592,3 +589,96 @@ def test_jpeg_restart_intervals():
     data[at + 1] = 0xD5
     with _pytest.raises(NotImplementedError, match="RST sequence"):
         jpeg_planes(bytes(data))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode must equal baseline decode of the
+    SAME quantized coefficients, bit for bit — grayscale, dense q=1,
+    4:4:4 color, and 4:2:0 subsampled. This is the airtight oracle:
+    both writers share the quantize stage, so any defect in spectral
+    selection, successive approximation, EOBRUN, or the refinement
+    correction-bit protocol breaks the equality."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, encode_jpeg_progressive, jpeg_planes)
+
+    rng = np.random.default_rng(5)
+    cases = [((24, 40), {}),
+             ((16, 16), {"qdc": 1, "qac": 1}),
+             ((32, 48, 3), {"color": True}),
+             ((32, 32, 3), {"color": True, "subsample": True,
+                            "qdc": 3, "qac": 5})]
+    for shape, kw in cases:
+        px = rng.integers(0, 256, size=shape).tolist()
+        base = jpeg_planes(encode_jpeg(px, **kw))
+        data = encode_jpeg_progressive(px, **kw)
+        assert data[2:4] != b"\xff\xc0" and b"\xff\xc2" in data[:200]
+        prog = jpeg_planes(data)
+        assert all(np.array_equal(a, b) for a, b in zip(base, prog)), (
+            shape, kw)
+
+
+def test_jpeg_progressive_refinement_coefficient_roundtrip():
+    """Coefficient-level fuzz of the hairiest path: the AC
+    successive-approximation refinement scan (newly-significant
+    placement, ZRL-with-correction-bits, cross-block EOBRUN with
+    buffered bits). 400 random sparse blocks: encode the Al=0
+    refinement from full coefficients, decode starting from the
+    Al=1-truncated history, require exact recovery."""
+    import numpy as np
+    from big_data_analytics_spark.multimodal.jpeg import (
+        PROG_AC_BITS, PROG_AC_VALS, _BitReader, _BitWriter,
+        _ProgACState, _ac_refine, _canonical_codes, _decode_table,
+        _prog_ac_refine_block)
+
+    rng = np.random.default_rng(99)
+    blocks_full = []
+    for _ in range(400):
+        zz = [0] * 64
+        # sparse: mostly zeros (long runs), a few small values whose
+        # low bit is the refinement payload
+        for _ in range(rng.integers(0, 6)):
+            k = int(rng.integers(1, 64))
+            zz[k] = int(rng.integers(1, 8)) * (1 if rng.random() < .5
+                                               else -1)
+        blocks_full.append(zz)
+
+    w = _BitWriter()
+    st = _ProgACState(w, _canonical_codes(PROG_AC_BITS, PROG_AC_VALS))
+    for zz in blocks_full:
+        _prog_ac_refine_block(st, zz, 1, 63, 0)
+    st.flush_eobrun()
+    data = w.flush()
+
+    tab = _decode_table(PROG_AC_BITS, PROG_AC_VALS)
+    rd = _BitReader(data + b"\xff\xd9")
+
+    def read_symbol(t):
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            if (ln, code) in t:
+                return t[(ln, code)]
+            assert ln <= 16
+
+    eobrun = 0
+    for i, zz_full in enumerate(blocks_full):
+        hist = np.array([(abs(v) >> 1 << 1) * (1 if v > 0 else -1)
+                         for v in zz_full], dtype=np.int64)
+        eobrun = _ac_refine(rd, read_symbol, tab, hist, 1, 63, 0,
+                            eobrun)
+        assert hist.tolist() == zz_full, (i, hist.tolist(), zz_full)
+
+
+def test_jpeg_progressive_boundary_messages():
+    """Arithmetic/lossless SOF markers still fail loudly, with the
+    message naming what IS supported (SOF0 + SOF2)."""
+    import pytest as _pytest
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg, jpeg_planes)
+
+    data = encode_jpeg([[100] * 16 for _ in range(16)])
+    arith = bytes(data).replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_planes(arith)
