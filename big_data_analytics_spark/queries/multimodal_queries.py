@@ -727,8 +727,16 @@ def _jpeg_block_fixture(spark: SparkSession) -> DataFrame:
     multimodal/jpeg.py), so the decoded sums have a closed form the
     SQL oracle recomputes. Block values vary across blocks, so the
     Huffman DC-difference chain (category + magnitude bits per block,
-    EOB per block) is exercised for real on every image."""
-    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+    EOB per block) is exercised for real on every image. ODD images
+    are written PROGRESSIVE (SOF2 — DC bit-plane + refinement, AC
+    spectral bands, successive approximation): the quantized
+    coefficients are identical, so the lossless contract carries
+    over verbatim and the driver's hash gate covers BOTH entropy
+    layouts through one oracle."""
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -738,7 +746,8 @@ def _jpeg_block_fixture(spark: SparkSession) -> DataFrame:
                 bw, bh = 2 + i % 3, 2 + i % 2
                 px = [[(23 * i + 11 * (x // 8) + 17 * (y // 8)) % 256
                        for x in range(bw * 8)] for y in range(bh * 8)]
-                content = encode_jpeg(px, qdc=8, qac=16)
+                enc = encode_jpeg_progressive if i % 2 else encode_jpeg
+                content = enc(px, qdc=8, qac=16)
                 rows.append({
                     "media_id": i, "media_type": "image",
                     "content": content,
@@ -771,8 +780,10 @@ def _jpeg_block_fixture(spark: SparkSession) -> DataFrame:
     """,
 )
 def mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The baseline-JPEG (SOF0) codec graded end-to-end: encode 24
-    block-constant grayscale JPEGs executor-side, decode them through
+    """The JPEG codec graded end-to-end: encode 24 block-constant
+    grayscale JPEGs executor-side (even ids baseline SOF0, odd ids
+    progressive SOF2 — same quantized coefficients, same lossless
+    contract), decode them through
     the SAME decode_image operator every image payload rides (which
     dispatches JPEG bytes to the stdlib+numpy Huffman/dequant/IDCT
     pipeline in multimodal/jpeg.py), and emit exact per-image pixel
