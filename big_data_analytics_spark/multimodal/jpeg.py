@@ -262,15 +262,16 @@ def _quantize(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.floor(coef / q + 0.5).astype(np.int64)
 
 
-def _encode_blocks(mcu_blocks: list[list[tuple[int, np.ndarray]]],
+def _encode_blocks(mcu_blocks: list[list[tuple[int, list[int]]]],
                    dc_codes, ac_codes, n_comp: int,
                    restart_interval: int = 0) -> bytes:
-    """Entropy-encode interleaved MCUs of already-quantized 8x8
-    blocks. ``mcu_blocks[m]`` is the MCU's (component-index, block)
-    sequence in scan order — one block per component at 1x1
-    sampling, hi*vi luma blocks first under subsampling. DC
-    prediction chains per component, reset at every restart boundary
-    (an RST(n mod 8) marker after each ``restart_interval`` MCUs)."""
+    """Entropy-encode interleaved MCUs of already-quantized blocks
+    (64 zigzag-order coefficients each). ``mcu_blocks[m]`` is the
+    MCU's (component-index, block) sequence in scan order — one
+    block per component at 1x1 sampling, hi*vi luma blocks first
+    under subsampling. DC prediction chains per component, reset at
+    every restart boundary (an RST(n mod 8) marker after each
+    ``restart_interval`` MCUs)."""
     w = _BitWriter()
     pred = [0] * n_comp
     for m, mcu in enumerate(mcu_blocks):
