@@ -46,12 +46,16 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-8 head-50: 2 canaries + 4 round-8 new/changed (mm8 JPEG,
+#: Round-8 head-50: 2 canaries + round-8 new/changed (mm8 JPEG,
 #: sm10 crash-recovery, bp1 partitioned+bucketed, bj1 whose fixture
-#: gained the legacy-dir cleanup) + the 20 remaining r1-vintage rows
-#: + the 21 oldest r2 rows in registry order. The round-9 backlog
-#: under the standing rule: the 12 remaining r2 rows (q13, q18,
-#: q21, w8, w9, f22, f23, h1, sa1, g3, sk3, t6), then r3 vintage.
+#: gained the legacy-dir cleanup, mm4/mm5/mm7 for the pixel
+#: dispatcher, the ANN trio v3_ivf / v3_lsh / v7 whose one-off
+#: index builds gained the fan-out repartition, and gr5 whose pair
+#: stage gained the volume-sized exchange) + the 20 remaining
+#: r1-vintage rows + the oldest r2 rows in registry order. The
+#: round-9 backlog under the standing rule: the 15 remaining r2 rows
+#: (q8, q9, q10, q13, q18, q21, w8, w9, f22, f23, h1, sa1, g3, sk3,
+#: t6), then r3 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -67,6 +71,9 @@ GRADE_HEAD = [
     "mm4_resize_pipeline",
     "mm5_png_roundtrip",
     "mm7_dhash_neardup",
+    "v3_lsh_ann_topk",
+    "v7_ann_recall",
+    "gr5_link_prediction",
     # (c) oldest-first: the 20 r1-vintage rows (last driver row in
     # round 1), registry order, no-oracle entries (p19/f17) skipped
     "a8_percentiles",
@@ -109,9 +116,6 @@ GRADE_HEAD = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
 ]
 
 

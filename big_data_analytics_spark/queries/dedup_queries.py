@@ -190,7 +190,13 @@ def v3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _LSH_INDEX_CACHE.get(key)
     if idx is None:
-        corpus = emb.filter(F.col("vec_id") >= 3)
+        # The index build evaluates 16 tables x 4 planes x 64-wide
+        # interpreted folds per vector, but the embeddings parquet
+        # arrives as ~1 input split — repartition so the one-off
+        # signature pass parallelizes (the ml17/cf1 rule: size
+        # partitions for the amplified work, not the input bytes).
+        corpus = (emb.filter(F.col("vec_id") >= 3)
+                  .repartition(spark.sparkContext.defaultParallelism))
         idx = lsh_index(corpus, n_planes=4,
                         n_tables=16).localCheckpoint()
         _LSH_INDEX_CACHE[key] = idx

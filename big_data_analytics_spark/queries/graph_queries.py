@@ -445,13 +445,20 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one generator over the i<j array combinations — emitting
     exactly C(d,2) rows instead of the join's d^2-then-filter. The
     existing-edge anti-join is a SHUFFLE_HASH join on (a, b): the
-    scored side is already hash-partitioned on (a, b) by the pair
-    aggregate (zero additional exchange), only the edge relation
+    scored side arrives hash-partitioned on (a, b) by the pair
+    stage's volume-sized repartition (aggregate and join reuse that
+    one exchange), only the edge relation
     shuffles, and the per-partition hash build replaces an
     O(|edges|) broadcast — |edges| grows with the data, so
     broadcasting it is a scale-killer the hint removes (measured:
-    7.4 -> 3.9 s at sf0.1). Remaining exchanges: the mergeable (a,b)
-    pair aggregate, the edge-side shuffle, TakeOrderedAndProject.
+    7.4 -> 3.9 s at sf0.1). The pair-stage partition count tracks the
+    pair-volume upper bound (n_edges * (cap-1)/2 rows, ~64 MB each,
+    floor defaultParallelism) so the un-spillable SHUFFLE_HASH build
+    maps and the aggregate state stay bounded as edges grow: at the
+    session's fixed 32 partitions the 10x-edge probe OOM'd building
+    the join map; volume-sized it runs in 46 s (SCALE.md round-8
+    x100 curve). Remaining exchanges: the sized (a,b) pair exchange,
+    the edge-side shuffle, TakeOrderedAndProject.
     Shares the session-cached edge relation with gr1-gr4 (one build
     per session)."""
     from pyspark.sql import Window
@@ -472,8 +479,27 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("flatten(transform(nbrs, (x, i) -> "
                "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), "
                "y -> struct(x AS a, y AS b))))").alias("pairs"))
+    # The pair stream is up to n_edges * (cap-1)/2 rows; at the session
+    # default of cores-many shuffle partitions the (a, b) aggregate AND
+    # the anti-join's per-partition edge hash maps stop fitting memory
+    # once edges grow ~10x (measured: SparkOutOfMemoryError building
+    # the SHUFFLE_HASH map at 24M edges / 32 partitions — the build map
+    # cannot spill). Volume-sized repartitioning bounds both: partition
+    # count tracks the pair-volume upper bound (~64 MB each, the graph-
+    # operator policy), and the join reuses the exchange, so per-map
+    # build rows stay ~n_edges/n_parts regardless of scale. At sf0.1
+    # this degenerates to defaultParallelism — the plan is unchanged
+    # where it already fit (A/B: 3.92 vs 3.89 s; at 10x edges: 46 s vs
+    # OOM). The count is a cached-scan job (e is localCheckpointed).
+    n_edges = e.count()
+    pair_bytes = n_edges * ((_LP_CAP - 1) // 2) * 24
+    n_parts = int(max(spark.sparkContext.defaultParallelism,
+                      min(pair_bytes // (64 << 20) + 1, 4096)))
     scored = (nbr.select("aa_t", F.explode("pairs").alias("p"))
-              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .select("aa_t", F.col("p.a").alias("a"),
+                      F.col("p.b").alias("b"))
+              .repartition(n_parts, "a", "b")
+              .groupBy("a", "b")
               .agg(F.count(F.lit(1)).cast("long")
                    .alias("common_neighbors"),
                    F.sum("aa_t").cast("long").alias("aa_q")))

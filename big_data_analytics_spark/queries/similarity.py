@@ -262,7 +262,18 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     assigned = _IVF_CACHE.get(key)
     if assigned is None:
-        corpus = emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+        # The assignment cross-join amplifies every corpus row by
+        # n_cells (= n/31, grows with the corpus) interpreted 64-wide
+        # folds, but the embeddings parquet arrives as ~1 input split —
+        # so without an explicit repartition the whole O(n * n_cells)
+        # fan-out serializes onto one task (measured: 104 s cold at a
+        # 20k-vector corpus vs ~7 s repartitioned). Same rule as cf1 /
+        # ml17 (SCALE.md): partition count must be sized for the
+        # OUTPUT of an amplifying expression, and AQE cannot see the
+        # fan-out because it sizes by input bytes.
+        para = spark.sparkContext.defaultParallelism
+        corpus = (emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+                  .repartition(para))
         assigned = (
             corpus.crossJoin(F.broadcast(cent))
             .withColumn("cos_c", cos6(F.col("v"), F.col("cv"),
