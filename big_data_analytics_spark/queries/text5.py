@@ -113,6 +113,18 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; the checkpoint becomes a shuffle-stage reuse."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # The k-gram build (array_join over an interpreted slice, after a
+    # ~tokens-per-doc explode) inherits the SCAN's split count; when
+    # the corpus arrives as fewer splits than cores the whole
+    # amplified stage serializes (A/B at a 50k-doc corpus on one
+    # split: 5.4 -> 3.7 s warm repartitioned; at sf0.1 the same
+    # unconditional repartition is a net LOSS, 1.5 -> 2.1 s — the
+    # ml17/ml14 counter-lesson). Spread only when under-split: at
+    # production scale the scan yields >= cores splits and this is a
+    # no-op.
+    para = spark.sparkContext.defaultParallelism
+    if toks.rdd.getNumPartitions() < para:
+        toks = toks.repartition(para)
     pos = (toks.filter(F.size("t") >= _K)
            .select("doc_id", "t",
                    F.explode(F.sequence(
