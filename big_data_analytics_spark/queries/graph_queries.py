@@ -363,14 +363,29 @@ def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     and checkpoints the per-hop result so lineage stays flat. State
     per hop is one hash join + distinct, all keyed on node. The
     oracle is DuckDB's recursive CTE over the same edges (UNION
-    dedup = the same semi-naive frontier)."""
+    dedup = the same semi-naive frontier).
+
+    The frontier join is PINNED to a shuffled hash join building the
+    frontier side. Left to statistics, Catalyst broadcast the EDGE
+    relation here — the checkpoint's propagated size estimate slid
+    under the 64 MB threshold while the real relation was 57 MB at
+    sf0.1 (one broadcast build per hop) and 570 MB at 10x edges,
+    which killed the driver ("Not enough memory to build and
+    broadcast"). An edge-relation broadcast is the growing-broadcast
+    hazard class: |edges| grows with the data, the frontier does not
+    (bounded by the reachable-node set; its per-partition hash build
+    is |frontier|/n_parts). Measured: 3.52 -> 1.65 s warm at sf0.1,
+    and the 10x run completes in 3.6 s where the stats-driven plan
+    OOM'd (SCALE.md round-8 audit). At 100 TB, pre-bucket the edges
+    by src and the per-hop exchange disappears on the edge side."""
     edges = _weighted_edges(spark, sf_dir).select("src", "dst")
     seed = (edges.select(F.col("src").alias("node")).distinct()
             .filter(F.col("node") < 10))
     known = seed.select("node", F.lit(0).alias("hops")).localCheckpoint()
     frontier = known.select("node")
     for h in range(1, 4):
-        nxt = (edges.join(frontier.withColumnRenamed("node", "src"), "src")
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src")
+                          .hint("SHUFFLE_HASH"), "src")
                .select(F.col("dst").alias("node")).distinct()
                .join(known.select("node"), "node", "left_anti")
                .select("node", F.lit(h).alias("hops"))
