@@ -350,6 +350,19 @@ def _bfs_oracle() -> str:
     """
 
 
+def _bfs_hop(edges: DataFrame, frontier: DataFrame, known: DataFrame,
+             h: int) -> DataFrame:
+    """One semi-naive BFS hop, LAZY (caller checkpoints): frontier
+    expands through a shuffled-hash join that builds the bounded
+    frontier side — never a stats-driven broadcast of the growing
+    edge relation (plan-guarded in tests/test_plans.py)."""
+    return (edges.join(frontier.withColumnRenamed("node", "src")
+                       .hint("SHUFFLE_HASH"), "src")
+            .select(F.col("dst").alias("node")).distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops")))
+
+
 @query("gr4_bfs_hops", oracle=_bfs_oracle())
 def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop distance (≤ 3) from a seed part set over the
@@ -384,12 +397,7 @@ def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     known = seed.select("node", F.lit(0).alias("hops")).localCheckpoint()
     frontier = known.select("node")
     for h in range(1, 4):
-        nxt = (edges.join(frontier.withColumnRenamed("node", "src")
-                          .hint("SHUFFLE_HASH"), "src")
-               .select(F.col("dst").alias("node")).distinct()
-               .join(known.select("node"), "node", "left_anti")
-               .select("node", F.lit(h).alias("hops"))
-               .localCheckpoint())
+        nxt = _bfs_hop(edges, frontier, known, h).localCheckpoint()
         known = known.unionByName(nxt)
         frontier = nxt.select("node")
     return known.select(F.col("node").alias("l_partkey"), "hops")

@@ -955,6 +955,32 @@ def test_gr5_anti_join_is_shuffled_hash(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_gr4_frontier_join_is_shuffled_hash(spark):
+    """gr4's per-hop frontier expansion must be a shuffled-hash join
+    building the frontier side. Left to statistics, Catalyst
+    broadcast the EDGE relation into every hop (the checkpoint's
+    propagated estimate slid under the 64 MB threshold; real size
+    57 MB at sf0.1, 570 MB at 10x edges — driver OOM). The hop plan
+    is asserted directly because the graded query checkpoints each
+    hop eagerly, erasing the join from the final plan."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _bfs_hop, _weighted_edges)
+
+    edges = _weighted_edges(spark, SF_CORRECT).select("src", "dst")
+    seed = (edges.select(F.col("src").alias("node")).distinct()
+            .filter(F.col("node") < 10))
+    known = seed.select("node", F.lit(0).alias("hops"))
+    hop = _bfs_hop(edges, known.select("node"), known, 1)
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    # the inner frontier join must not broadcast either side; the
+    # node-sized anti-join may do as it likes
+    inner = plan.split("LeftAnti")[-1]
+    assert "BroadcastHashJoin" not in inner, plan
+
+
 def test_cf1_pair_stage_is_joinless(spark):
     """cf1's pair generation must be the in-basket combination
     generator (one Generate/explode), not a ratings self-join: the
