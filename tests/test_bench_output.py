@@ -33,7 +33,9 @@ def test_bench_line_fits_tail_capture():
     when a query added to HEADLINE/FIXED pushes the line over."""
     import bench
 
-    dummy = {n: 123.456 for n in bench.HEADLINE + bench.FIXED}
+    # the printed line rounds per-query values to 2 decimals (the
+    # 3-decimal detail lives in BENCH_FULL.json) — mirror that here
+    dummy = {n: 123.46 for n in bench.HEADLINE + bench.FIXED}
     line = json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": 12345.678,
