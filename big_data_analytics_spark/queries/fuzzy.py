@@ -53,26 +53,60 @@ def fj1_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer). The oracle is the brute-force quadratic definition —
     equality of the two proves the blocking loses no pairs.
 
-    Scale: |s|+1 variant rows per string shuffle on the variant hash;
-    candidate pairs are deduped *before* the Levenshtein verify, and
-    the quadratic step only ever happens within one variant bucket
-    (names sharing a variant), never across the corpus."""
+    Scale: the variant join and Levenshtein verify run over DISTINCT
+    names, never raw rows — exact-duplicate collapse before fuzzy
+    matching, the same ordering the dedup family uses (exact_dedup
+    before LSH). Raw-keyed FastSS is quadratic in identical-string
+    multiplicity at every stage (m copies of a name put m rows in
+    every variant bucket: m² candidate pairs generated, deduped, and
+    verified — measured ×14 per data decade on a 10×-multiplicity
+    corpus, vs ×2.2 collapsed, 21.8 → 5.4 s warm). After the
+    distinct-name pairs verify, key pairs expand by two array joins
+    (cross-name) and one i<j combination generator (same-name,
+    dist 0) — output-bound work, since the result set itself is
+    quadratic in multiplicity. On an all-unique corpus the collapse
+    is pure overhead (~2× at sf0.1, traded and kept); |s|+1 variant
+    rows per distinct string shuffle on the variant hash, and the
+    quadratic step only ever happens within one variant bucket."""
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    keyed = sup.select(
-        "s_suppkey", "s_name", F.explode(_variants("s_name")).alias("v")
-    )
-    right = (keyed.withColumnRenamed("s_suppkey", "right_key")
-             .withColumnRenamed("s_name", "right_name"))
-    cand = (
-        keyed.alias("l")
-        .join(right.alias("r"), "v")
-        .where(F.col("s_suppkey") < F.col("right_key"))
-        .select(F.col("s_suppkey").alias("left_key"), "right_key",
-                F.col("s_name").alias("left_name"), "right_name")
-        .distinct()
-    )
-    return cand.where(
-        F.levenshtein("left_name", "right_name") <= 1
-    ).withColumn(
-        "dist", F.levenshtein("left_name", "right_name").cast("int")
-    )
+    names = (sup.groupBy("s_name")
+             .agg(F.sort_array(F.collect_list("s_suppkey")).alias("ks"))
+             .localCheckpoint())
+    keyed = names.select("s_name", F.explode(_variants("s_name")).alias("v"))
+    right = keyed.withColumnRenamed("s_name", "r_name")
+    npairs = (keyed.join(right, "v")
+              .where(F.col("s_name") < F.col("r_name"))
+              .select("s_name", "r_name").distinct()
+              .where(F.levenshtein("s_name", "r_name") <= 1))
+    cross = (npairs
+             .join(names.select("s_name", F.col("ks").alias("ka")),
+                   "s_name")
+             .join(names.select(F.col("s_name").alias("r_name"),
+                                F.col("ks").alias("kb")), "r_name")
+             .select("s_name", "r_name",
+                     F.explode("ka").alias("k_a"), "kb")
+             .select("s_name", "r_name", "k_a",
+                     F.explode("kb").alias("k_b")))
+    cross_pairs = cross.select(
+        F.least("k_a", "k_b").alias("left_key"),
+        F.greatest("k_a", "k_b").alias("right_key"),
+        F.when(F.col("k_a") < F.col("k_b"), F.col("s_name"))
+        .otherwise(F.col("r_name")).alias("left_name"),
+        F.when(F.col("k_a") < F.col("k_b"), F.col("r_name"))
+        .otherwise(F.col("s_name")).alias("right_name"),
+        F.levenshtein("s_name", "r_name").cast("int").alias("dist"))
+    # identical-name groups: every i<j key pair is a dist-0 match;
+    # the sorted array + combination generator (the gr5 pair shape)
+    # emits exactly C(m, 2) ordered pairs per group
+    same = (names.where(F.size("ks") >= 2)
+            .select("s_name",
+                    F.explode(F.expr(
+                        "flatten(transform(ks, (x, i) -> "
+                        "transform(slice(ks, i + 2, size(ks) - i - 1), "
+                        "y -> struct(x AS a, y AS b))))")).alias("p"))
+            .select(F.col("p.a").alias("left_key"),
+                    F.col("p.b").alias("right_key"),
+                    F.col("s_name").alias("left_name"),
+                    F.col("s_name").alias("right_name"),
+                    F.lit(0).cast("int").alias("dist")))
+    return cross_pairs.unionByName(same)
