@@ -130,6 +130,10 @@ EXTENDED = [
     # a build-once signature checkpoint
     "gr4_bfs_hops",
     "v4_embedding_near_dups",
+    # compaction read-back: the per-(day, type) rollup FROM the
+    # compacted store (warm = the recurring scan; the small-files
+    # write + compaction rewrite is in COLD)
+    "cm1_compaction_rollup",
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
@@ -158,7 +162,8 @@ R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
                             - {"d9_prefix_filter_jaccard",
                                "bp1_partitioned_bucketed_rollup",
                                "gr4_bfs_hops",
-                               "v4_embedding_near_dups"})
+                               "v4_embedding_near_dups",
+                               "cm1_compaction_rollup"})
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
 #: iteration checkpoints, the shared co-purchase edge build) is worth
@@ -220,7 +225,10 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         "d9_prefix_filter_jaccard",
         # cold pays the one-time date-partitioned + user-bucketed
         # events rewrite — the amortized shuffle both levers ride
-        "bp1_partitioned_bucketed_rollup"]
+        "bp1_partitioned_bucketed_rollup",
+        # cold pays the 64-file small-files write + the compaction
+        # rewrite (sized by measured bytes) the warm scan rides on
+        "cm1_compaction_rollup"]
 
 
 def _run(q, spark, sf_dir) -> float:

@@ -348,3 +348,75 @@ def bp1_partitioned_bucketed_rollup(spark: SparkSession,
                  (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)
                         .cast("long")).cast("double") / 10000.0)
                  .alias("value_sum")))
+
+
+def _compacted_events(spark: SparkSession, sf_dir: str) -> Path:
+    """A small-files events store (64 parquet files — the shape a
+    streaming sink or CDC appender leaves behind) plus its compaction
+    via sources/maintenance.py:compact_parquet, built once per scale
+    and rebuilt whenever the source testdata changes (_DONE records
+    the source signature, like every .fixtures writer). Returns the
+    COMPACTED directory — the graded query reads only it, so the
+    oracle hash certifies the rewrite lost and altered nothing."""
+    tag = _sf_tag(sf_dir)
+    root = _FIXTURE_ROOT / f"cm1_compaction_{tag}"
+    small, compacted = root / "small", root / "compacted"
+    sig = _source_sig(sf_dir)
+    if not _fixture_fresh(root, sig):
+        import shutil
+
+        from big_data_analytics_spark.sources.maintenance import (
+            compact_parquet,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(str(small))
+        compact_parquet(spark, str(small), target_file_bytes=32 << 20,
+                        out_path=str(compacted))
+        (root / "_DONE").write_text(sig)
+    return compacted
+
+
+@query(
+    "cm1_compaction_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_q4
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cm1_compaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-graded: the events table is
+    deliberately written as 64 small parquet files (what a streaming
+    sink leaves behind), compacted into ~target-size files by
+    sources/maintenance.py:compact_parquet (file count from MEASURED
+    input bytes, never row or core counts), and a per-(day, type)
+    rollup is computed FROM THE COMPACTED STORE ONLY. The oracle runs
+    the same rollup on the source table, so hash equality certifies
+    the rewrite is lossless — the safety contract any OPTIMIZE-style
+    table maintenance must carry. File-count reduction itself is
+    asserted in tests/test_maintenance.py (counts depend on
+    compression ratios, so they stay out of the graded columns).
+
+    Scale: at 100 TB compaction is what keeps a CDC/stream-fed lake
+    scannable — scan throughput collapses when footer reads and task
+    scheduling dominate; the rewrite is one narrow repartition sized
+    by measured bytes, embarrassingly parallel, and the read-back is
+    an ordinary pruned scan."""
+    path = _compacted_events(spark, sf_dir)
+    ev = spark.read.parquet(str(path))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd").alias("day"),
+            "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 10000.0 + 0.5).cast("long"))
+             .cast("long").alias("value_q4"))
+        .orderBy("day", "event_type")
+    )

@@ -62,3 +62,23 @@ def test_ivm1_retraction_drops_zeroed_groups(spark):
     present = {row.c_custkey for row in view.collect()}
     for ck in zeroed:
         assert ck not in present
+
+
+def test_cm1_fixture_actually_compacts(spark):
+    """The cm1 graded row certifies VALUES through the compacted
+    store; this guard certifies the layout work happened — the
+    compacted directory must hold strictly fewer data files than the
+    64-file small-files store it was rewritten from (file counts stay
+    out of the graded columns because they track compression ratios,
+    not semantics)."""
+    from tests.conftest import SF_CORRECT
+    from big_data_analytics_spark.queries.layout import _compacted_events
+
+    compacted = _compacted_events(spark, SF_CORRECT)
+    small = compacted.parent / "small"
+
+    def n_files(p):
+        return sum(1 for f in p.rglob("*.parquet"))
+
+    assert n_files(small) == 64
+    assert 0 < n_files(compacted) < 64
