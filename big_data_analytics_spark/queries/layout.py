@@ -420,3 +420,79 @@ def cm1_compaction_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("long").alias("value_q4"))
         .orderBy("day", "event_type")
     )
+
+
+def _evolved_events(spark: SparkSession, sf_dir: str) -> tuple[Path, Path]:
+    """A two-schema-version events store: v1 (even event_ids) was
+    written BEFORE the ``value`` column existed; v2 (odd event_ids)
+    carries it. Signature-gated like every .fixtures writer. The pair
+    models the only free kind of schema evolution — additive columns —
+    where yesterday's files must stay readable without a rewrite."""
+    tag = _sf_tag(sf_dir)
+    root = _FIXTURE_ROOT / f"se1_evolved_{tag}"
+    v1, v2 = root / "v1", root / "v2"
+    sig = _source_sig(sf_dir)
+    if not _fixture_fresh(root, sig):
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        (ev.where(F.col("event_id") % 2 == 0)
+         .select("event_id", "ts", "user_id", "event_type")
+         .write.mode("overwrite").parquet(str(v1)))
+        (ev.where(F.col("event_id") % 2 == 1)
+         .select("event_id", "ts", "user_id", "event_type", "value")
+         .write.mode("overwrite").parquet(str(v2)))
+        (root / "_DONE").write_text(sig)
+    return v1, v2
+
+
+@query(
+    "se1_schema_evolution_rollup",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_type, CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, value FROM events WHERE event_id % 2 = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pre_schema,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 10000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS value_q4
+    FROM unioned
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def se1_schema_evolution_rollup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Additive schema evolution, driver-graded: half the events store
+    was written BEFORE the ``value`` column existed; the mergeSchema
+    union (sources/maintenance.py:read_evolved) must read both
+    versions as one frame with the missing column as NULL — never a
+    rewrite of history, never a retype. The graded rollup counts
+    pre-schema rows per event type and sums the quantized value over
+    the rows that have one, so the hash certifies both the union's
+    completeness and the NULL semantics of the backfilled column.
+
+    Scale: at 100 TB "read yesterday's files under today's schema" is
+    the default state of a lake, not an edge case — every column
+    addition splits the store into schema generations, and the only
+    affordable contract is additive columns + NULL backfill at read
+    (a rewrite of history is a full-corpus job)."""
+    from big_data_analytics_spark.sources.maintenance import read_evolved
+
+    v1, v2 = _evolved_events(spark, sf_dir)
+    ev = read_evolved(spark, str(v1), str(v2))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(F.col("value").isNull().cast("long")).cast("long")
+             .alias("n_pre_schema"),
+             F.sum(F.floor(F.coalesce(F.col("value"), F.lit(0.0))
+                           * 10000.0 + 0.5).cast("long"))
+             .cast("long").alias("value_q4"))
+        .orderBy("event_type")
+    )

@@ -82,3 +82,15 @@ def test_cm1_fixture_actually_compacts(spark):
 
     assert n_files(small) == 64
     assert 0 < n_files(compacted) < 64
+
+
+def test_se1_fixture_v1_lacks_the_column(spark):
+    """The evolution fixture must be REAL: the v1 directory's physical
+    schema has no ``value`` column (mergeSchema is what reintroduces
+    it as NULL), otherwise se1 would grade a plain union."""
+    from tests.conftest import SF_CORRECT
+    from big_data_analytics_spark.queries.layout import _evolved_events
+
+    v1, v2 = _evolved_events(spark, SF_CORRECT)
+    assert "value" not in spark.read.parquet(str(v1)).columns
+    assert "value" in spark.read.parquet(str(v2)).columns
