@@ -152,6 +152,7 @@ FIXED = [
     "mm6_audio_resample",
     "mm7_dhash_neardup",
     "mm8_jpeg_roundtrip",
+    "mm9_video_frame_sample",
 ]
 
 HEADLINE = CORE + EXTENDED

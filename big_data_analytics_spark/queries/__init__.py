@@ -56,12 +56,13 @@ def query(name: str, oracle: Optional[str] = None):
 #: is now pinned shuffled-hash, v4 whose signature relation is
 #: now built once and spread, fj1 which now collapses to
 #: distinct names before the variant join, dq4/d6 whose shared
-#: n-gram operator gained the checkpoint+spread, and the new cm1/se1
-#: storage-maintenance read-backs) + the 20 remaining
+#: n-gram operator gained the checkpoint+spread, the new cm1/se1
+#: storage-maintenance read-backs, and the new mm9 MJPEG-AVI
+#: frame-sample row) + the 20 remaining
 #: r1-vintage rows + the oldest r2 rows in registry order. The
-#: round-9 backlog under the standing rule: the 23 remaining r2 rows
-#: (aj1, aj2, rj1, f13, f20, q3, q5, q7, q8, q9, q10, q13, q18, q21,
-#: w8, w9, f22, f23, h1, sa1, g3, sk3, t6), then r3 vintage.
+#: round-9 backlog under the standing rule: the 24 remaining r2 rows
+#: (d4, aj1, aj2, rj1, f13, f20, q3, q5, q7, q8, q9, q10, q13, q18,
+#: q21, w8, w9, f22, f23, h1, sa1, g3, sk3, t6), then r3 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -88,6 +89,7 @@ GRADE_HEAD = [
     "d6_decontaminate_train",
     "cm1_compaction_rollup",
     "se1_schema_evolution_rollup",
+    "mm9_video_frame_sample",
     # (c) oldest-first: the 20 r1-vintage rows (last driver row in
     # round 1), registry order, no-oracle entries (p19/f17) skipped
     "a8_percentiles",
@@ -121,7 +123,6 @@ GRADE_HEAD = [
     "v1_cosine_topk",
     "v2_label_centroid_norms",
     "v3_ivf_topk",
-    "d4_ngram_jaccard_pairs",
 ]
 
 

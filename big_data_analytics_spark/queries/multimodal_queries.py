@@ -809,3 +809,120 @@ def mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1) * 255 * n_px)
          .cast("long").alias("pix_sum"))
         .orderBy("media_id"))
+
+
+_N_VID = 10
+
+
+def _mjpeg_video_fixture(spark: SparkSession) -> DataFrame:
+    """10 executor-muxed MJPEG-AVI videos: video v is (4 + v%4)
+    frames of (2 + v%2)x2 blocks, frame f's block (bx, by) holding
+    gray (31v + 7f + 11bx + 17by) % 256 — block-constant frames at DC
+    quant 8, so every frame round-trips the JPEG codec bit-losslessly
+    (the mm8 contract) and per-frame pixel sums have a closed form
+    the SQL oracle recomputes. The container is a spec-conformant
+    RIFF AVI written by multimodal/avi.py (hdrl/strl headers, movi
+    00dc chunks, idx1), so the demux side exercises real chunk
+    walking, not a private framing."""
+    from big_data_analytics_spark.multimodal.avi import encode_avi_mjpeg
+    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v in pdf["id"]:
+                v = int(v)
+                nf, bw, bh = 4 + v % 4, 2 + v % 2, 2
+                frames = []
+                for f in range(nf):
+                    px = [[(31 * v + 7 * f + 11 * (x // 8)
+                            + 17 * (y // 8)) % 256
+                           for x in range(bw * 8)] for y in range(bh * 8)]
+                    frames.append(encode_jpeg(px, qdc=8, qac=16))
+                content = encode_avi_mjpeg(frames, bw * 8, bh * 8, fps=10)
+                rows.append({
+                    "media_id": v, "media_type": "video",
+                    "content": content,
+                    "meta": {"source": "mjpeg_avi",
+                             "byte_size": len(content),
+                             "mime": "video/x-msvideo"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_VID).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@query(
+    "mm9_video_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+        SELECT v, 4 + v % 4 AS nf, 2 + v % 2 AS bw
+        FROM range(0, {_N_VID}) t(v)
+    ), sampled AS (
+        SELECT v, nf, bw, f.f AS f
+        FROM vids, range(0, 7) f(f)
+        WHERE f.f < nf AND f.f % 2 = 0
+    ), blk AS (
+        SELECT v, nf, bw, f, bx.x AS bx, by.y AS by
+        FROM sampled, range(0, 3) bx(x), range(0, 2) by(y)
+        WHERE bx.x < bw
+    )
+    SELECT v AS media_id,
+           CAST(MAX(nf) AS INT) AS n_frames,
+           CAST(COUNT(DISTINCT f) AS INT) AS n_sampled,
+           CAST(MAX(bw) * 8 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(SUM(64 * ((31 * v + 7 * f + 11 * bx + 17 * by) % 256))
+                AS BIGINT) AS pix_sum
+    FROM blk GROUP BY v ORDER BY media_id
+    """,
+)
+def mm9_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, graded end-to-end: demux each MJPEG-AVI
+    payload (multimodal/avi.py — real RIFF chunk walking with a
+    FourCC guard that raises on inter-frame codecs), keep every 2nd
+    frame (the canonical stride sample a training pipeline takes
+    before per-frame feature extraction), decode the kept frames
+    through the SAME stdlib+numpy JPEG pipeline every image payload
+    rides, and emit per-video frame counts, geometry, and the exact
+    pixel sum over sampled frames. Fixture frames are block-constant
+    at DC quant 8 (bit-lossless round trip — the mm8 contract), so
+    the oracle recomputes everything in closed form: a hash mismatch
+    pinpoints a RIFF-walk, chunk-alignment, frame-order, stride, or
+    JPEG-decode bug. With this row green the multimodal boundary is
+    inter-frame video codecs (H.264 etc.) and arithmetic-coded JPEG
+    only.
+
+    Scale shape: demux+decode is one Arrow-batched mapInPandas over
+    the (binary content) column — embarrassingly parallel, scan-bound
+    like every codec stage; sampling at the container level means
+    unsampled frames are never entropy-decoded (with an index the
+    production form also skips READING them). ``sf_dir`` unused
+    (synthesized corpus)."""
+    from big_data_analytics_spark.multimodal.avi import demux_avi_mjpeg
+    from big_data_analytics_spark.multimodal.jpeg import jpeg_planes
+
+    media = _mjpeg_video_fixture(spark)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames = demux_avi_mjpeg(bytes(r["content"]))
+                kept = frames[::2]
+                planes = [jpeg_planes(f)[0] for f in kept]
+                rows.append({
+                    "media_id": int(r["media_id"]),
+                    "n_frames": len(frames),
+                    "n_sampled": len(kept),
+                    "width": int(planes[0].shape[1]),
+                    "height": int(planes[0].shape[0]),
+                    "pix_sum": int(sum(int(p.sum()) for p in planes)),
+                })
+            yield pd.DataFrame(rows)
+
+    out_schema = ("media_id long, n_frames int, n_sampled int, "
+                  "width int, height int, pix_sum long")
+    return (media.select("media_id", "content")
+            .mapInPandas(sample, out_schema)
+            .orderBy("media_id"))

