@@ -36,6 +36,19 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+#: PRE-COMMIT GATE (standing rule, encoded after the round-7 unrun
+#: test and round-8 unrun oracle-gate incidents): before ANY commit
+#: that touches a module under ``queries/`` — adding a query, editing
+#: one, or changing a shared helper it calls — run that module's full
+#: oracle gate, not just the new query's test:
+#:     pytest tests/test_queries_vs_duckdb.py -k <module-stem> -q
+#: (~1 min/module). A new query exercised only by its own ``-k name``
+#: run can still break a sibling in the same module (the mm9 commit
+#: rebound mm2's module constant: oracle f-strings bind constants at
+#: decoration time, bodies read them at call time — see
+#: tests/test_module_constant_guard.py). Shared-helper edits gate
+#: every consumer module.
+#:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
 #: never-graded backlog cleared in round 5, the STANDING ROTATION RULE

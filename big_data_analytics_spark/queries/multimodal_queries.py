@@ -811,7 +811,7 @@ def mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id"))
 
 
-_N_VID = 10
+_N_MJPEG_VID = 10
 
 
 def _mjpeg_video_fixture(spark: SparkSession) -> DataFrame:
@@ -849,7 +849,7 @@ def _mjpeg_video_fixture(spark: SparkSession) -> DataFrame:
                 })
             yield pd.DataFrame(rows)
 
-    return spark.range(_N_VID).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(_N_MJPEG_VID).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 @query(
@@ -857,7 +857,7 @@ def _mjpeg_video_fixture(spark: SparkSession) -> DataFrame:
     oracle=f"""
     WITH vids AS (
         SELECT v, 4 + v % 4 AS nf, 2 + v % 2 AS bw
-        FROM range(0, {_N_VID}) t(v)
+        FROM range(0, {_N_MJPEG_VID}) t(v)
     ), sampled AS (
         SELECT v, nf, bw, f.f AS f
         FROM vids, range(0, 7) f(f)
