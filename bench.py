@@ -18,8 +18,14 @@ Two timing sections:
 The printed line is the compact summary (it must fit the driver's
 2000-char stdout tail capture — tests/test_bench_output.py guards
 the byte budget); the full detail including the per-query cold
-breakdown is written to BENCH_FULL.json, which is committed so its
-history lives in git.
+breakdown is written to BENCH_FULL.latest.json.
+
+ARTIFACT POLICY (round 9, ends the round-8 working-tree drift): every
+bench run — including the driver's post-commit run — writes only the
+UNTRACKED ``BENCH_FULL.latest.json``; the committed ``BENCH_FULL.json``
+is a deliberate snapshot, refreshed by copying the latest file over it
+and committing when the headline set changes. A driver bench run
+therefore leaves ``git status`` clean.
 """
 
 from __future__ import annotations
@@ -311,15 +317,17 @@ def main() -> None:
         "sf": sf,
     }
     # full detail (cold per-query breakdown included, 3-decimal
-    # timings) goes to a file; the printed line must stay under the
-    # driver's 2000-char stdout tail capture or it is recorded
-    # truncated and unparseable (tests/test_bench_output.py guards
-    # the budget). Per-query values on the LINE are rounded to 2
-    # decimals — 10 ms granularity is inside the documented ±25%
+    # timings) goes to the UNTRACKED .latest file (see ARTIFACT POLICY
+    # in the module docstring — the committed BENCH_FULL.json is a
+    # deliberate snapshot, not written here); the printed line must
+    # stay under the driver's 2000-char stdout tail capture or it is
+    # recorded truncated and unparseable (tests/test_bench_output.py
+    # guards the budget). Per-query values on the LINE are rounded to
+    # 2 decimals — 10 ms granularity is inside the documented ±25%
     # machine-drift band, and the saved byte per entry is what keeps
     # the growing query list under the capture window.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+                           "BENCH_FULL.latest.json"), "w") as f:
         json.dump({**summary, "cold_queries": cold}, f, indent=1)
     # the LINE carries per-query numbers for the HEADLINE set only:
     # FIXED queries are constant-size fixtures whose round-over-round

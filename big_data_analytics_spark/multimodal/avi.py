@@ -110,38 +110,61 @@ def _walk(data: bytes, pos: int, end: int):
 
 
 def demux_avi_mjpeg(data: bytes) -> list[bytes]:
-    """Extract the JPEG payload of every video frame, in stream order.
+    """Extract the JPEG payload of every video-stream frame, in order.
 
     Walks the RIFF structure (never trusts idx1 — indexes are
-    optional and routinely wrong in the wild), verifies the single
-    video stream is MJPG via the ``strf`` FourCC, and collects
-    ``##dc``/``##db`` chunks from the ``movi`` list. Any other
-    compression raises ``NotImplementedError`` — the honest
-    inter-frame-codec boundary."""
+    optional and routinely wrong in the wild). Streams are numbered by
+    ``strl`` position in ``hdrl``; the FIRST stream whose ``strh``
+    fccType is ``vids`` is the video stream: its ``strf``
+    biCompression must be MJPG, and only ITS ``NNdc``/``NNdb`` chunks
+    are collected from the ``movi`` list (including inside ``rec ``
+    groups). A multi-stream file (e.g. audio-first) therefore neither
+    mis-reads an audio ``strf``'s bytes 16:20 as a compression FourCC
+    nor merges chunks across streams. Any non-MJPG video compression
+    raises ``NotImplementedError`` — the honest inter-frame-codec
+    boundary."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     frames: list[bytes] = []
     compression = None
+    vid_prefix = None  # b"NN" chunk-id prefix of the first vids stream
+
+    def _movi_chunks(pos: int, stop: int):
+        for f2, b2, s2 in _walk(data, pos, stop):
+            if f2 == b"LIST" and data[b2:b2 + 4] == b"rec ":
+                yield from _movi_chunks(b2 + 4, b2 + s2)
+            else:
+                yield f2, b2, s2
+
     for fourcc, body, size in _walk(data, 12, end):
         if fourcc != b"LIST":
             continue
         kind = data[body:body + 4]
         if kind == b"hdrl":
+            stream_no = 0
             for f2, b2, s2 in _walk(data, body + 4, body + size):
-                if f2 == b"LIST" and data[b2:b2 + 4] == b"strl":
-                    for f3, b3, s3 in _walk(data, b2 + 4, b2 + s2):
-                        if f3 == b"strf" and s3 >= 20:
-                            compression = data[b3 + 16:b3 + 20]
+                if not (f2 == b"LIST" and data[b2:b2 + 4] == b"strl"):
+                    continue
+                is_vids = False
+                for f3, b3, s3 in _walk(data, b2 + 4, b2 + s2):
+                    if f3 == b"strh" and s3 >= 4:
+                        is_vids = data[b3:b3 + 4] == b"vids"
+                    elif (f3 == b"strf" and s3 >= 20 and is_vids
+                          and vid_prefix is None):
+                        compression = data[b3 + 16:b3 + 20]
+                        vid_prefix = b"%02d" % stream_no
+                stream_no += 1
         elif kind == b"movi":
-            if compression != b"MJPG":
+            if vid_prefix is None or compression != b"MJPG":
                 raise NotImplementedError(
-                    f"only MJPG AVI streams are decodable here; "
-                    f"stream compression is "
+                    f"only MJPG AVI video streams are decodable here; "
+                    f"video compression is "
                     f"{(compression or b'?').decode('latin1')!r} — "
                     "inter-frame codecs need a motion-compensation "
                     "decoder (documented boundary)")
-            for f2, b2, s2 in _walk(data, body + 4, body + size):
-                if len(f2) == 4 and f2[2:4] in (b"dc", b"db"):
+            for f2, b2, s2 in _movi_chunks(body + 4, body + size):
+                if (len(f2) == 4 and f2[:2] == vid_prefix
+                        and f2[2:4] in (b"dc", b"db")):
                     frames.append(bytes(data[b2:b2 + s2]))
     return frames

@@ -858,6 +858,11 @@ def jpeg_planes(data: bytes) -> list[np.ndarray]:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker stream desynchronized")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker id — skip them so a foreign encoder's padding doesn't
+        # desynchronize the parse (0xFF is never itself a marker id).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

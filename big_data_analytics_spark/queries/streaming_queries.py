@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 from contextlib import contextmanager
 from pathlib import Path
 
@@ -41,6 +40,28 @@ from big_data_analytics_spark.streaming.events import (
 
 _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 _QNAME = itertools.count()
+
+
+def _scratch(name: str, *subdirs: str) -> tuple[Path, ...]:
+    """Bounded per-query scratch space (checkpoints, sink targets):
+    one FIXED location under the gitignored .fixtures root, wiped at
+    the start of each invocation. mkdtemp here would leak a directory
+    per driver/bench run (for sm8/sm10, a full parquet copy of the
+    events rollup); a fixed path caps the footprint at one copy. The
+    wipe is also a correctness requirement: a stale checkpoint at a
+    reused path would make the stream RESUME instead of reprocessing.
+    Callers that read the target back return a lazy DataFrame over it,
+    so the dir must survive until the caller's next invocation — which
+    is exactly what wipe-on-entry (not on-exit) provides."""
+    import shutil
+
+    root = _FIXTURE_ROOT / "scratch" / name
+    if root.exists():
+        shutil.rmtree(root)
+    out = tuple(root / s for s in subdirs)
+    for p in out:
+        p.mkdir(parents=True, exist_ok=True)
+    return out
 
 
 def _source_sig(sf_dir: str, table: str = "events") -> str:
@@ -166,7 +187,7 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> str:
     block to completion; returns the sink table name. State
     partitioning right-sized via _state_partitions."""
     qname = f"{prefix}_{next(_QNAME)}"
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    (ckpt,) = _scratch(f"{prefix}_mem", "ckpt")
     with _state_partitions(df.sparkSession):
         q = (df.writeStream.format("memory").queryName(qname)
              .outputMode(mode)
@@ -207,7 +228,7 @@ def sm1_stream_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", 1)
            .parquet(str(root / "data")))
     qname = f"sm1_mem_{next(_QNAME)}"
-    ckpt = tempfile.mkdtemp(prefix="sm1_ckpt_")
+    (ckpt,) = _scratch("sm1", "ckpt")
     # complete mode: availableNow's final watermark sits 1 day behind
     # max(ts), so append mode would hold back the last open window;
     # complete emits every window's final state.
@@ -433,7 +454,7 @@ def sm5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("_vq").cast("double") / 10000.0)
                    .alias("value_sum")))
     qname = f"sm5_mem_{next(_QNAME)}"
-    ckpt = tempfile.mkdtemp(prefix="sm5_ckpt_")
+    (ckpt,) = _scratch("sm5", "ckpt")
     with _state_partitions(spark):
         q = (agg.writeStream.format("memory").queryName(qname)
              .outputMode("complete")
@@ -585,8 +606,8 @@ def sm8_stream_upsert_parquet_sink(spark: SparkSession,
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", 1)
            .parquet(str(root / "data")))
-    target = tempfile.mkdtemp(prefix="sm8_target_")
-    ckpt = tempfile.mkdtemp(prefix="sm8_ckpt_")
+    target, ckpt = (str(d) for d in
+                    _scratch(f"sm8_{Path(sf_dir).name}", "target", "ckpt"))
     from big_data_analytics_spark.streaming.events import (
         start_stateful_upsert_sink,
     )
@@ -645,8 +666,8 @@ def sm10_stream_crash_recovery(spark: SparkSession,
                 .option("maxFilesPerTrigger", 1)
                 .parquet(str(root / "data")))
 
-    target = tempfile.mkdtemp(prefix="sm10_target_")
-    ckpt = tempfile.mkdtemp(prefix="sm10_ckpt_")
+    target, ckpt = (str(d) for d in
+                    _scratch(f"sm10_{Path(sf_dir).name}", "target", "ckpt"))
     crashed: list[int] = []
 
     def crash_once(batch_id: int) -> None:
@@ -743,7 +764,7 @@ def _sm9_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.floor(F.col("value") * 10000.0 + 0.5)
                       .cast("long")).alias("vq")))
     qname = f"sm9_mem_{next(_QNAME)}"
-    ckpt = tempfile.mkdtemp(prefix="sm9_ckpt_")
+    (ckpt,) = _scratch("sm9", "ckpt")
     with _state_partitions(spark):
         q = (agg.select(
                 F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")

@@ -729,3 +729,92 @@ def test_avi_demux_refuses_interframe_codecs():
         demux_avi_mjpeg(bad)
     with pytest.raises(ValueError):
         demux_avi_mjpeg(b"nonsense payload")
+
+
+def _multistream_avi(frames, audio_first):
+    """Hand-build a two-stream AVI (MJPG video + a fake audio stream
+    whose strf bytes 16:20 are garbage) to pin the demuxer's
+    stream-resolution rules."""
+    import struct
+
+    from big_data_analytics_spark.multimodal.avi import _chunk, _list
+
+    vid_no = 1 if audio_first else 0
+    aud_no = 0 if audio_first else 1
+    strh_v = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII",
+              0, 0, 0, 0, 1, 10, 0, len(frames), 0, 0, 0, 0)
+              + struct.pack("<HH", 16, 16))
+    strf_v = struct.pack("<IiiHHIIiiII",
+                         40, 16, 16, 1, 24, 0x47504A4D,
+                         16 * 16 * 3, 0, 0, 0, 0)
+    strh_a = (b"auds" + b"\x00\x00\x00\x00" + struct.pack("<IHHIIIIIIIII",
+              0, 0, 0, 0, 1, 8000, 0, 4000, 0, 0, 1, 0)
+              + struct.pack("<HH", 0, 0))
+    # 20-byte audio format blob; bytes 16:20 spell 'H264' on purpose —
+    # the old demuxer read them as the compression FourCC
+    strf_a = b"\x01\x00" + b"\x00" * 14 + b"H264"
+    strl_v = _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+    strl_a = _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a))
+    strls = strl_a + strl_v if audio_first else strl_v + strl_a
+    avih = struct.pack("<IIIIIIIIIIIIII", 100000, 0, 0, 0x10,
+                       len(frames), 0, 2, 0, 16, 16, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
+    vid_id, aud_id = b"%02ddc" % vid_no, b"%02dwb" % aud_no
+    movi_items = []
+    for i, f in enumerate(frames):
+        movi_items.append(_chunk(aud_id, b"\xde\xad" * 5))
+        item = _chunk(vid_id, f)
+        if i == 1:  # wrap one interleave pair in a 'rec ' group
+            item = _list(b"rec ", movi_items.pop() + item)
+        movi_items.append(item)
+    movi = _list(b"movi", b"".join(movi_items))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_demux_multistream_audio_first():
+    """Audio-first two-stream AVI: compression must come from the
+    'vids' strl (not the last strf — the audio one spells 'H264' at
+    16:20), and only the video stream's chunks are collected,
+    including inside a 'rec ' group."""
+    from big_data_analytics_spark.multimodal.avi import demux_avi_mjpeg
+
+    frames = [b"\xff\xd8frame%d\xff\xd9" % i for i in range(3)]
+    for audio_first in (True, False):
+        out = demux_avi_mjpeg(_multistream_avi(frames, audio_first))
+        assert out == frames, f"audio_first={audio_first}"
+
+
+def test_avi_demux_multistream_non_mjpg_video_refused():
+    """With a real video stream that is NOT MJPG, the boundary error
+    must still fire even though another stream exists."""
+    import pytest
+
+    from big_data_analytics_spark.multimodal.avi import demux_avi_mjpeg
+
+    avi = _multistream_avi([b"\xff\xd8x\xff\xd9"], audio_first=True)
+    with pytest.raises(NotImplementedError):
+        demux_avi_mjpeg(avi.replace(b"MJPG", b"XVID"))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker id; a foreign JPEG padded this way must decode identically
+    instead of desynchronizing the marker parse."""
+    from big_data_analytics_spark.multimodal.jpeg import (
+        encode_jpeg,
+        jpeg_planes,
+    )
+
+    px = [[(40 + 13 * (x // 8) + 29 * (y // 8)) % 256
+           for x in range(16)] for y in range(16)]
+    data = bytes(encode_jpeg(px, qdc=8, qac=16))
+    ref = jpeg_planes(data)
+    # inject fill bytes before the first DQT and the SOS marker
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda", 1)
+    assert len(padded) == len(data) + 5
+    out = jpeg_planes(padded)
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        assert (a == b).all()
