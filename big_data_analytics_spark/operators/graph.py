@@ -327,6 +327,38 @@ def pagerank(
         e.unpersist()
 
 
+def _lpa_step(edge_rel: DataFrame, lab: DataFrame,
+              join_hint, fuse: bool = False) -> DataFrame:
+    """One LPA round: join labels into edges, then mode-of-neighbor
+    labels per dst with the (count DESC, label ASC) tie-break as one
+    max of a lexicographic struct. Module-level (not a closure) so the
+    plan guard test_lp1_fused_step_single_exchange can inspect a raw
+    round — the broadcast path's localCheckpoint erases the plan of
+    the composed recursion (the gr4/_bfs_hop precedent).
+
+    ``fuse`` replaces the two aggregation exchanges — (dst, label)
+    then dst — with ONE repartition of the raw joined rows on dst:
+    HashPartitioning(dst) satisfies the clustering requirement of both
+    downstream aggregations (partitioning on a subset of the group
+    keys), at the price of losing the map-side combine into the first
+    exchange (worth nothing in LPA's early near-distinct-label
+    rounds; see label_propagation's docstring for the measurements)."""
+    joined = edge_rel.join(join_hint(lab), edge_rel.src == lab.node)
+    if fuse:
+        joined = joined.repartition("dst")
+    return (
+        joined
+        .groupBy(F.col("dst").alias("node2"), "label")
+        .agg(F.count("*").alias("n"))
+        .groupBy("node2")
+        .agg(F.max(F.struct(
+            F.col("n"), (-F.col("label")).alias("neg"),
+            F.col("label"))).alias("best"))
+        .select(F.col("node2").alias("node"),
+                F.col("best.label").alias("label"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -336,6 +368,7 @@ def label_propagation(
     strategy: str = "auto",
     broadcast_max_nodes: int = 5_000_000,
     assume_distinct: bool = False,
+    fuse_exchanges: bool | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (fixed iteration count) over a
     directed edge list; returns (node, label).
@@ -346,8 +379,22 @@ def label_propagation(
     labels, ties broken deterministically by (count DESC, label ASC) —
     not SQL mode(), whose tie order is engine-defined — so the
     fixed-iteration result is engine-exact and hash-gradeable. The
-    pick is one max of a lexicographic (n, -label) struct: two
-    partial-combined aggregations per round, no window.
+    pick is one max of a lexicographic (n, -label) struct.
+
+    ``fuse_exchanges`` (default: on for the broadcast path) replaces
+    the two per-round aggregation exchanges — (dst, label) then dst —
+    with ONE repartition of the raw joined rows on dst;
+    HashPartitioning(dst) satisfies the clustering requirement of both
+    aggregations (partitioning on a subset of the group keys), so both
+    run exchange-free on it. The trade: the (dst, label) exchange
+    loses its map-side combine — but LPA's early rounds have
+    near-distinct labels (round 0: label == node id), so the combine
+    shrinks almost nothing while the extra exchange is real. Measured
+    (round 9, co-purchase graph, warm best-of-3): sf0.1 4.78 -> 3.32 s
+    (-30%), 10x / 24M edges 16.51 -> 14.00 s (-15%). The shuffle
+    strategy keeps the two-exchange default: on graphs past broadcast
+    reach the combine's effectiveness grows as labels converge, and
+    that path was not in the measured scope.
 
     Strategy mirrors :func:`pagerank`: ``'broadcast'`` ships the
     node-sized label table into the edge join each round (no edge
@@ -368,20 +415,8 @@ def label_propagation(
         strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
                     else "shuffle")
     labels = nodes.select("node", F.col("node").alias("label"))
-
-    def step(edge_rel: DataFrame, lab: DataFrame,
-             join_hint) -> DataFrame:
-        return (
-            edge_rel.join(join_hint(lab), edge_rel.src == lab.node)
-            .groupBy(F.col("dst").alias("node2"), "label")
-            .agg(F.count("*").alias("n"))
-            .groupBy("node2")
-            .agg(F.max(F.struct(
-                F.col("n"), (-F.col("label")).alias("neg"),
-                F.col("label"))).alias("best"))
-            .select(F.col("node2").alias("node"),
-                    F.col("best.label").alias("label"))
-        )
+    if fuse_exchanges is None:
+        fuse_exchanges = strategy == "broadcast"
 
     try:
         if strategy == "broadcast":
@@ -390,14 +425,16 @@ def label_propagation(
                               max(para, n_edges * 16 // (64 << 20) + 1)))
             e_sized = e.coalesce(n_parts)
             for _ in range(iterations):
-                labels = step(e_sized, labels, F.broadcast)
+                labels = _lpa_step(e_sized, labels, F.broadcast,
+                                   fuse=fuse_exchanges)
             return labels.localCheckpoint()
         if strategy != "shuffle":
             raise ValueError(
                 f"strategy must be auto/broadcast/shuffle, got {strategy!r}")
         labels = _ckpt(labels, checkpoint)
         for _ in range(iterations):
-            labels = _ckpt(step(e, labels, lambda d: d), checkpoint)
+            labels = _ckpt(_lpa_step(e, labels, lambda d: d,
+                                     fuse=fuse_exchanges), checkpoint)
         return labels
     finally:
         e.unpersist()
