@@ -150,7 +150,9 @@ def gr1_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITER = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte() -> tuple[str, str]:
+    """The unrolled-LPA WITH body shared by lp1 and gr6: returns
+    (cte_sql, final_label_table_name)."""
     body = """
     WITH edges AS (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -173,13 +175,17 @@ def _lpa_oracle() -> str:
         ) WHERE rn = 1
     )"""
         prev = f"l{i}"
-    body += f"""
+    return body, prev
+
+
+def _lpa_oracle() -> str:
+    body, prev = _lpa_cte()
+    return body + f"""
     SELECT label AS community, COUNT(*) AS n_parts
     FROM {prev}
     GROUP BY label
     HAVING COUNT(*) >= 2
     """
-    return body
 
 
 @query("lp1_part_communities", oracle=_lpa_oracle())
@@ -540,3 +546,95 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 gr5_link_prediction.__doc__ = gr5_link_prediction.__doc__.format(
     K=_TOPK, C=_LP_CAP)
+
+
+def _modularity_oracle() -> str:
+    body, prev = _lpa_cte()
+    return body + f""", labs AS (
+        SELECT node, label FROM {prev}
+    ), m AS (
+        SELECT COUNT(*) AS m2 FROM edges
+    ), sz AS (
+        SELECT label AS community, COUNT(*) AS n_nodes
+        FROM labs GROUP BY 1
+    ), deg AS (
+        SELECT l.label AS community, COUNT(*) AS k_c
+        FROM edges e JOIN labs l ON e.src = l.node GROUP BY 1
+    ), win AS (
+        SELECT a.label AS community, COUNT(*) AS e_within
+        FROM edges e
+        JOIN labs a ON e.src = a.node
+        JOIN labs b ON e.dst = b.node
+        WHERE a.label = b.label GROUP BY 1
+    )
+    SELECT s.community,
+           s.n_nodes,
+           COALESCE(w.e_within, 0) AS e_within,
+           d.k_c,
+           ((1000000 * COALESCE(w.e_within, 0)) // m.m2)
+             - (((1000000 * d.k_c) // m.m2)
+                * ((1000000 * d.k_c) // m.m2)) // 1000000
+             AS q_contrib_micro
+    FROM sz s
+    JOIN deg d ON s.community = d.community
+    LEFT JOIN win w ON s.community = w.community
+    CROSS JOIN m
+    WHERE s.n_nodes >= 2
+    """
+
+
+@query("gr6_modularity", oracle=_modularity_oracle())
+def gr6_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of lp1's LPA communities, per community —
+    the quality metric that says whether a partition is better than
+    random for the same degree sequence: Q = Σ_c [ e_c/m − (K_c/m)² ]
+    over directed edge count m, within-community directed edges e_c,
+    and community degree sum K_c. Emitted per community (size ≥ 2, the
+    lp1 convention) in MICRO-UNITS with the same integer discipline as
+    pagerank: every fraction is a non-negative int64 floor-division
+    ((1e6·e_c) div m, then squaring the already-quantized degree
+    fraction and dividing by 1e6), so the result is bit-identical on
+    any engine and any partitioning, never a parallel double sum. The
+    quantization error is < 3e-6 per community — far below any
+    decision-relevant difference in a metric read at 1e-2 granularity.
+
+    Scale: labels are node-sized → both label attachments are
+    broadcast joins into the cached edge relation; everything after is
+    mergeable aggregation on community keys (counts and sums), and the
+    edge total rides as a broadcast 1-row aggregate — no driver
+    scalar, no window, nothing proportional to edges crosses an
+    exchange except the two community-keyed partial-combined
+    aggregates. Reuses the shared co-purchase edge relation and the
+    fused-exchange LPA (operators/graph.py:label_propagation)."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    labels = label_propagation(edges, iterations=_LPA_ITER,
+                               assume_distinct=True)
+    src_lab = labels.select(F.col("node").alias("src"),
+                            F.col("label").alias("src_label"))
+    dst_lab = labels.select(F.col("node").alias("dst"),
+                            F.col("label").alias("dst_label"))
+    within = (edges
+              .join(F.broadcast(src_lab), "src")
+              .join(F.broadcast(dst_lab), "dst")
+              .filter(F.col("src_label") == F.col("dst_label"))
+              .groupBy(F.col("src_label").alias("community"))
+              .agg(F.count(F.lit(1)).cast("long").alias("e_within")))
+    deg = (edges
+           .join(F.broadcast(src_lab), "src")
+           .groupBy(F.col("src_label").alias("community"))
+           .agg(F.count(F.lit(1)).cast("long").alias("k_c")))
+    sz = (labels.groupBy(F.col("label").alias("community"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    m2 = edges.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    return (sz.filter(F.col("n_nodes") >= 2)
+            .join(deg, "community")
+            .join(within, "community", "left")
+            .withColumn("e_within",
+                        F.coalesce(F.col("e_within"), F.lit(0).cast("long")))
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "community", "n_nodes", "e_within", "k_c",
+                (F.expr("(1000000L * e_within) div m2")
+                 - F.expr("(((1000000L * k_c) div m2) * "
+                          "((1000000L * k_c) div m2)) div 1000000L"))
+                .cast("long").alias("q_contrib_micro")))

@@ -25,7 +25,9 @@ _TOP = 10
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
 
-_BM25_ORACLE = f"""
+#: WITH-body shared by ir1 (ranking) and ir2 (NDCG eval): exact
+#: integer tf/df/dl stats and the 1e-9-quantized BM25 score per doc.
+_IR_CTE = f"""
     WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
@@ -54,31 +56,18 @@ _BM25_ORACLE = f"""
         FROM tf JOIN df USING (token), stats
         GROUP BY tf.doc_id
     )
+"""
+
+_BM25_ORACLE = _IR_CTE + f"""
     SELECT doc_id, bm25 FROM scored
     ORDER BY bm25 DESC, doc_id LIMIT {_TOP}
 """
 
 
-@query("ir1_bm25_topk", oracle=_BM25_ORACLE)
-def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{TOP} retrieval for the query {TERMS} over the
-    documents corpus (k1={K1}, b={B}, Robertson idf with the +1
-    floor). Term frequencies, document frequencies, document lengths,
-    and the corpus length sum are all exact integers; per-(doc, term)
-    partial scores are floor-quantized to a 1e-9 grid and summed
-    exactly (the ml9 discipline — a 3-term double sum would be
-    merge-order-dependent), then rounded to 6 decimals before the
-    ranking cut.
-
-    Plan shape — the inverted-index scoring pattern: the explode
-    filters to query-term postings IMMEDIATELY (non-matching tokens
-    never leave the map side), doc length rides along functionally
-    (no separate doc-length join), the per-term df relation
-    (|query terms| rows) and the single-row corpus stats broadcast,
-    and the final cut is TakeOrderedAndProject — no global sort. At
-    100 TB the shuffled state is one row per (matching doc, query
-    term): proportional to the postings of the query, not the
-    corpus."""
+def _tf_and_scored(spark: SparkSession, sf_dir: str):
+    """The shared ir1/ir2 pipeline: (tf, scored) — per-(doc, term)
+    exact term frequencies (postings of the query terms only) and the
+    per-doc 1e-9-quantized BM25 score. Mirrors _IR_CTE exactly."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
     dl = docs.select("doc_id", F.size("toks").alias("dl"))
@@ -105,8 +94,118 @@ def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.floor(term_score * 1_000_000_000.0)
                         .cast("long")).cast("double") / 1_000_000_000.0,
                   6).alias("bm25")))
+    return tf, scored
+
+
+@query("ir1_bm25_topk", oracle=_BM25_ORACLE)
+def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{TOP} retrieval for the query {TERMS} over the
+    documents corpus (k1={K1}, b={B}, Robertson idf with the +1
+    floor). Term frequencies, document frequencies, document lengths,
+    and the corpus length sum are all exact integers; per-(doc, term)
+    partial scores are floor-quantized to a 1e-9 grid and summed
+    exactly (the ml9 discipline — a 3-term double sum would be
+    merge-order-dependent), then rounded to 6 decimals before the
+    ranking cut.
+
+    Plan shape — the inverted-index scoring pattern: the explode
+    filters to query-term postings IMMEDIATELY (non-matching tokens
+    never leave the map side), doc length rides along functionally
+    (no separate doc-length join), the per-term df relation
+    (|query terms| rows) and the single-row corpus stats broadcast,
+    and the final cut is TakeOrderedAndProject — no global sort. At
+    100 TB the shuffled state is one row per (matching doc, query
+    term): proportional to the postings of the query, not the
+    corpus."""
+    _, scored = _tf_and_scored(spark, sf_dir)
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_TOP)
 
 
 ir1_bm25_topk.__doc__ = ir1_bm25_topk.__doc__.format(
     TOP=_TOP, TERMS=_TERMS, K1=_K1, B=_B)
+
+
+_NDCG_Q = 1e9  # per-rank gain quantization grid
+
+
+@query(
+    "ir2_ndcg_eval",
+    oracle=_IR_CTE + f""", rel AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT token) AS BIGINT) AS rel
+        FROM tf GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT {_TOP}
+    ), ideal AS (
+        SELECT rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+        FROM rel WHERE rel > 0
+        ORDER BY rel DESC, doc_id LIMIT {_TOP}
+    )
+    SELECT r.rk AS rank, r.doc_id, r.bm25, rel.rel,
+           CAST(FLOOR({_NDCG_Q}
+               * (CAST(2 AS DOUBLE) ^ rel.rel - 1.0)
+               / (ln(CAST(r.rk + 1 AS DOUBLE)) / ln(2.0)))
+               AS BIGINT) AS gain_q,
+           CAST(FLOOR({_NDCG_Q}
+               * (CAST(2 AS DOUBLE) ^ i.rel - 1.0)
+               / (ln(CAST(i.rk + 1 AS DOUBLE)) / ln(2.0)))
+               AS BIGINT) AS ideal_gain_q
+    FROM ranked r
+    JOIN rel ON r.doc_id = rel.doc_id
+    JOIN ideal i ON i.rk = r.rk
+    """,
+)
+def ir2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{TOP} evaluation of the BM25 ranking — the retrieval-eval
+    metric a corpus platform needs next to the ranker itself. Graded
+    relevance is derived deterministically from the corpus: rel(doc) =
+    number of DISTINCT query terms present (0–{NT}), the standard
+    term-coverage grade. Per rank i: gain = (2^rel − 1)/log2(i+1) for
+    the BM25 ordering, and the same for the IDEAL ordering (rel desc).
+    Both are floor-quantized to a 1e-9 grid per rank and shipped as
+    exact integers — NDCG = Σ gain_q / Σ ideal_gain_q is the
+    consumer's one division (the ts5/ir1 discipline; a float DCG sum
+    would be merge-order-dependent). The log2 is computed as
+    ln(rk+1)/ln(2) with identical operation order on both engines.
+
+    Scale shape: rides ir1's inverted-index pipeline (postings-bounded
+    shuffle, broadcast df/stats); the two top-{TOP} cuts are
+    TakeOrderedAndProject (per-partition heaps, no global sort), the
+    relevance join touches only the {TOP} ranked docs, and the
+    rank-aligned ideal join is {TOP}×{TOP}-bounded broadcast."""
+    tf, scored = _tf_and_scored(spark, sf_dir)
+    rel = (tf.groupBy("doc_id")
+           .agg(F.countDistinct("token").cast("long").alias("rel")))
+    from pyspark.sql import Window
+
+    ranked = (scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+              .limit(_TOP)
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.desc("bm25"), F.asc("doc_id")))))
+    ideal = (rel.filter(F.col("rel") > 0)
+             .orderBy(F.desc("rel"), F.asc("doc_id"))
+             .limit(_TOP)
+             .withColumn("rk", F.row_number().over(
+                 Window.orderBy(F.desc("rel"), F.asc("doc_id"))))
+             .select("rk", F.col("rel").alias("ideal_rel")))
+
+    def _gain(rel_col: str, rk_col: str):
+        return F.expr(
+            f"CAST(FLOOR({_NDCG_Q}"
+            f" * (POW(CAST(2 AS DOUBLE), {rel_col}) - 1.0)"
+            f" / (ln(CAST({rk_col} + 1 AS DOUBLE)) / ln(2.0)))"
+            " AS BIGINT)")
+
+    return (ranked
+            .join(F.broadcast(rel), "doc_id")
+            .join(F.broadcast(ideal), "rk")
+            .select(F.col("rk").alias("rank"), "doc_id", "bm25", "rel",
+                    _gain("rel", "rk").alias("gain_q"),
+                    _gain("ideal_rel", "rk").alias("ideal_gain_q")))
+
+
+ir2_ndcg_eval.__doc__ = ir2_ndcg_eval.__doc__.format(
+    TOP=_TOP, NT=len(_TERMS))

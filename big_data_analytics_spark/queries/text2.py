@@ -246,3 +246,96 @@ def t9_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "tok_offset", "first_seq", "last_seq",
         (F.col("last_seq") - F.col("first_seq") + 1).alias("n_seqs"),
     )
+
+
+_PMI_MIN_PAIRS = 10
+_PMI_Q = 1e6  # PMI quantization grid (nats * 1e6)
+
+
+@query(
+    "t14_pmi_cooccurrence",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bigrams AS (
+        SELECT s.a, s.b FROM (
+            SELECT unnest(list_transform(ts[1:len(ts) - 1],
+                   (x, i) -> {{'a': x, 'b': ts[i + 1]}})) AS s
+            FROM d WHERE len(ts) >= 2)
+    ), pairs AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM bigrams GROUP BY a, b
+    ), uni AS (
+        SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM d, unnest(ts) AS u(tok) GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(c_t) AS BIGINT) AS nt FROM uni
+    ), btot AS (
+        SELECT CAST(SUM(c_ab) AS BIGINT) AS nb FROM pairs
+    )
+    SELECT p.a, p.b, p.c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
+           CAST(FLOOR({_PMI_Q} * ln(
+               (CAST(p.c_ab AS DOUBLE) / nb)
+               / ((CAST(ua.c_t AS DOUBLE) / nt)
+                  * (CAST(ub.c_t AS DOUBLE) / nt))))
+               AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN uni ua ON p.a = ua.tok
+    JOIN uni ub ON p.b = ub.tok
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE p.c_ab >= {_PMI_MIN_PAIRS}
+    """,
+)
+def t14_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs over the
+    corpus — the collocation / phrase-mining statistic (and the
+    word-embedding precursor: word2vec SGNS factorizes a shifted PMI
+    matrix). PMI(a,b) = ln[ (c_ab/N_b) / ((c_a/N_t)(c_b/N_t)) ],
+    floor-quantized to a 1e-6-nat grid from exact integer counts (the
+    fs1/ds1 convention: the one ln is computed from the same int64
+    inputs with the same operation order on both engines, then floored
+    — never a parallel float accumulation). Pairs below {MIN}
+    occurrences are dropped — the standard PMI small-count guard (PMI
+    of rare pairs is maximal noise).
+
+    Scale shape: one explode pass builds the bigram relation (the
+    in-array transform keeps pair construction JVM-side — no
+    self-join, no window), one for unigrams; both aggregate with
+    map-side combine on token keys. The two corpus totals ride as
+    broadcast 1-row aggregates, and the unigram table joins back
+    token-keyed — at 100 TB the unigram relation is vocabulary-sized
+    (Zipf-bounded), so those joins broadcast."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.split("text", " ").alias("ts")))
+    bigrams = (docs.filter(F.size("ts") >= 2)
+               .select(F.explode(F.expr(
+                   "transform(slice(ts, 1, size(ts) - 1), "
+                   "(x, i) -> struct(x AS a, ts[i + 1] AS b))"))
+                   .alias("p"))
+               .select("p.a", "p.b"))
+    pairs = (bigrams.groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+             .filter(F.col("c_ab") >= _PMI_MIN_PAIRS))
+    uni = (docs.select(F.explode("ts").alias("tok"))
+           .groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("c_t")))
+    tot = uni.agg(F.sum("c_t").cast("long").alias("nt"))
+    btot = (bigrams.agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c_t").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c_t").alias("c_b"))
+    return (pairs
+            .join(F.broadcast(ua), "a")
+            .join(F.broadcast(ub), "b")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(btot))
+            .select("a", "b", "c_ab", "c_a", "c_b",
+                    F.expr(
+                        f"CAST(FLOOR({_PMI_Q} * ln("
+                        "(CAST(c_ab AS DOUBLE) / nb)"
+                        " / ((CAST(c_a AS DOUBLE) / nt)"
+                        " * (CAST(c_b AS DOUBLE) / nt))))"
+                        " AS BIGINT)").alias("pmi_micro")))
+
+
+t14_pmi_cooccurrence.__doc__ = t14_pmi_cooccurrence.__doc__.format(
+    MIN=_PMI_MIN_PAIRS)

@@ -270,3 +270,88 @@ def ts5_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts5_acf.__doc__ = ts5_acf.__doc__.format(L=_ACF_MAX_LAG)
+
+
+@query(
+    "ts6_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS vc
+        FROM orders GROUP BY 1
+    ), ma AS (
+        SELECT d, vc,
+               CAST(SUM(vc) OVER w AS BIGINT) AS trend7,
+               COUNT(*) OVER w AS n_win,
+               CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS wd
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ), full_win AS (
+        SELECT d, vc, trend7, wd,
+               CAST(7 * vc - trend7 AS BIGINT) AS detrend7
+        FROM ma WHERE n_win = 7
+    ), seasonal AS (
+        SELECT wd, CAST(SUM(detrend7) AS BIGINT) AS s_num,
+               CAST(COUNT(*) AS BIGINT) AS n_w
+        FROM full_win GROUP BY 1
+    )
+    SELECT strftime(f.d, '%Y-%m-%d') AS day,
+           f.vc AS revenue_cents,
+           f.trend7,
+           f.wd,
+           f.detrend7,
+           s.s_num,
+           s.n_w,
+           CAST(s.n_w * f.detrend7 - s.s_num AS BIGINT)
+               AS remainder_scaled
+    FROM full_win f JOIN seasonal s ON f.wd = s.wd
+    """,
+)
+def ts6_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series — trend / weekly-seasonal / remainder — in EXACT integers
+    (the ts5 discipline: ship order-independent sufficient integers,
+    never an accumulation-ordered float). Per full-window day:
+    trend7 = Σ of the centered 7-day revenue window (trend = trend7/7),
+    detrend7 = 7·vc − trend7 (7× the detrended value),
+    (s_num, n_w) = the weekday's detrended sum and count
+    (seasonal = s_num/(7·n_w)), and
+    remainder_scaled = n_w·detrend7 − s_num (7·n_w× the remainder) —
+    every division deferred to the consumer, so the decomposition is
+    bit-identical on any engine and any partitioning. Weekday is
+    (days-since-epoch mod 7): pure integer arithmetic, immune to the
+    engines' dayofweek convention mismatch.
+
+    Scale shape: the orders-scale relation is touched exactly once by
+    the mergeable daily aggregate; the centered-MA window and the
+    weekday rollup run over the bounded |dates|-row series (thousands
+    of rows at any SF — the documented bounded-window exception, ts5's
+    precedent), and the 7-row seasonal table broadcasts back."""
+    from pyspark.sql import Window
+
+    daily = (load_table(spark, sf_dir, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                        .cast("long")).cast("long").alias("vc")))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = (daily
+          .withColumn("trend7", F.sum("vc").over(w).cast("long"))
+          .withColumn("n_win", F.count(F.lit(1)).over(w))
+          .withColumn("wd", (F.datediff(F.col("d"),
+                                        F.lit("1970-01-01").cast("date"))
+                             % 7).cast("long"))
+          .filter(F.col("n_win") == 7)
+          .withColumn("detrend7",
+                      (F.lit(7) * F.col("vc") - F.col("trend7"))
+                      .cast("long")))
+    seasonal = (ma.groupBy("wd")
+                .agg(F.sum("detrend7").cast("long").alias("s_num"),
+                     F.count(F.lit(1)).cast("long").alias("n_w")))
+    return (ma.join(F.broadcast(seasonal), "wd")
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    F.col("vc").alias("revenue_cents"),
+                    "trend7", "wd", "detrend7", "s_num", "n_w",
+                    (F.col("n_w") * F.col("detrend7") - F.col("s_num"))
+                    .cast("long").alias("remainder_scaled")))
