@@ -59,83 +59,79 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-8 head-50: 2 canaries + round-8 new/changed (mm8 JPEG,
-#: sm10 crash-recovery, bp1 partitioned+bucketed, bj1 whose fixture
-#: gained the legacy-dir cleanup, mm4/mm5/mm7 for the pixel
-#: dispatcher, the ANN trio v3_ivf / v3_lsh / v7 whose one-off
-#: index builds gained the fan-out repartition, gr5 whose pair
-#: stage gained the volume-sized exchange, es1 whose k-gram
-#: build gained the under-split spread, gr4 whose frontier join
-#: is now pinned shuffled-hash, v4 whose signature relation is
-#: now built once and spread, fj1 which now collapses to
-#: distinct names before the variant join, dq4/d6 whose shared
-#: n-gram operator gained the checkpoint+spread, the new cm1/se1
-#: storage-maintenance read-backs, and the new mm9 MJPEG-AVI
-#: frame-sample row) + the 20 remaining
-#: r1-vintage rows + the oldest r2 rows in registry order. The
-#: round-9 backlog under the standing rule: the 24 remaining r2 rows
-#: (d4, aj1, aj2, rj1, f13, f20, q3, q5, q7, q8, q9, q10, q13, q18,
-#: q21, w8, w9, f22, f23, h1, sa1, g3, sk3, t6), then r3 vintage.
+#: Round-9 head-50: 2 canaries + round-9 new/changed (mm2 whose
+#: corpus size was silently rebound by mm9's constant — now fixed and
+#: AST-guarded; mm9 whose AVI demux gained the vids-stream pin; mm8
+#: whose JPEG marker loop gained fill-byte skipping; sm10 whose
+#: scratch dirs gained cleanup; lp1 whose LPA rounds fused two
+#: aggregation exchanges into one; and the seven new queries gr6
+#: modularity, ir2 NDCG, t14 PMI, ts6 seasonal decomposition, t15
+#: bigram-LM scoring, gr7 degree-oriented triangles, ts7 CUSUM) + the
+#: entire 24-row r2-vintage backlog (burned this round) + the 12
+#: oldest r3-vintage rows in registry order. The round-10 backlog
+#: under the standing rule: the 31 remaining r3-vintage rows
+#: (next up in registry order: p19b, sk1, sk2, t7_vocabulary, ts1,
+#: dq1, dq2, t8, pv2, o2g, ws1, sk4, sk5, q2p, q11p, q20p, t9, t10,
+#: a20, up1, gi1, gr1, a21, t11, t12, inc1, df1, bpe1, sk6, rc1,
+#: at1), then r4 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-8 new/changed (mm4/mm5/mm7 re-graded because the
-    # resize/dHash pixel path gained the shared JPEG dispatcher)
+    # (b) round-9 new/changed
+    "mm2_frame_samples",
+    "mm9_video_frame_sample",
     "mm8_jpeg_roundtrip",
     "sm10_stream_crash_recovery",
-    "bp1_partitioned_bucketed_rollup",
-    "bj1_bucketed_colocated_join",
-    "mm4_resize_pipeline",
-    "mm5_png_roundtrip",
-    "mm7_dhash_neardup",
-    "v3_lsh_ann_topk",
-    "v7_ann_recall",
-    "gr5_link_prediction",
-    "es1_exact_substring_spans",
-    "gr4_bfs_hops",
-    "v4_embedding_near_dups",
-    "fj1_fuzzy_supplier_names",
-    "dq4_ngram_contamination",
-    "d6_decontaminate_train",
-    "cm1_compaction_rollup",
-    "se1_schema_evolution_rollup",
-    "mm9_video_frame_sample",
-    # (c) oldest-first: the 20 r1-vintage rows (last driver row in
-    # round 1), registry order, no-oracle entries (p19/f17) skipped
-    "a8_percentiles",
-    "p8_null_handling",
-    "p13_cast_coercion",
-    "f18_array_ops",
-    "a15_exists_over_array",
-    "f19_map_ops",
-    "p6_membership_and_regex",
-    "u3_intersect_except",
-    "u3b_intersect_all",
-    "f11_date_sequence",
-    "j5b_rowkey_decompose_join",
-    "a19_median_mode",
-    "q4_priority_with_late_items",
-    "q12_priority_shipping",
-    "q14_brand_revenue_share",
-    "q19_or_of_ands",
-    "q16_supplier_variety",
-    "q17_below_avg_quantity",
-    "q15_top_suppliers",
-    "q22_idle_rich_customers",
-    # (c cont.) the 24 oldest r2-vintage rows, registry order,
-    # no-oracle entries (d2/d3) skipped
-    "d1_exact_dedup",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_fingerprints",
-    "t5_corpus_stats",
-    "v1_cosine_topk",
-    "v2_label_centroid_norms",
-    "v3_ivf_topk",
+    "lp1_part_communities",
+    "gr6_modularity",
+    "ir2_ndcg_eval",
+    "t14_pmi_cooccurrence",
+    "ts6_seasonal_decompose",
+    "t15_bigram_lm_scores",
+    "gr7_triangle_counts",
+    "ts7_cusum_changepoint",
+    # (c) oldest-first: the full 24-row r2-vintage backlog (last
+    # driver row in round 2), registry order, no-oracle d2/d3 skipped
+    "d4_ngram_jaccard_pairs",
+    "aj1_asof_purchase_view",
+    "aj2_forward_asof_tolerance",
+    "rj1_value_band_join",
+    "f13_math_functions",
+    "f20_json_extract",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
+    "w8_moving_hour_stats",
+    "w9_first_last_nth_order",
+    "f22_edit_distance",
+    "f23_regexp_extract_all",
+    "h1_value_histogram",
+    "sa1_ordered_string_agg",
+    "g3_grouping_sets",
+    "sk3_approx_quantiles",
+    "t6_chunk_documents",
+    # (c cont.) the 12 oldest r3-vintage rows, registry order
+    "ecom_revenue_by_state",
+    "ecom_top_products",
+    "ecom_clv",
+    "ecom_product_daily_metrics",
+    "ecom_monthly_sales",
+    "ecom_products_enriched",
+    "ecom_dwell_times",
+    "ecom_page_transitions",
+    "ecom_inventory_levels",
+    "ij1_view_purchase_pairs",
+    "scd1_user_state_history",
+    "p20b_stratified_sample",
 ]
 
 

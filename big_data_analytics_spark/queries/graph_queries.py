@@ -638,3 +638,109 @@ def gr6_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - F.expr("(((1000000L * k_c) div m2) * "
                           "((1000000L * k_c) div m2)) div 1000000L"))
                 .cast("long").alias("q_contrib_micro")))
+
+
+_TRI_Q = 2_000_000  # 2·1e6: clustering coefficient micro-units
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), und AS (
+        SELECT src AS u, dst AS v FROM edges WHERE src < dst
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY node
+    ), ori AS (
+        SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS a,
+               CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS b
+        FROM und
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+    ), tri AS (
+        SELECT w1.a AS x, w1.b AS y, w2.b AS z
+        FROM ori w1
+        JOIN ori w2 ON w1.a = w2.a AND w1.b < w2.b
+        JOIN ori e ON e.a = w1.b AND e.b = w2.b
+    )
+    SELECT node, d AS degree,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles,
+           CAST(({_TRI_Q} * COALESCE(t.n, 0)) // (d * (d - 1)) AS BIGINT)
+               AS clustering_micro
+    FROM deg LEFT JOIN (
+        SELECT node, COUNT(*) AS n FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    ) t USING (node)
+    WHERE d >= 2
+    """
+
+
+@query("gr7_triangle_counts", oracle=_triangle_oracle())
+def gr7_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the undirected co-purchase graph — the density statistic behind
+    community strength, spam-graph detection, and gr5's
+    common-neighbor features. Enumeration is DEGREE-ORIENTED (each
+    undirected edge directed from its (degree, id)-smaller endpoint):
+    the orientation is acyclic from a total order, so every triangle
+    has exactly one node with out-edges to the other two and is
+    counted exactly once as a wedge (a→b, a→c), b<c in orientation
+    order, closed by the oriented edge b→c. Out-degrees under this
+    orientation are O(√m) (the Cohen MapReduce-triangles bound), so
+    the wedge relation is O(m^1.5) — never deg² on hub nodes. This is
+    the full-graph answer to gr2's documented limitation (gr2
+    id-orders and therefore only runs on a bounded subgraph; its
+    docstring says "never wedge-join a dense graph whole" — degree
+    orientation is how you do run the whole graph at 100 TB). Clustering coefficient ships as the usual non-negative
+    integer floor division (2e6·T_v) div (d_v·(d_v−1)) — micro-units,
+    bit-identical on any engine/partitioning.
+
+    Scale shape: degrees are node-sized → both orientation attachments
+    broadcast into the edge-sized relation; the wedge build self-joins
+    the oriented relation shuffled on its source key; the closing join
+    shuffles wedge candidates against oriented edges on (b, c); the
+    per-node rollup is three mergeable counts. The only super-linear
+    relation is the wedge set itself, bounded by the orientation."""
+    und = (_weighted_edges(spark, sf_dir)
+           .filter(F.col("src") < F.col("dst"))
+           .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = ((F.col("du") < F.col("dv"))
+               | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    ori = (und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+           .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                   .alias("a"),
+                   F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                   .alias("b")))
+    w1 = ori.select(F.col("a"), F.col("b").alias("y"))
+    w2 = ori.select(F.col("a"), F.col("b").alias("z"))
+    wedges = (w1.join(w2, "a").filter(F.col("y") < F.col("z")))
+    tri = wedges.join(
+        ori.select(F.col("a").alias("y"), F.col("b").alias("z")),
+        ["y", "z"])
+    per_node = (tri.select(F.col("a").alias("node"))
+                .unionAll(tri.select(F.col("y").alias("node")))
+                .unionAll(tri.select(F.col("z").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (deg.filter(F.col("d") >= 2)
+            .join(per_node, "node", "left")
+            .select("node", F.col("d").alias("degree"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.expr(f"CAST(({_TRI_Q} * COALESCE(n, 0)) div "
+                           "(d * (d - 1)) AS BIGINT)")
+                    .alias("clustering_micro")))

@@ -339,3 +339,100 @@ def t14_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 t14_pmi_cooccurrence.__doc__ = t14_pmi_cooccurrence.__doc__.format(
     MIN=_PMI_MIN_PAIRS)
+
+
+_LM_Q = 1e6  # log-prob quantization grid (nats * 1e6)
+
+
+@query(
+    "t15_bigram_lm_scores",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bg AS (
+        SELECT doc_id, s.a, s.b FROM (
+            SELECT doc_id, unnest(list_transform(ts[1:len(ts) - 1],
+                   (x, i) -> {{'a': x, 'b': ts[i + 1]}})) AS s
+            FROM d WHERE len(ts) >= 2)
+    ), docpairs AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY 1, 2, 3
+    ), pairs AS (
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c_ab
+        FROM docpairs GROUP BY 1, 2
+    ), uni AS (
+        SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c_t
+        FROM d, unnest(ts) AS u(tok) GROUP BY 1
+    ), vsz AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+    ), lp AS (
+        SELECT p.a, p.b,
+               CAST(FLOOR({_LM_Q} * ln(
+                   (p.c_ab + 1.0) / (ua.c_t + vsz.v))) AS BIGINT)
+                   AS lp_micro
+        FROM pairs p JOIN uni ua ON p.a = ua.tok CROSS JOIN vsz
+    )
+    SELECT dp.doc_id,
+           CAST(SUM(dp.cnt) AS BIGINT) AS n_bigrams,
+           CAST(SUM(dp.cnt * lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST((-SUM(dp.cnt * lp.lp_micro)) // SUM(dp.cnt) AS BIGINT)
+               AS avg_surprisal_micro
+    FROM docpairs dp JOIN lp ON dp.a = lp.a AND dp.b = lp.b
+    GROUP BY dp.doc_id
+    """,
+)
+def t15_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring of every document against a model
+    trained on the corpus itself — the CCNet/Gopher-style perplexity
+    proxy used to quality-filter web text before LLM training (docs
+    whose token transitions are improbable under the corpus LM are
+    boilerplate, gibberish, or foreign). Add-one smoothing over the
+    full unigram vocabulary: lp(a,b) = ln[(c_ab + 1) / (c_a + V)].
+    Per-document output is the exact int64 sum of per-PAIR-TYPE
+    quantized log-probs (floor to a 1e-6-nat grid, the t14/fs1
+    convention: ONE ln from identical int64 inputs on each engine,
+    never a float accumulation) weighted by the doc's pair count, plus
+    avg_surprisal_micro = (-sum) div n — negated FIRST so the floor
+    division happens on non-negative integers, where Spark's ``div``
+    (truncating) and DuckDB's ``//`` agree; on negatives they round in
+    different directions.
+
+    Scale shape: one explode pass builds the (doc, a, b, cnt) relation
+    (map-side combinable: the per-doc pair-type counts shrink repeated
+    bigrams before the shuffle); the global pair table is its
+    re-aggregation on (a, b). The lp table is pair-vocabulary-sized
+    (Zipf-bounded) and joins the doc-pair relation on (a, b) — the one
+    big shuffle join; unigram counts and V ride broadcast
+    (vocabulary-sized). Regroup on doc_id is the second exchange.
+    Nothing is proportional to corpus length except the two narrow
+    explode passes."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.split("text", " ").alias("ts")))
+    bg = (docs.filter(F.size("ts") >= 2)
+          .select("doc_id", F.explode(F.expr(
+              "transform(slice(ts, 1, size(ts) - 1), "
+              "(x, i) -> struct(x AS a, ts[i + 1] AS b))")).alias("p"))
+          .select("doc_id", "p.a", "p.b"))
+    docpairs = (bg.groupBy("doc_id", "a", "b")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    pairs = (docpairs.groupBy("a", "b")
+             .agg(F.sum("cnt").cast("long").alias("c_ab")))
+    uni = (docs.select(F.explode("ts").alias("tok"))
+           .groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("c_t")))
+    vsz = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    lp = (pairs
+          .join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                       F.col("c_t").alias("c_a"))), "a")
+          .crossJoin(F.broadcast(vsz))
+          .select("a", "b", F.expr(
+              f"CAST(FLOOR({_LM_Q} * ln("
+              "(c_ab + 1.0) / (c_a + v))) AS BIGINT)").alias("lp_micro")))
+    return (docpairs.join(lp, ["a", "b"])
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+                 F.sum(F.col("cnt") * F.col("lp_micro")).cast("long")
+                 .alias("sum_lp_micro"))
+            .select("doc_id", "n_bigrams", "sum_lp_micro",
+                    F.expr("CAST((-sum_lp_micro) div n_bigrams AS BIGINT)")
+                    .alias("avg_surprisal_micro")))

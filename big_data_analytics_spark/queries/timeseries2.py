@@ -355,3 +355,97 @@ def ts6_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "trend7", "wd", "detrend7", "s_num", "n_w",
                     (F.col("n_w") * F.col("detrend7") - F.col("s_num"))
                     .cast("long").alias("remainder_scaled")))
+
+
+_CUSUM_K = 500     # allowance above the user mean, cents
+_CUSUM_H = 20_000  # alarm threshold, cents
+
+
+@query(
+    "ts7_cusum_changepoint",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), st AS (
+        SELECT user_id, ts, event_id, vc,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(vc) OVER (PARTITION BY user_id) AS s
+        FROM v
+    ), cum AS (
+        SELECT *, SUM(n * vc - s - {_CUSUM_K} * n) OVER w AS c
+        FROM st
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), mins AS (
+        SELECT *, MIN(c) OVER w AS cmin
+        FROM cum
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), su AS (
+        SELECT user_id, event_id, n,
+               c - LEAST(0, cmin) AS s_t
+        FROM mins
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN s_t > {_CUSUM_H} * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(MAX(s_t) // MAX(n) AS BIGINT) AS cusum_peak_cents,
+           CAST(MIN(CASE WHEN s_t > {_CUSUM_H} * n THEN event_id END)
+                AS BIGINT) AS first_alarm_event_id
+    FROM su GROUP BY user_id
+    """,
+)
+def ts7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user over the event
+    value stream: S_t = max(0, S_{t-1} + (x_t − μ_u − k)) with the
+    user's own mean as the in-control level, allowance k = $5.00 and
+    alarm threshold h = $200.00. The recursion is NOT executed
+    sequentially — the Lindley closed form (the ecom inventory / A17
+    precedent) turns it into two cumulative windows:
+    S_t = C_t − min(0, min_{j≤t} C_j) over the deviation prefix sums
+    C. Everything stays in int64: the per-event deviation is scaled by
+    the user's event count n (d_t = n·x_t − Σx − k·n clears the μ_u =
+    Σx/n division exactly, the ts3 move), so the alarm decision
+    S_t > h·n is an integer comparison — bit-identical on any engine —
+    and the reported peak is de-scaled by one final non-negative floor
+    division. Per-user output: event count, alarm count, the CUSUM
+    peak in cents, and the first alarming event id (NULL when the user
+    never crosses).
+
+    Scale shape: one exchange on user_id serves every window (the two
+    per-user aggregates, the two cumulative frames, and the final
+    rollup all share the partitioning); per-row state is O(1). At
+    100 TB this is the standard sort-within-partition streaming scan —
+    the same statistic runs incrementally under
+    applyInPandasWithState with (C, min-prefix) as the two state
+    longs."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vc"))
+    w_all = Window.partitionBy("user_id")
+    w_cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    st = v.select(
+        "user_id", "ts", "event_id", "vc",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("vc").over(w_all).alias("s"))
+    cum = st.withColumn(
+        "c",
+        F.sum(F.col("n") * F.col("vc") - F.col("s")
+              - F.lit(_CUSUM_K) * F.col("n")).over(w_cum))
+    su = cum.withColumn("cmin", F.min("c").over(w_cum)).select(
+        "user_id", "event_id", "n",
+        (F.col("c") - F.least(F.lit(0).cast("long"), F.col("cmin")))
+        .alias("s_t"))
+    alarm = F.col("s_t") > F.lit(_CUSUM_H) * F.col("n")
+    return su.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(alarm.cast("long")).cast("long").alias("n_alarms"),
+        F.expr("CAST(MAX(s_t) div MAX(n) AS BIGINT)")
+        .alias("cusum_peak_cents"),
+        F.min(F.when(alarm, F.col("event_id"))).cast("long")
+        .alias("first_alarm_event_id"))
