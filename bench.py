@@ -143,6 +143,17 @@ EXTENDED = [
     # additive schema evolution: mergeSchema union over two schema
     # generations + NULL-backfill rollup
     "se1_schema_evolution_rollup",
+    # round 9 (only the genuinely new heavy shapes — the summary line
+    # has a hard byte budget; gr6/ir2/t14/ts6/ts7 are light variants of
+    # tracked shapes and live in BENCH_FULL detail + SCALE.md probes):
+    # the fused-exchange LPA loop (one repartition serves both
+    # per-round aggregations), degree-oriented full-graph triangle
+    # enumeration (the O(m^1.5) wedge-join shape; gr2 only ever ran a
+    # bounded subgraph), and bigram-LM perplexity-proxy scoring (train
+    # + score in one plan — the two-exchange corpus-statistics join)
+    "lp1_part_communities",
+    "gr7_triangle_counts",
+    "t15_bigram_lm_scores",
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic

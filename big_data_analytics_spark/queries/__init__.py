@@ -49,6 +49,20 @@ def query(name: str, oracle: Optional[str] = None):
 #: tests/test_module_constant_guard.py). Shared-helper edits gate
 #: every consumer module.
 #:
+#: ORACLE INDEPENDENCE (round-9 lesson, the gr7 incident): when an
+#: oracle restates the implementation's ALGORITHM rather than the
+#: problem, a shared bug passes the hash gate — gr7's first wedge
+#: formulation dropped half of all triangles on BOTH sides (an
+#: id-order corner filter against a (degree, id)-oriented closing
+#: edge) and hash-matched green. Any query whose oracle mirrors a
+#: non-trivial derivation (an orientation, an index, a closed form)
+#: needs ONE independent check that states the problem differently —
+#: gr7's is a pure id-canonical recount with no orientation at all
+#: (tests/test_graph.py::test_gr7_matches_id_canonical_ground_truth);
+#: sm11's closed-form oracle is independent of the streamed recursion
+#: by construction; the codec queries' closed-form generation
+#: formulas are the same idea.
+#:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
 #: never-graded backlog cleared in round 5, the STANDING ROTATION RULE
@@ -66,14 +80,14 @@ def query(name: str, oracle: Optional[str] = None):
 #: scratch dirs gained cleanup; lp1 whose LPA rounds fused two
 #: aggregation exchanges into one; and the seven new queries gr6
 #: modularity, ir2 NDCG, t14 PMI, ts6 seasonal decomposition, t15
-#: bigram-LM scoring, gr7 degree-oriented triangles, ts7 CUSUM) + the
-#: entire 24-row r2-vintage backlog (burned this round) + the 12
-#: oldest r3-vintage rows in registry order. The round-10 backlog
-#: under the standing rule: the 31 remaining r3-vintage rows
-#: (next up in registry order: p19b, sk1, sk2, t7_vocabulary, ts1,
-#: dq1, dq2, t8, pv2, o2g, ws1, sk4, sk5, q2p, q11p, q20p, t9, t10,
-#: a20, up1, gi1, gr1, a21, t11, t12, inc1, df1, bpe1, sk6, rc1,
-#: at1), then r4 vintage.
+#: bigram-LM scoring, gr7 degree-oriented triangles, ts7 CUSUM, sm11
+#: streaming CUSUM) + the entire 24-row r2-vintage backlog (burned
+#: this round) + the 11 oldest r3-vintage rows in registry order. The
+#: round-10 backlog under the standing rule: the 32 remaining
+#: r3-vintage rows (next up in registry order: p20b, p19b, sk1, sk2,
+#: t7_vocabulary, ts1, dq1, dq2, t8, pv2, o2g, ws1, sk4, sk5, q2p,
+#: q11p, q20p, t9, t10, a20, up1, gi1, gr1, a21, t11, t12, inc1, df1,
+#: bpe1, sk6, rc1, at1), then r4 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -93,6 +107,7 @@ GRADE_HEAD = [
     "t15_bigram_lm_scores",
     "gr7_triangle_counts",
     "ts7_cusum_changepoint",
+    "sm11_stream_cusum",
     # (c) oldest-first: the full 24-row r2-vintage backlog (last
     # driver row in round 2), registry order, no-oracle d2/d3 skipped
     "d4_ngram_jaccard_pairs",
@@ -119,7 +134,7 @@ GRADE_HEAD = [
     "g3_grouping_sets",
     "sk3_approx_quantiles",
     "t6_chunk_documents",
-    # (c cont.) the 12 oldest r3-vintage rows, registry order
+    # (c cont.) the 11 oldest r3-vintage rows, registry order
     "ecom_revenue_by_state",
     "ecom_top_products",
     "ecom_clv",
@@ -131,7 +146,6 @@ GRADE_HEAD = [
     "ecom_inventory_levels",
     "ij1_view_purchase_pairs",
     "scd1_user_state_history",
-    "p20b_stratified_sample",
 ]
 
 

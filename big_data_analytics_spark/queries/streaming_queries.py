@@ -863,3 +863,88 @@ def sm9_stream_late_data_accounting(spark: SparkSession,
     redelivered data cannot double-count finalized windows (the
     exactly-once upsert sink sm8 composes on top)."""
     return _sm9_run(spark, sf_dir)
+
+
+_SM11_DRIFT = 5_500   # fixed in-control level + allowance, cents
+_SM11_H = 20_000      # alarm threshold, cents
+
+
+@query(
+    "sm11_stream_cusum",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ), cum AS (
+        SELECT user_id, ts, event_id,
+               SUM(vc - {_SM11_DRIFT}) OVER w AS c
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), mins AS (
+        SELECT *, MIN(c) OVER w AS cmin
+        FROM cum
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), su AS (
+        SELECT user_id, ts, event_id,
+               c - LEAST(0, cmin) AS s_t
+        FROM mins
+    ), fa AS (
+        SELECT user_id, event_id AS first_eid,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM su WHERE s_t > {_SM11_H}
+    )
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN s_t > {_SM11_H} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(MAX(s_t) AS BIGINT) AS cusum_peak_cents,
+           CAST(MAX(f.first_eid) AS BIGINT) AS first_alarm_event_id
+    FROM su a LEFT JOIN (SELECT user_id, first_eid FROM fa WHERE rn = 1) f
+      ON a.user_id = f.user_id
+    GROUP BY a.user_id
+    """,
+)
+def sm11_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint detection executed BY THE STREAMING
+    ENGINE as the true per-event recursion — the incremental twin
+    ts7's batch Lindley closed form stands in for. Four event-time-
+    ordered micro-batches drive streaming/events.py
+    cusum_alarms_stateful (applyInPandasWithState, five int64s of
+    state per user); the oracle restates the recursion's fixed point
+    with the same closed form the batch query uses, against a FIXED
+    in-control level (ts7 uses the user's own mean, which a stream
+    cannot know upfront — the honest difference between the two).
+    A hash match here proves recursion == closed form AND that the
+    incremental execution is exact across arbitrary batch splits.
+
+    ORDER-SENSITIVE state is the point: unlike sm6's commutative
+    sums, CUSUM needs its events in time order, so this query rides
+    the ordered fixture (disjoint increasing time ranges per
+    micro-batch — the Kafka time-ordered-partition contract) and
+    sorts within each batch. The update-mode sink accumulates one row
+    per (user, active batch); n_events is strictly increasing within
+    a user, so the lifetime row is max_by(n_events) — the sm6
+    finalization pattern."""
+    from big_data_analytics_spark.streaming.events import (
+        cusum_alarms_stateful,
+    )
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    updates = cusum_alarms_stateful(src, _SM11_DRIFT, _SM11_H)
+    qname = _run_to_memory(updates, "update", "sm11_mem")
+    return (spark.table(qname)
+            .groupBy("user_id")
+            .agg(F.max("n_events").cast("long").alias("n_events"),
+                 F.max_by("n_alarms", "n_events").cast("long")
+                 .alias("n_alarms"),
+                 F.max_by("cusum_peak_cents", "n_events").cast("long")
+                 .alias("cusum_peak_cents"),
+                 F.max_by("first_alarm_event_id", "n_events")
+                 .cast("long").alias("first_alarm_event_id")))

@@ -378,3 +378,73 @@ def view_purchase_interval_join(events: DataFrame,
          - F.unix_micros(F.col("view_ts"))).alias("gap_us"),
         "purchase_value",
     )
+
+
+#: Output / state schemas for the streaming CUSUM operator below.
+_CUSUM_STATE_SCHEMA = ("s BIGINT, n_events BIGINT, n_alarms BIGINT, "
+                       "peak BIGINT, first_alarm BIGINT")
+_CUSUM_OUT_SCHEMA = ("user_id BIGINT, n_events BIGINT, n_alarms BIGINT, "
+                     "cusum_peak_cents BIGINT, first_alarm_event_id BIGINT")
+
+
+def cusum_alarms_stateful(events: DataFrame, drift_cents: int,
+                          h_cents: int) -> DataFrame:
+    """Per-user one-sided CUSUM against a FIXED in-control level,
+    executed incrementally by the streaming engine via
+    applyInPandasWithState — the true per-event recursion
+    S_t = max(0, S_{t-1} + (x_t − drift)) that ts7's batch Lindley
+    closed form replaces. State per user is five int64s (current S,
+    event count, alarm count, running peak, first alarming event id —
+    −1 until a crossing); nothing in state is ever a float, so the
+    result is bit-identical to the batch restatement no matter how
+    events split across micro-batches, PROVIDED arrival is event-time
+    ordered across batches (the ordered fixture's contract — a Kafka
+    time-ordered partition in production). Within a batch the group's
+    chunks are concatenated and sorted by (ts, event_id) before the
+    fold; across batches the source's disjoint increasing time ranges
+    supply the order.
+
+    Unlike sm6's commutative sums, CUSUM is ORDER-SENSITIVE — this is
+    the stateful-operator case that genuinely needs sequential
+    per-key state and cannot be expressed as a mergeable aggregate;
+    at 100 TB the state is 5 longs per user, partitioned by user_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            s, n, na, peak, first = state.get
+        else:
+            s, n, na, peak, first = 0, 0, 0, 0, -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        vcs = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(
+            "int64")
+        eids = batch["event_id"].to_numpy()
+        for vc, eid in zip(vcs, eids):
+            s = max(0, s + int(vc) - drift_cents)
+            n += 1
+            if s > peak:
+                peak = s
+            if s > h_cents:
+                na += 1
+                if first < 0:
+                    first = int(eid)
+        state.update((s, n, na, peak, first))
+        yield pd.DataFrame([{
+            "user_id": key[0], "n_events": n, "n_alarms": na,
+            "cusum_peak_cents": peak,
+            "first_alarm_event_id": None if first < 0 else first,
+        }])
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

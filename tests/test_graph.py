@@ -263,3 +263,54 @@ def test_label_propagation_strategies_agree(spark):
                       df, strategy="auto",
                       broadcast_max_nodes=3).collect()}
     assert b == s == auto_small == _lpa_reference(edges)
+
+
+def test_gr7_matches_id_canonical_ground_truth(spark):
+    """gr7's oracle shares its degree-oriented enumeration with the
+    Spark plan — a shared bug would pass the hash gate (it DID: the
+    first formulation filtered wedge corners by id order while the
+    closing edge is (degree, id)-oriented, and both sides silently
+    dropped every triangle whose third edge runs from the id-larger
+    corner — 206k of 414k at sf0.01). This guard recounts per-node
+    triangles from the INDEPENDENT id-canonical enumeration
+    (und(x,y) ⋈ und(y,z) ⋈ und(x,z), x<y<z — no orientation at all)
+    in DuckDB and compares exactly."""
+    import duckdb
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        gr7_triangle_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["node"]: (r["degree"], r["n_triangles"])
+           for r in gr7_triangle_counts(spark, sf).collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS "
+            f"SELECT * FROM '{sf}/lineitem.parquet'")
+    ref = con.sql("""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        ), und AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und
+            ) GROUP BY node
+        ), tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT node, ANY_VALUE(d) AS d, COALESCE(SUM(t), 0) AS n FROM (
+            SELECT node, d, 0 AS t FROM deg
+            UNION ALL SELECT x, NULL, 1 FROM tri
+            UNION ALL SELECT y, NULL, 1 FROM tri
+            UNION ALL SELECT z, NULL, 1 FROM tri
+        ) GROUP BY node HAVING ANY_VALUE(d) >= 2
+    """).fetchall()
+    want = {int(node): (int(d), int(n)) for node, d, n in ref}
+    assert got == want
