@@ -422,15 +422,26 @@ def cusum_alarms_stateful(events: DataFrame, drift_cents: int,
         vcs = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(
             "int64")
         eids = batch["event_id"].to_numpy()
-        for vc, eid in zip(vcs, eids):
-            s = max(0, s + int(vc) - drift_cents)
-            n += 1
-            if s > peak:
-                peak = s
-            if s > h_cents:
-                na += 1
-                if first < 0:
-                    first = int(eid)
+        # Vectorized Lindley fold with carried state: for within-batch
+        # deviation prefix sums c and incoming state s0,
+        #   S_i = max(0, s0 + c_i, c_i - min_{0<=t<i} c_t)
+        # (the three arms = never-reset-yet, reset inside the batch,
+        # reset at i) — identical to the per-event recursion
+        # S_i = max(0, S_{i-1} + d_i), property-verified in
+        # tests/test_streaming.py. All int64; the per-event Python
+        # loop was 6-7x the wall-clock at the 10x probe step.
+        d = vcs - drift_cents
+        c = np.cumsum(d)
+        cm = np.minimum.accumulate(np.concatenate(([0], c[:-1])))
+        series = np.maximum(np.maximum(s + c, c - cm), 0)
+        n += len(series)
+        if len(series):
+            peak = max(peak, int(series.max()))
+            over = series > h_cents
+            na += int(over.sum())
+            if first < 0 and over.any():
+                first = int(eids[int(np.argmax(over))])
+            s = int(series[-1])
         state.update((s, n, na, peak, first))
         yield pd.DataFrame([{
             "user_id": key[0], "n_events": n, "n_alarms": na,

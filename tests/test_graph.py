@@ -314,3 +314,33 @@ def test_gr7_matches_id_canonical_ground_truth(spark):
     """).fetchall()
     want = {int(node): (int(d), int(n)) for node, d, n in ref}
     assert got == want
+
+
+def test_gr6_label_attachment_strategy_is_measured(spark):
+    """gr6's label attachments must be strategy-pinned from the
+    MEASURED node count, never left to plan-time stats — the optimizer
+    broadcast the 24M-row EDGE relation off a localCheckpoint scan's
+    size estimate (driver OOM at the 10x probe; the gr4 failure
+    class). Below the threshold the label side must be the broadcast
+    build side; above it the join must be sort-merge (no broadcast
+    anywhere in the attachment)."""
+    from big_data_analytics_spark.queries.graph_queries import (
+        _lpa_labels,
+        _sized_side,
+        _weighted_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = _weighted_edges(spark, sf).select("src", "dst")
+    labels = _lpa_labels(spark, sf)
+    src_lab = labels.select(labels.node.alias("src"),
+                            labels.label.alias("src_label"))
+
+    small = edges.join(_sized_side(src_lab, n_rows=10), "src")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    big = edges.join(_sized_side(src_lab, n_rows=10_000_000), "src")
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_big
+    assert "BroadcastHashJoin" not in plan_big

@@ -362,3 +362,36 @@ def test_stateful_upsert_sink_mid_stream_crash_recovery(spark, event_dir):
     expected = {(r.day, r.event_type): (r.n_events, round(r.value_sum, 4))
                 for r in daily_event_counts(batch_df).collect()}
     assert got == expected
+
+
+def test_cusum_vectorized_fold_equals_per_event_recursion():
+    """The Lindley fold with carried state used by
+    streaming/events.py cusum_alarms_stateful —
+    S_i = max(0, s0 + c_i, c_i - min_{0<=t<i} c_t) over within-batch
+    deviation prefix sums — must equal the per-event recursion
+    S_i = max(0, S_{i-1} + d_i) for every batch split and carried
+    state, alarms and first-crossing included."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for _ in range(300):
+        n = int(rng.integers(1, 60))
+        d = rng.integers(-1000, 1000, n)
+        s0 = int(rng.integers(0, 3000))
+        h = int(rng.integers(100, 2000))
+        s, ref, ref_alarms, ref_first = s0, [], 0, -1
+        for i, x in enumerate(d):
+            s = max(0, s + int(x))
+            ref.append(s)
+            if s > h:
+                ref_alarms += 1
+                if ref_first < 0:
+                    ref_first = i
+        c = np.cumsum(d)
+        cm = np.minimum.accumulate(np.concatenate(([0], c[:-1])))
+        series = np.maximum(np.maximum(s0 + c, c - cm), 0)
+        assert list(series) == ref
+        over = series > h
+        assert int(over.sum()) == ref_alarms
+        got_first = int(np.argmax(over)) if over.any() else -1
+        assert got_first == ref_first
