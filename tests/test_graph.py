@@ -344,3 +344,56 @@ def test_gr6_label_attachment_strategy_is_measured(spark):
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan_big
     assert "BroadcastHashJoin" not in plan_big
+
+
+def test_gr5_matches_pure_python_reference(spark):
+    """Third implementation of gr5's capped-adjacency link-prediction
+    spec — imperative Python from the raw co-purchase pairs (the
+    ORACLE INDEPENDENCE policy: gr5's SQL oracle restates the same
+    cap/wedge derivation as the Spark plan, so a shared cap or
+    tie-break bug would hash-match green)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _AA_Q,
+        _LP_CAP,
+        _TOPK,
+        gr5_link_prediction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    pairs = con.sql(f"""
+        SELECT a.l_partkey, b.l_partkey, COUNT(*) FROM
+        '{sf}/lineitem.parquet' a JOIN '{sf}/lineitem.parquet' b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2""").fetchall()
+    edges = {(int(s), int(d)): int(w) for s, d, w in pairs}
+    by_src = defaultdict(list)
+    for (s, d), w in edges.items():
+        by_src[s].append((d, w))
+    cap = {s: [d for d, _ in sorted(nb, key=lambda t: (-t[1], t[0]))
+               [:_LP_CAP]] for s, nb in by_src.items()}
+    scores = defaultdict(lambda: [0, 0])
+    for z, nbrs in cap.items():
+        if len(nbrs) < 2:
+            continue  # no wedge pairs; also ln(1) = 0
+        aa = int(math.floor(_AA_Q / math.log(float(len(nbrs)))))
+        sn = sorted(nbrs)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                st = scores[(sn[i], sn[j])]
+                st[0] += 1
+                st[1] += aa
+    cand = [(a, b, c, q) for (a, b), (c, q) in scores.items()
+            if (a, b) not in edges]
+    cand.sort(key=lambda t: (-t[2], -t[3], t[0], t[1]))
+    want = cand[:_TOPK]
+
+    got = [(int(r["part_a"]), int(r["part_b"]),
+            int(r["common_neighbors"]), int(r["aa_q"]))
+           for r in gr5_link_prediction(spark, sf).collect()]
+    assert got == want
