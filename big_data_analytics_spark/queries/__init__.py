@@ -61,7 +61,13 @@ def query(name: str, oracle: Optional[str] = None):
 #: (tests/test_graph.py::test_gr7_matches_id_canonical_ground_truth);
 #: sm11's closed-form oracle is independent of the streamed recursion
 #: by construction; the codec queries' closed-form generation
-#: formulas are the same idea.
+#: formulas are the same idea. Round-9 audit of the other mirrored
+#: oracles added imperative third implementations for es1
+#: (tests/test_text5_groundtruth.py), gr5 and ts2
+#: (tests/test_graph.py, tests/test_ts2_groundtruth.py); fj1/d9
+#: already oracle against the brute-force definition, ivm1 against a
+#: full recompute, and the iterative graph ops against pure-python
+#: references in tests/test_graph.py.
 #:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
