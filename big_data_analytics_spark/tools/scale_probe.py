@@ -161,6 +161,40 @@ def synthesize(base: str, out_dir: str, force: bool = False) -> str:
     return out_dir
 
 
+def sweep(sf_dir: str) -> int:
+    """Completion sweep: run EVERY registered query end-to-end once at
+    ``sf_dir`` in one shared session (the round-8/round-9 '257/257
+    zero failures' gate). Not a timing record — one cold run each, in
+    registry order; use --query for best-of-N timings. Returns the
+    number of failures (process exit code)."""
+    from big_data_analytics_spark.queries import load_all
+    from big_data_analytics_spark.session import get_spark
+
+    spark = get_spark("scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    reg = load_all()
+    failures = []
+    t_start = time.time()
+    for i, (name, q) in enumerate(reg.items()):
+        t0 = time.perf_counter()
+        try:
+            (q.spark_fn(spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            print(f"[{i + 1}/{len(reg)}] OK   {name} "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures.append(name)
+            print(f"[{i + 1}/{len(reg)}] FAIL {name}: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+    print(f"SWEEP DONE: {len(reg) - len(failures)} ok, "
+          f"{len(failures)} fail, {time.time() - t_start:.0f}s total",
+          flush=True)
+    if failures:
+        print("failed:", ", ".join(failures), flush=True)
+    return len(failures)
+
+
 def probe(name: str, sf_dir: str, runs: int = 4) -> dict:
     """Time one registry query against ``sf_dir``; cold + warm best-of-3."""
     from big_data_analytics_spark.session import get_spark
@@ -195,6 +229,9 @@ def main(argv=None) -> int:
                     help="only synthesize the 10x fixtures, then exit")
     ap.add_argument("--force", action="store_true",
                     help="re-synthesize fixtures even if cached")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run EVERY registry query once at the first "
+                         "--scale (default 10x); exit code = #failures")
     args = ap.parse_args(argv)
 
     scales = args.scale or ["10x"]
@@ -202,8 +239,11 @@ def main(argv=None) -> int:
         synthesize(args.base, args.cache, force=args.force)
     if args.synth and not args.query:
         return 0
+    if args.sweep:
+        sc = scales[0]
+        return sweep(args.cache if sc == "10x" else SCALES[sc])
     if not args.query:
-        ap.error("--query is required unless --synth")
+        ap.error("--query is required unless --synth or --sweep")
     for name in args.query:
         for sc in scales:
             sf_dir = args.cache if sc == "10x" else SCALES[sc]
