@@ -381,7 +381,7 @@ def label_propagation(
     fixed-iteration result is engine-exact and hash-gradeable. The
     pick is one max of a lexicographic (n, -label) struct.
 
-    ``fuse_exchanges`` (default: on for the broadcast path) replaces
+    ``fuse_exchanges`` (default: ON for both strategies) replaces
     the two per-round aggregation exchanges — (dst, label) then dst —
     with ONE repartition of the raw joined rows on dst;
     HashPartitioning(dst) satisfies the clustering requirement of both
@@ -390,11 +390,14 @@ def label_propagation(
     loses its map-side combine — but LPA's early rounds have
     near-distinct labels (round 0: label == node id), so the combine
     shrinks almost nothing while the extra exchange is real. Measured
-    (round 9, co-purchase graph, warm best-of-3): sf0.1 4.78 -> 3.32 s
-    (-30%), 10x / 24M edges 16.51 -> 14.00 s (-15%). The shuffle
-    strategy keeps the two-exchange default: on graphs past broadcast
-    reach the combine's effectiveness grows as labels converge, and
-    that path was not in the measured scope.
+    (round 9, co-purchase graph, warm best-of-3): broadcast path
+    sf0.1 4.78 -> 3.32 s (-30%), 10x / 24M edges 16.51 -> 14.00 s
+    (-15%); shuffle path sf0.1 6.31 -> 4.62 s (-27%), 10x
+    15.57 -> 12.10 s (-22%) — the combine-grows-as-labels-converge
+    hypothesis that kept the shuffle path unfused did NOT hold at
+    either scale, so the fused step is now the default everywhere
+    (pass ``fuse_exchanges=False`` on a graph whose label histogram
+    is known to collapse early).
 
     Strategy mirrors :func:`pagerank`: ``'broadcast'`` ships the
     node-sized label table into the edge join each round (no edge
@@ -416,7 +419,7 @@ def label_propagation(
                     else "shuffle")
     labels = nodes.select("node", F.col("node").alias("label"))
     if fuse_exchanges is None:
-        fuse_exchanges = strategy == "broadcast"
+        fuse_exchanges = True
 
     try:
         if strategy == "broadcast":
