@@ -64,7 +64,8 @@ def query(name: str, oracle: Optional[str] = None):
 #: formulas are the same idea. Round-9 audit of the other mirrored
 #: oracles added imperative third implementations for es1
 #: (tests/test_text5_groundtruth.py), gr5 and ts2
-#: (tests/test_graph.py, tests/test_ts2_groundtruth.py); fj1/d9
+#: (tests/test_graph.py, tests/test_ts2_groundtruth.py), and gi1
+#: (tests/test_gi1_groundtruth.py); fj1/d9
 #: already oracle against the brute-force definition, ivm1 against a
 #: full recompute, and the iterative graph ops against pure-python
 #: references in tests/test_graph.py.
