@@ -204,8 +204,11 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str,
     (ckpt,) = _scratch(f"{prefix}_mem", "ckpt")
     n = _STATE_PARTITIONS
     if input_rows is not None:
+        # cores cap applies to the VOLUME-derived term only — the
+        # documented state floor must hold even when
+        # defaultParallelism < _STATE_PARTITIONS (small executors)
         para = df.sparkSession.sparkContext.defaultParallelism
-        n = min(max(n, input_rows // _ROWS_PER_STATE_PARTITION), para)
+        n = max(n, min(input_rows // _ROWS_PER_STATE_PARTITION, para))
     with _state_partitions(df.sparkSession, n):
         q = (df.writeStream.format("memory").queryName(qname)
              .outputMode(mode)

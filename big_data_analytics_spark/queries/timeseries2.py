@@ -421,7 +421,18 @@ def ts7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the standard sort-within-partition streaming scan —
     the same statistic runs incrementally under
     applyInPandasWithState with (C, min-prefix) as the two state
-    longs."""
+    longs.
+
+    INT64 HEADROOM BOUND: the n-scaled deviation prefix sum grows as
+    |C_t| ≤ n²·(2·max|x_cents| + k) per user — bit-exact int64 holds
+    only while that bound clears 2^62. For $10k-magnitude values
+    that is ~n ≤ 1.5M events per user; a user beyond it would wrap on
+    Spark but widen to HUGEINT on DuckDB, silently diverging the hash
+    gate, so the bound is GUARDED at runtime: the prefix-sum column
+    itself is wrapped in a headroom check (raise_error on breach —
+    wrapping the used column, not a free-floating assert column,
+    because Catalyst prunes unused columns and would drop the
+    guard)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "user_id", "ts", "event_id",
@@ -432,11 +443,20 @@ def ts7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = v.select(
         "user_id", "ts", "event_id", "vc",
         F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("vc").over(w_all).alias("s"))
+        F.sum("vc").over(w_all).alias("s"),
+        F.max(F.abs(F.col("vc"))).over(w_all).alias("mx"))
+    headroom_ok = (
+        (F.col("n").cast("double") * F.col("n").cast("double")
+         * (2.0 * F.col("mx").cast("double") + float(_CUSUM_K)))
+        < F.lit(float(2 ** 62)))
     cum = st.withColumn(
         "c",
-        F.sum(F.col("n") * F.col("vc") - F.col("s")
-              - F.lit(_CUSUM_K) * F.col("n")).over(w_cum))
+        F.when(headroom_ok,
+               F.sum(F.col("n") * F.col("vc") - F.col("s")
+                     - F.lit(_CUSUM_K) * F.col("n")).over(w_cum))
+        .otherwise(F.raise_error(F.lit(
+            "ts7: int64 headroom exceeded — n^2*(2*max|x|+k) >= 2^62; "
+            "split the user's series or rescale")).cast("long")))
     su = cum.withColumn("cmin", F.min("c").over(w_cum)).select(
         "user_id", "event_id", "n",
         (F.col("c") - F.least(F.lit(0).cast("long"), F.col("cmin")))

@@ -346,6 +346,41 @@ def test_gr6_label_attachment_strategy_is_measured(spark):
     assert "BroadcastHashJoin" not in plan_big
 
 
+def test_gr7_attachment_strategy_is_measured(spark):
+    """gr7's node-sized degree attachments and edge-payload adjacency
+    attachments must be strategy-pinned from MEASURED counts (the gr6
+    rule) — round 9 shipped them as unconditional F.broadcast /
+    unhinted, the exact class that OOM'd gr4/gr5/gr6 at probe steps.
+    Below the ceiling the pinned side must be the broadcast build
+    side; above it the join must be sort-merge."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _sized_side,
+        _weighted_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    und = (_weighted_edges(spark, sf)
+           .filter(F.col("src") < F.col("dst"))
+           .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    adj = und.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+
+    for side in (du, adj):
+        plan_small = (und.join(_sized_side(side, n_rows=10), "u")
+                      ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan_small
+        plan_big = (und.join(_sized_side(side, n_rows=10_000_000), "u")
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "SortMergeJoin" in plan_big
+        assert "BroadcastHashJoin" not in plan_big
+
+
 def test_gr5_matches_pure_python_reference(spark):
     """Third implementation of gr5's capped-adjacency link-prediction
     spec — imperative Python from the raw co-purchase pairs (the
