@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from big_data_analytics_spark.operators.joins import sized_side
+
 
 def ema(df: DataFrame, key: str, ts: str, value: str, alpha: float,
         tiebreak: str | None = None, out_col: str = "ema") -> DataFrame:
@@ -56,8 +58,10 @@ def ema_partitioned(df: DataFrame, key: str, ts: str, value: str,
     2. **Stitch** — per key over the tiny per-range summary (one row
        per range): ``carry_0 = first_x`` (reproduces y_0 = x_0),
        ``carry_{r+1} = local_end_r + decay_r · carry_r``.
-    3. **Apply** — broadcast-join carries back and add
-       ``carry · (1−α)^(pos+1)`` to each local value.
+    3. **Apply** — join carries back (measured-pinned: broadcast only
+       while the (|keys| × |ranges|) summary is under the repo
+       ceiling) and add ``carry · (1−α)^(pos+1)`` to each local
+       value.
 
     Exact in real arithmetic; float results agree with the sequential
     recursion to ~1e-12 relative (powers computed once per row).
@@ -111,10 +115,15 @@ def ema_partitioned(df: DataFrame, key: str, ts: str, value: str,
         return pd.DataFrame({key: pdf[key], "__range": pdf["__range"],
                              "__carry": carries})
 
-    carries = summary.groupBy(key).applyInPandas(stitch, stitch_schema)
+    # carries is (|keys| x |ranges|)-sized — it GROWS with the key
+    # universe, so the attachment is measured-pinned (checkpoint so
+    # the count doesn't re-run the stitch, then broadcast only under
+    # the repo ceiling; sort-merge past it)
+    carries = (summary.groupBy(key).applyInPandas(stitch, stitch_schema)
+               .localCheckpoint())
 
     return (
-        local.join(F.broadcast(carries), [key, "__range"])
+        local.join(sized_side(carries, carries.count()), [key, "__range"])
         .withColumn(out_col,
                     F.col("__local") + F.col("__carry") * F.col("__decay"))
         .drop("__range", "__local", "__decay", "__carry")

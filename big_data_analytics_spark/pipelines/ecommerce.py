@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.functions.money import money_round, money_sum
+from big_data_analytics_spark.operators.joins import sized_side
 
 
 def revenue_by_state(users: DataFrame, transactions: DataFrame,
@@ -30,7 +31,9 @@ def revenue_by_state(users: DataFrame, transactions: DataFrame,
     — exact and order-independent, unlike a parallel double SUM.
     """
     return (
-        transactions.join(F.broadcast(users.select("user_id", "geo_data")), "user_id")
+        transactions.join(
+            sized_side(users.select("user_id", "geo_data"), users.count()),
+            "user_id")
         .groupBy(F.col("geo_data.state").alias("state"))
         .agg(money_sum("total").alias("total_revenue"))
         .orderBy(F.desc("total_revenue"), F.asc("state"))
@@ -53,7 +56,8 @@ def top_products(transactions: DataFrame, products: DataFrame,
         .agg(money_sum("i.subtotal").alias("total_revenue"))
         .orderBy(F.desc("total_revenue"), F.asc("product_id"))
         .limit(n)
-        .join(F.broadcast(products.select("product_id", "name")), "product_id", "left")
+        .join(sized_side(products.select("product_id", "name"),
+                         products.count()), "product_id", "left")
         .select("product_id", "name", "total_revenue")
         .orderBy(F.desc("total_revenue"), F.asc("product_id"))
     )
@@ -238,8 +242,10 @@ def inventory_levels(transactions: DataFrame,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_stock = (
-        events.join(F.broadcast(initial_stock.select(
-            "product_id", F.col("current_stock").alias("s0"))), "product_id")
+        events.join(sized_side(
+            initial_stock.select("product_id",
+                                 F.col("current_stock").alias("s0")),
+            initial_stock.count()), "product_id")
         .withColumn("cum_qty", F.sum("quantity").over(w))
         .withColumn("overdraft",
                     F.greatest(F.lit(0), F.max(F.col("cum_qty") - F.col("s0")).over(w)))

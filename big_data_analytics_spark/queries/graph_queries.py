@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.operators.graph import (
     label_propagation,
     pagerank,
@@ -160,10 +161,10 @@ def _sized_side(small: DataFrame, n_rows: int,
     broadcasting the 24M-row edge relation here (driver OOM at the
     10× probe step; gr4's frontier join was the same failure class).
     The pagerank/LPA ``broadcast_max_nodes`` rule, applied at the
-    query layer."""
-    if n_rows <= broadcast_max_rows:
-        return F.broadcast(small)
-    return small.hint("merge")
+    query layer. Round 10 promoted this repo-wide as
+    operators.joins.sized_side; this wrapper keeps the graph-local
+    name and its tests stable."""
+    return sized_side(small, n_rows, broadcast_max_rows)
 
 
 @query("gr1_part_pagerank", oracle=_oracle())

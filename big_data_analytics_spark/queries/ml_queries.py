@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 #: Embedding micro-unit quantization scale (matches d2b/v5/v6 lineage:
@@ -1562,8 +1563,9 @@ def ml21_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with any of the closed-form fits in this module (the
     group key just joins the stats).
 
-    The dims broadcast into the fact scan (j1's join shape); the
-    stats relation is |nations| rows."""
+    The nation dim broadcasts into the fact scan (fixed 25 rows); the
+    supplier attachment is measured-pinned (supplier SCALES with SF).
+    The stats relation is |nations| rows."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
@@ -1572,7 +1574,7 @@ def ml21_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name")
-    r = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    r = (li.join(sized_side(sup, sup.count()), li.l_suppkey == sup.s_suppkey)
          .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
          .select(F.col("n_name").alias("nation"), "x", "y"))
     x, y = F.col("x"), F.col("y")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _Q = 1e12  # quantization grid for ln-term sums
@@ -590,11 +591,15 @@ def pp1_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent (exp/ln follow the t12 precedent under
     ROUND).
 
-    Plan: the trained model is two mergeable count relations; both
-    broadcast into the scoring pass (the model side is vocabulary-
-    bounded, never corpus-bounded), which is one explode + two
-    broadcast left joins + a per-doc aggregate. At 100 TB this is
-    exactly how perplexity gates run: model state O(V^2) bounded,
+    Plan: the trained model is two mergeable count relations that
+    join into the scoring pass. The model side is vocabulary-bounded,
+    never corpus-bounded — but a bigram-type table still GROWS with
+    the training slice (O(V²) worst case), so both attachments are
+    measured-pinned: the bigram model is checkpointed (computed once,
+    reused by uni/vocab/scoring), counted, and broadcast only under
+    the ceiling (operators.joins.sized_side), falling back to a
+    sort-merge join on the bigram key past it. At 100 TB this is
+    exactly how perplexity gates run: model state bounded and pinned,
     corpus side embarrassingly parallel, one shuffle on doc_id."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t"))
@@ -606,7 +611,9 @@ def pp1_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
         .alias("bg")).select("doc_id", "bg.w1", "bg.w2")
     lm = (big.filter(F.col("doc_id") < _PP_TRAIN_FRAC_DOCS)
-          .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2")))
+          .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+          .localCheckpoint())
+    n_lm = lm.count()  # cheap: checkpoint-materialized
     uni = lm.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     vocab = lm.agg(F.countDistinct("w1").cast("long").alias("v"))
     lp = F.floor(
@@ -615,8 +622,8 @@ def pp1_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.col("v")))
         * 1_000_000_000_000.0).cast("long")
     scored = (big.filter(F.col("doc_id") >= _PP_TRAIN_FRAC_DOCS)
-              .join(F.broadcast(lm), ["w1", "w2"], "left")
-              .join(F.broadcast(uni), ["w1"], "left")
+              .join(sized_side(lm, n_lm), ["w1", "w2"], "left")
+              .join(sized_side(uni, n_lm), ["w1"], "left")
               .crossJoin(F.broadcast(vocab))
               .groupBy("doc_id")
               .agg(F.count("*").cast("long").alias("n_bigrams"),

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 from big_data_analytics_spark.streaming.events import (
     daily_event_counts,
@@ -465,7 +466,10 @@ def sm5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            .parquet(str(root / "data")))
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    enriched = src.join(F.broadcast(cust),
+    # customer SCALES with SF: measure (parquet metadata count, paid
+    # once at plan time) and pin — broadcast under the ceiling,
+    # shuffled stream-static join past it
+    enriched = src.join(sized_side(cust, cust.count()),
                         src.user_id == cust.c_custkey)
     agg = (enriched.groupBy(F.col("c_mktsegment").alias("mktsegment"))
            .agg(F.count("*").alias("n_events"),

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 CHUNK = 32
@@ -303,8 +304,12 @@ def t14_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no window), one for unigrams; both aggregate with
     map-side combine on token keys. The two corpus totals ride as
     broadcast 1-row aggregates, and the unigram table joins back
-    token-keyed — at 100 TB the unigram relation is vocabulary-sized
-    (Zipf-bounded), so those joins broadcast."""
+    token-keyed — the unigram relation is vocabulary-sized
+    (Zipf-bounded, but it GROWS with the corpus), so the two
+    attachments are measured-pinned: the relation is checkpointed
+    (computed once, reused by ua/ub/tot), counted, and broadcast only
+    under the ceiling (operators.joins.sized_side) — sort-merge past
+    it."""
     docs = (load_table(spark, sf_dir, "documents")
             .select(F.split("text", " ").alias("ts")))
     bigrams = (docs.filter(F.size("ts") >= 2)
@@ -318,14 +323,16 @@ def t14_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("c_ab") >= _PMI_MIN_PAIRS))
     uni = (docs.select(F.explode("ts").alias("tok"))
            .groupBy("tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("c_t")))
+           .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+           .localCheckpoint())
+    n_vocab = uni.count()  # cheap: checkpoint-materialized
     tot = uni.agg(F.sum("c_t").cast("long").alias("nt"))
     btot = (bigrams.agg(F.count(F.lit(1)).cast("long").alias("nb")))
     ua = uni.select(F.col("tok").alias("a"), F.col("c_t").alias("c_a"))
     ub = uni.select(F.col("tok").alias("b"), F.col("c_t").alias("c_b"))
     return (pairs
-            .join(F.broadcast(ua), "a")
-            .join(F.broadcast(ub), "b")
+            .join(sized_side(ua, n_vocab), "a")
+            .join(sized_side(ub, n_vocab), "b")
             .crossJoin(F.broadcast(tot))
             .crossJoin(F.broadcast(btot))
             .select("a", "b", "c_ab", "c_a", "c_b",
@@ -402,8 +409,10 @@ def t15_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams before the shuffle); the global pair table is its
     re-aggregation on (a, b). The lp table is pair-vocabulary-sized
     (Zipf-bounded) and joins the doc-pair relation on (a, b) — the one
-    big shuffle join; unigram counts and V ride broadcast
-    (vocabulary-sized). Regroup on doc_id is the second exchange.
+    big shuffle join; unigram counts are vocabulary-sized — GROWING
+    with the corpus — so the attachment is measured-pinned
+    (checkpoint, count, sized_side); V rides as a 1-row aggregate.
+    Regroup on doc_id is the second exchange.
     Nothing is proportional to corpus length except the two narrow
     explode passes."""
     docs = (load_table(spark, sf_dir, "documents")
@@ -419,11 +428,14 @@ def t15_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum("cnt").cast("long").alias("c_ab")))
     uni = (docs.select(F.explode("ts").alias("tok"))
            .groupBy("tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("c_t")))
+           .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+           .localCheckpoint())
+    n_vocab = uni.count()  # cheap: checkpoint-materialized
     vsz = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
     lp = (pairs
-          .join(F.broadcast(uni.select(F.col("tok").alias("a"),
-                                       F.col("c_t").alias("c_a"))), "a")
+          .join(sized_side(uni.select(F.col("tok").alias("a"),
+                                      F.col("c_t").alias("c_a")),
+                           n_vocab), "a")
           .crossJoin(F.broadcast(vsz))
           .select("a", "b", F.expr(
               f"CAST(FLOOR({_LM_Q} * ln("

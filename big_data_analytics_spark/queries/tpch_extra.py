@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.functions.money import money_sum
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 
@@ -99,16 +100,17 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo-share pattern: conditional cents-sum ÷ total cents-sum,
-    one pass, broadcast part dim."""
+    one pass, measured-pin part attachment (part scales with SF)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp")))
     p = load_table(spark, sf_dir, "part")
+    n_part = p.count()  # parquet metadata count; part SCALES with SF
     rev_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                         * 100.0 + 0.5)
     is_small = F.col("p_type").like("small%")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(sized_side(p, n_part), l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 (F.sum(F.when(is_small, rev_cents).otherwise(0)).cast("double") / 100.0)
@@ -139,7 +141,7 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate shape that tests residual-filter placement."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(sized_side(p, p.count()), l.l_partkey == p.p_partkey)
     cond = (
         (F.col("p_size").between(1, 10) & (F.col("l_quantity") >= 30))
         | (F.col("p_size").between(11, 25) & (F.col("l_quantity") < 5))
@@ -175,10 +177,13 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_size").isin(1, 5, 9, 13))
+    # base-table count is the cheap (metadata) conservative bound for
+    # the filtered build side
+    n_part = load_table(spark, sf_dir, "part").count()
     bad_supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < -500)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(sized_side(p, n_part), l.l_partkey == p.p_partkey)
         .join(bad_supp, l.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(

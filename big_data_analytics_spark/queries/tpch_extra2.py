@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.functions.money import money_cents, money_sum
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _CENTS_SQL = "CAST(FLOOR({expr}*100.0+0.5) AS BIGINT)"
@@ -108,7 +109,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey)
+        .join(sized_side(s, s.count()), (s.s_suppkey == l.l_suppkey)
               & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -162,7 +163,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, o.o_orderkey == l.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(sized_side(s, s.count()), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
         .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
         .filter(pair)
@@ -226,9 +227,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(sized_side(s, s.count()), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
-        .join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(sized_side(p, p.count()), p.p_partkey == l.l_partkey)
         .select(F.year("o_orderdate").cast("long").alias("order_year"),
                 "supp_nation", cents.alias("cents"))
     )
@@ -276,8 +277,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        l.join(sized_side(p, p.count()), p.p_partkey == l.l_partkey)
+        .join(sized_side(s, s.count()), s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
         .groupBy("supp_nation",
                  F.year("l_shipdate").cast("long").alias("ship_year"))
@@ -471,7 +472,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.filter(F.col("is_late") == 1)
         .join(sole_late_orders, "l_orderkey")
-        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .join(sized_side(s, s.count()), s.s_suppkey == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

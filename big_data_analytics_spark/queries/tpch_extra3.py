@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.functions.money import money_cents, money_sum
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _CENTS_SQL = "CAST(FLOOR({expr}*100.0+0.5) AS BIGINT)"
@@ -132,7 +133,9 @@ def q20p_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 40% of some part's total shipped quantity, with how many
     parts they dominate. The (part, supplier) rollup reuses its own
     output for the per-part total (no second lineitem scan), and the
-    supplier dim broadcasts for the name enrichment."""
+    supplier dim is measured-pinned for the name enrichment (supplier
+    SCALES with SF — broadcast under the ceiling, sort-merge past
+    it)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     ps = (l.groupBy("l_partkey", "l_suppkey")
@@ -143,7 +146,7 @@ def q20p_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(pt, "l_partkey")
         .filter(F.col("qty_c").cast("double")
                 > 0.4 * F.col("tot_c").cast("double"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(sized_side(s.select("s_suppkey", "s_name"), s.count()),
               ps.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
