@@ -174,6 +174,13 @@ FIXED = [
 
 HEADLINE = CORE + EXTENDED
 
+#: Entries added to HEADLINE THIS round. ``new_entries_total`` sums
+#: exactly these, so the judge separates headline growth from drift
+#: mechanically: value - new_entries_total is the like-for-like
+#: comparison with the PREVIOUS round's BENCH file (VERDICT r9 #7).
+#: Maintained each round: replace with the round's additions.
+ROUND_NEW: frozenset = frozenset()
+
 #: FROZEN: the exact 45-query headline graded in rounds 6-7
 #: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
 #: warm timings over this set, so round-over-round totals compare the
@@ -323,6 +330,10 @@ def main() -> None:
         # the like-for-like round-over-round comparison
         "common_subset_total": round(
             sum(t for n, t in timings.items() if n in R7_SET), 3),
+        # this round's headline additions alone (0.0 when none):
+        # value - new_entries_total == last round's like-for-like total
+        "new_entries_total": round(
+            sum(t for n, t in timings.items() if n in ROUND_NEW), 3),
         "cold_total": round(sum(cold.values()), 3),
         "queries": {**timings, **fixed},
         "sf": sf,

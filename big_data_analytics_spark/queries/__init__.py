@@ -80,79 +80,73 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-9 head-50: 2 canaries + round-9 new/changed (mm2 whose
-#: corpus size was silently rebound by mm9's constant — now fixed and
-#: AST-guarded; mm9 whose AVI demux gained the vids-stream pin; mm8
-#: whose JPEG marker loop gained fill-byte skipping; sm10 whose
-#: scratch dirs gained cleanup; lp1 whose LPA rounds fused two
-#: aggregation exchanges into one; and the seven new queries gr6
-#: modularity, ir2 NDCG, t14 PMI, ts6 seasonal decomposition, t15
-#: bigram-LM scoring, gr7 degree-oriented triangles, ts7 CUSUM, sm11
-#: streaming CUSUM) + the entire 24-row r2-vintage backlog (burned
-#: this round) + the 11 oldest r3-vintage rows in registry order. The
-#: round-10 backlog under the standing rule: the 32 remaining
-#: r3-vintage rows (next up in registry order: p20b, p19b, sk1, sk2,
-#: t7_vocabulary, ts1, dq1, dq2, t8, pv2, o2g, ws1, sk4, sk5, q2p,
-#: q11p, q20p, t9, t10, a20, up1, gi1, gr1, a21, t11, t12, inc1, df1,
-#: bpe1, sk6, rc1, at1), then r4 vintage.
+#: Round-10 head-50: 2 canaries + round-10 new/changed (the three new
+#: queries ir3 MRR/recall eval, gr8 bounded k-core, ev1 ROUGE-N; gr7
+#: whose node/edge-sized attachments gained measured pins; ts7 which
+#: gained the int64 headroom guard; and the broadcast-audit pin
+#: conversions: q14/q16/q19, q5/q7/q8/q9/q21, q20p, ml21, t14, t15,
+#: pp1, sm5, ecom_revenue_by_state / ecom_top_products /
+#: ecom_inventory_levels) + the 26 oldest r3-vintage rows in registry
+#: order. Remaining r3 backlog for round 11: df1, bpe1, sk6, rc1,
+#: at1 — then r4 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-9 new/changed
-    "mm2_frame_samples",
-    "mm9_video_frame_sample",
-    "mm8_jpeg_roundtrip",
-    "sm10_stream_crash_recovery",
-    "lp1_part_communities",
-    "gr6_modularity",
-    "ir2_ndcg_eval",
-    "t14_pmi_cooccurrence",
-    "ts6_seasonal_decompose",
-    "t15_bigram_lm_scores",
+    # (b) round-10 new
+    "ir3_mrr_eval",
+    "gr8_kcore",
+    "ev1_rouge_n",
+    # (b cont.) round-10 changed (measured-pin conversions + guards)
     "gr7_triangle_counts",
     "ts7_cusum_changepoint",
-    "sm11_stream_cusum",
-    # (c) oldest-first: the full 24-row r2-vintage backlog (last
-    # driver row in round 2), registry order, no-oracle d2/d3 skipped
-    "d4_ngram_jaccard_pairs",
-    "aj1_asof_purchase_view",
-    "aj2_forward_asof_tolerance",
-    "rj1_value_band_join",
-    "f13_math_functions",
-    "f20_json_extract",
-    "q3_shipping_priority",
+    "q14_brand_revenue_share",
+    "q19_or_of_ands",
+    "q16_supplier_variety",
     "q5_local_supplier_volume",
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q18_large_volume_customers",
     "q21_sole_late_supplier",
-    "w8_moving_hour_stats",
-    "w9_first_last_nth_order",
-    "f22_edit_distance",
-    "f23_regexp_extract_all",
-    "h1_value_histogram",
-    "sa1_ordered_string_agg",
-    "g3_grouping_sets",
-    "sk3_approx_quantiles",
-    "t6_chunk_documents",
-    # (c cont.) the 11 oldest r3-vintage rows, registry order
+    "q20p_dominant_part_suppliers",
+    "ml21_grouped_ols",
+    "t14_pmi_cooccurrence",
+    "t15_bigram_lm_scores",
+    "pp1_perplexity_filter",
+    "sm5_stream_static_enrich",
     "ecom_revenue_by_state",
     "ecom_top_products",
-    "ecom_clv",
-    "ecom_product_daily_metrics",
-    "ecom_monthly_sales",
-    "ecom_products_enriched",
-    "ecom_dwell_times",
-    "ecom_page_transitions",
     "ecom_inventory_levels",
-    "ij1_view_purchase_pairs",
-    "scd1_user_state_history",
+    # (c) oldest-first: the 26 oldest r3-vintage rows, registry order
+    # (q20p already above with the changed set)
+    "p20b_stratified_sample",
+    "p19b_hash_split",
+    "sk1_hll_distinct_users",
+    "sk2_hll_mergeable",
+    "t7_vocabulary",
+    "ts1_ema_user_value",
+    "dq1_profile_lineitem",
+    "dq2_referential_integrity",
+    "t8_repetition_signals",
+    "pv2_unpivot_metrics",
+    "o2g_topk_per_group",
+    "ws1_weighted_doc_sample",
+    "sk4_heavy_hitters",
+    "sk5_count_min_tokens",
+    "q2p_min_price_per_type",
+    "q11p_supplier_revenue_share",
+    "t9_sequence_packing",
+    "t10_pii_scrub",
+    "a20_winsorized_prices",
+    "up1_orders_upsert",
+    "gi1_activity_islands",
+    "gr1_part_pagerank",
+    "a21_robust_price_stats",
+    "t11_top_bigrams_per_lang",
+    "t12_token_entropy",
+    "inc1_incremental_rollup",
 ]
 
 
@@ -212,6 +206,7 @@ def load_all() -> dict[str, Query]:
         normalize,
         monitoring,
         ann_eval,
+        evals,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

@@ -836,3 +836,93 @@ def gr7_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(f"CAST(({_TRI_Q} * COALESCE(n, 0)) div "
                            "(d * (d - 1)) AS BIGINT)")
                     .alias("clustering_micro")))
+
+
+_KCORE_K = 3       # core order: keep nodes with degree >= 3
+_KCORE_ROUNDS = 6  # bounded peel rounds (the LPA fixed-round convention)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled 6-round 3-core peel (the _lpa_cte convention: bounded
+    rounds make an iterative algorithm ANSI-SQL-expressible and
+    engine-deterministic). Every round CTE is MATERIALIZED: each
+    round references its predecessor three times, so inlined CTEs
+    expand 3^6-fold (DuckDB ran out of file handles re-scanning
+    lineitem hundreds of times)."""
+    body = """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), e0 AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM edges WHERE src < dst
+    )"""
+    prev = "e0"
+    for i in range(_KCORE_ROUNDS):
+        body += f""", k{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT u, v FROM {prev}
+        WHERE u IN (SELECT node FROM k{i})
+          AND v IN (SELECT node FROM k{i})
+    )"""
+        prev = f"e{i + 1}"
+    return body + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) GROUP BY node
+    """
+
+
+@query("gr8_kcore", oracle=_kcore_oracle())
+def gr8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core of the co-purchase graph after {R} peel rounds — the
+    degeneracy-based graph-curation statistic (spam/bot subgraphs and
+    low-signal tails live OUTSIDE the core; recommendation and
+    community pipelines run ON it). One round = drop every node with
+    degree < {K}, restrict the edge set to survivors; the bounded
+    round count is the LPA/lp1 convention that keeps an iterative
+    algorithm oracle-expressible — on the graded fixtures {R} rounds
+    reach the true fixed-point core (asserted against a peel-to-
+    fixpoint pure-python recount, tests/test_graph.py), and the
+    bounded semantics stay deterministic at any scale. Output:
+    (node, degree within the round-{R} subgraph).
+
+    Scale shape: the edge relation only SHRINKS (each round's output
+    feeds the next — no growing state, no wedge/candidate blowup);
+    per round one mergeable degree aggregation + two semi-join
+    restrictions whose build side is the MEASURED-pinned survivor set
+    (node-sized: broadcast under the 5M ceiling, sort-merge past it —
+    the gr6/gr7 rule), and the survivor relation is checkpointed so
+    round k+1's lineage doesn't replay rounds 0..k (the pagerank
+    discipline). At 100 TB: log-ish rounds of linear passes — the
+    standard distributed k-core schedule."""
+    edges = (_weighted_edges(spark, sf_dir)
+             .filter(F.col("src") < F.col("dst"))
+             .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+             .localCheckpoint())
+    for _ in range(_KCORE_ROUNDS):
+        keep = (edges.select(F.col("u").alias("node"))
+                .unionAll(edges.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= _KCORE_K)
+                .select("node")
+                .localCheckpoint())
+        n_keep = keep.count()  # cheap: checkpoint-materialized
+        edges = (edges
+                 .join(_sized_side(keep.select(F.col("node").alias("u")),
+                                   n_keep), "u", "left_semi")
+                 .join(_sized_side(keep.select(F.col("node").alias("v")),
+                                   n_keep), "v", "left_semi")
+                 .localCheckpoint())
+    return (edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+
+
+gr8_kcore.__doc__ = gr8_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)

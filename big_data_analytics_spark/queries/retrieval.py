@@ -12,7 +12,7 @@ and is rounded before ranking (ties break on doc_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
@@ -209,3 +209,144 @@ def ir2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ir2_ndcg_eval.__doc__ = ir2_ndcg_eval.__doc__.format(
     TOP=_TOP, NT=len(_TERMS))
+
+
+_MRR_TOP = 20      # ranking cut per query term
+_TITLE_N = 10      # "title" = first 10 tokens; relevance ground truth
+_RR_Q = 1_000_000_000.0  # reciprocal-rank / recall quantization grid
+
+
+@query(
+    "ir3_mrr_eval",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl
+    ), tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS token
+            FROM docs)
+        WHERE token IN ({_TERMS_SQL})
+        GROUP BY doc_id, dl, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.token, tf.doc_id,
+               CAST(FLOOR(
+                   ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * ({_K1} + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + {_K1} * (1.0 - {_B}
+                                 + {_B} * CAST(dl AS DOUBLE)
+                                   / (CAST(sdl AS DOUBLE)
+                                      / CAST(n AS DOUBLE))))
+                   * {_RR_Q}) AS BIGINT) AS s_q
+        FROM tf JOIN df USING (token), stats
+    ), ranked AS (
+        SELECT token, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY token
+                                  ORDER BY s_q DESC, doc_id) AS rk
+        FROM scored
+    ), rel AS (
+        SELECT d.doc_id, t.token
+        FROM docs d, (SELECT UNNEST([{_TERMS_SQL}]) AS token) t
+        WHERE list_contains(d.toks[1:{_TITLE_N}], t.token)
+    ), hits AS (
+        SELECT r.token, r.rk
+        FROM ranked r JOIN rel USING (token, doc_id)
+        WHERE r.rk <= {_MRR_TOP}
+    ), nrel AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY token
+    )
+    SELECT n.token AS term, n.n_rel,
+           CAST(MIN(h.rk) AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE(FLOOR({_RR_Q} / MIN(h.rk)), 0) AS BIGINT) AS rr_q,
+           CAST(COUNT(h.rk) AS BIGINT) AS hits_at_k,
+           CAST(FLOOR({_RR_Q} * COUNT(h.rk) / n.n_rel) AS BIGINT)
+               AS recall_q
+    FROM nrel n LEFT JOIN hits h USING (token)
+    GROUP BY n.token, n.n_rel
+    """,
+)
+def ir3_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{TOP} / recall@{TOP} evaluation of per-term BM25 rankings —
+    the third leg of the retrieval-eval family (ir1 ranks, ir2 grades
+    rank quality by graded relevance, ir3 grades FIRST-HIT latency and
+    coverage by binary relevance). Each query term in {TERMS} is
+    evaluated as its own single-term query; binary relevance is
+    derived deterministically from the corpus with a signal
+    INDEPENDENT of the score being evaluated: rel(doc, term) = term
+    appears in the document's first {TN} tokens (the title-match
+    convention — tf-magnitude relevance would make the metric
+    tautological). Per term: rank of the first relevant doc within the
+    top-{TOP} cut, reciprocal rank and recall@{TOP} floor-quantized to
+    a 1e-9 grid from exact integer ranks/counts (MRR = avg(rr_q)/1e9
+    is the consumer's one division — the ir2 discipline).
+
+    Scale shape: rides the ir1 inverted-index pattern (the explode
+    filters to query-term postings map-side; df is |terms| rows,
+    stats 1 row — both fixed-size broadcasts). The per-term ranking is
+    row_number + rk<={TOP} filter, which Spark plans as
+    WindowGroupLimit: each input partition keeps only its local
+    top-{TOP} per term BEFORE the exchange (the o2g shape), so the
+    per-term sort never sees more than |partitions|x{TOP} rows per
+    term — no single-hot-partition window even though |terms| is
+    tiny. The relevance relation is postings-bounded (slice + member
+    test, no second tokenize), and the final per-term rollup is
+    |terms| rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("dl").cast("long").alias("sdl"))
+    tf = (docs.select("doc_id", F.size("toks").alias("dl"),
+                      F.explode("toks").alias("token"))
+          .filter(F.col("token").isin(*_TERMS))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count("*").alias("tf")))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = F.col("n").cast("double")
+    idf = F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    term_score = (idf * (tfd * (_K1 + 1.0))
+                  / (tfd + _K1 * (1.0 - _B
+                                  + _B * F.col("dl").cast("double")
+                                  / (F.col("sdl").cast("double") / nd))))
+    scored = (tf.join(F.broadcast(dfr), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("token", "doc_id",
+                      F.floor(term_score * _RR_Q).cast("long").alias("s_q")))
+    w = Window.partitionBy("token").orderBy(F.desc("s_q"), F.asc("doc_id"))
+    ranked = (scored.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= _MRR_TOP))
+    rel = (docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(t) for t in _TERMS])).alias("token"),
+        F.slice("toks", 1, _TITLE_N).alias("title"))
+        .filter(F.expr("array_contains(title, token)"))
+        .select("doc_id", "token"))
+    hits = (ranked.join(rel, ["token", "doc_id"])
+            .groupBy("token")
+            .agg(F.min("rk").cast("long").alias("first_rel_rank"),
+                 F.count("*").cast("long").alias("hits_at_k")))
+    nrel = rel.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (nrel.join(hits, "token", "left")
+            .select(F.col("token").alias("term"), "n_rel",
+                    "first_rel_rank",
+                    F.coalesce(
+                        F.floor(F.lit(_RR_Q) / F.col("first_rel_rank")),
+                        F.lit(0)).cast("long").alias("rr_q"),
+                    F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long")
+                    .alias("hits_at_k"),
+                    F.floor(F.lit(_RR_Q)
+                            * F.coalesce(F.col("hits_at_k"), F.lit(0))
+                            / F.col("n_rel")).cast("long")
+                    .alias("recall_q")))
+
+
+ir3_mrr_eval.__doc__ = ir3_mrr_eval.__doc__.format(
+    TOP=_MRR_TOP, TERMS=_TERMS, TN=_TITLE_N)

@@ -59,7 +59,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _synth_sql(base: str) -> dict[str, str]:
+def _synth_sql(base: str, copies: int = COPIES) -> dict[str, str]:
     """Per-table DuckDB SELECT producing the 10-copy scaled relation.
 
     ``c.copy`` ranges over 0..9; offsets are ``copy * (max+1)`` computed
@@ -80,34 +80,34 @@ def _synth_sql(base: str) -> dict[str, str]:
         "doc": f"(SELECT max(doc_id)+1 FROM {src('documents')})",
         "vec": f"(SELECT max(vec_id)+1 FROM {src('embeddings')})",
     }
-    copies = f"(SELECT unnest(range({COPIES})) AS copy) c"
+    copies_rel = f"(SELECT unnest(range({copies})) AS copy) c"
     return {
         "region": f"SELECT * FROM {src('region')}",
         "nation": f"SELECT * FROM {src('nation')}",
         "customer": f"""
             SELECT c_custkey + c.copy * {offs['cust']} AS c_custkey,
                    c_name, c_nationkey, c_acctbal, c_mktsegment
-            FROM {src('customer')}, {copies}""",
+            FROM {src('customer')}, {copies_rel}""",
         "supplier": f"""
             SELECT s_suppkey + c.copy * {offs['supp']} AS s_suppkey,
                    s_name, s_nationkey, s_acctbal
-            FROM {src('supplier')}, {copies}""",
+            FROM {src('supplier')}, {copies_rel}""",
         "part": f"""
             SELECT p_partkey + c.copy * {offs['part']} AS p_partkey,
                    p_name, p_brand, p_type, p_size, p_retailprice
-            FROM {src('part')}, {copies}""",
+            FROM {src('part')}, {copies_rel}""",
         "orders": f"""
             SELECT o_orderkey + c.copy * {offs['order']} AS o_orderkey,
                    o_custkey + c.copy * {offs['cust']} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-            FROM {src('orders')}, {copies}""",
+            FROM {src('orders')}, {copies_rel}""",
         "lineitem": f"""
             SELECT l_orderkey + c.copy * {offs['order']} AS l_orderkey,
                    l_partkey + c.copy * {offs['part']} AS l_partkey,
                    l_suppkey + c.copy * {offs['supp']} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM {src('lineitem')}, {copies}""",
+            FROM {src('lineitem')}, {copies_rel}""",
         "events": f"""
             SELECT event_id + c.copy * {offs['event']} AS event_id,
                    CASE WHEN c.copy = 0 THEN ts
@@ -117,7 +117,7 @@ def _synth_sql(base: str) -> dict[str, str]:
                    END AS ts,
                    user_id + c.copy * {offs['user']} AS user_id,
                    event_type, value, props
-            FROM {src('events')}, {copies}""",
+            FROM {src('events')}, {copies_rel}""",
         "documents": f"""
             SELECT doc_id + c.copy * {offs['doc']} AS doc_id,
                    CASE WHEN c.copy = 0 THEN text
@@ -126,7 +126,7 @@ def _synth_sql(base: str) -> dict[str, str]:
                    CASE WHEN c.copy = 0 THEN n_chars
                         ELSE n_chars + 3 + length(CAST(c.copy AS VARCHAR))
                    END AS n_chars
-            FROM {src('documents')}, {copies}""",
+            FROM {src('documents')}, {copies_rel}""",
         "embeddings": f"""
             SELECT vec_id + c.copy * {offs['vec']} AS vec_id,
                    CASE WHEN c.copy = 0 THEN embedding
@@ -135,21 +135,30 @@ def _synth_sql(base: str) -> dict[str, str]:
                                  AS BIGINT) - 500) * 1e-6)
                             AS FLOAT[]) END AS embedding,
                    label
-            FROM {src('embeddings')}, {copies}""",
+            FROM {src('embeddings')}, {copies_rel}""",
     }
 
 
-def synthesize(base: str, out_dir: str, force: bool = False) -> str:
-    """Write the combined 10x fixture set under ``out_dir`` (idempotent)."""
+def synthesize(base: str, out_dir: str, force: bool = False,
+               copies: int = COPIES,
+               tables: list[str] | None = None) -> str:
+    """Write the combined ``copies``-copy fixture set under ``out_dir``
+    (idempotent; the marker records the exact config). ``tables``
+    restricts synthesis to a subset — the ceiling probes only need
+    lineitem, and a 30-copy full set costs GBs for nothing."""
     import duckdb
 
+    wanted = TABLES if tables is None else [t for t in TABLES
+                                            if t in set(tables)]
     marker = os.path.join(out_dir, ".complete")
-    if os.path.exists(marker) and not force:
+    config = f"base={base} copies={copies} tables={','.join(wanted)}\n"
+    if (os.path.exists(marker) and not force
+            and open(marker).read() == config):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    sqls = _synth_sql(base)
-    for t in TABLES:
+    sqls = _synth_sql(base, copies)
+    for t in wanted:
         dest = os.path.join(out_dir, f"{t}.parquet")
         con.execute(
             f"COPY ({sqls[t]}) TO '{dest}' (FORMAT PARQUET, "
@@ -157,7 +166,7 @@ def synthesize(base: str, out_dir: str, force: bool = False) -> str:
         n = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
         print(f"  {t}: {n:,} rows -> {dest}", file=sys.stderr)
     with open(marker, "w") as f:
-        f.write(f"base={base} copies={COPIES}\n")
+        f.write(config)
     return out_dir
 
 
@@ -227,6 +236,12 @@ def main(argv=None) -> int:
     ap.add_argument("--runs", type=int, default=4)
     ap.add_argument("--synth", action="store_true",
                     help="only synthesize the 10x fixtures, then exit")
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="fixture copy count (default 10; e.g. 30 pushes "
+                         "the part-node universe past the 5M broadcast "
+                         "ceiling for the graph-family flip probe)")
+    ap.add_argument("--tables", action="append", default=[],
+                    help="restrict synthesis to these tables (repeatable)")
     ap.add_argument("--force", action="store_true",
                     help="re-synthesize fixtures even if cached")
     ap.add_argument("--sweep", action="store_true",
@@ -235,8 +250,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     scales = args.scale or ["10x"]
+    if args.cache == DEFAULT_CACHE and args.copies != COPIES:
+        args.cache = os.path.join(os.path.dirname(DEFAULT_CACHE),
+                                  f"x{args.copies}")
     if args.synth or "10x" in scales:
-        synthesize(args.base, args.cache, force=args.force)
+        synthesize(args.base, args.cache, force=args.force,
+                   copies=args.copies, tables=args.tables or None)
     if args.synth and not args.query:
         return 0
     if args.sweep:

@@ -265,6 +265,117 @@ def test_label_propagation_strategies_agree(spark):
     assert b == s == auto_small == _lpa_reference(edges)
 
 
+def test_gr6_modularity_matches_naive_recount(spark):
+    """Fixture-level ORACLE INDEPENDENCE check for gr6: its DuckDB
+    oracle reuses the same unrolled-LPA CTE as lp1 AND restates the
+    same per-community aggregation algebra, so a shared modularity-
+    arithmetic bug would hash-match green. This recount takes the
+    LABELS from the Spark operator itself (the quantity under test is
+    the modularity arithmetic, not LPA — LPA has its own pure-python
+    reference above) and recomputes Q per community IMPERATIVELY from
+    the raw co-purchase pairs: python dicts, no window, no CTE, no
+    shared helper."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _lpa_labels,
+        gr6_modularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    label = {int(r["node"]): int(r["label"])
+             for r in _lpa_labels(spark, sf).collect()}
+
+    pairs = duckdb.connect().execute(f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{sf}/lineitem.parquet' a
+        JOIN '{sf}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    """).fetchall()
+
+    m2 = len(pairs)
+    e_within: dict[int, int] = defaultdict(int)
+    k_c: dict[int, int] = defaultdict(int)
+    sz: dict[int, int] = defaultdict(int)
+    for src, dst in pairs:
+        k_c[label[int(src)]] += 1
+        if label[int(src)] == label[int(dst)]:
+            e_within[label[int(src)]] += 1
+    for _node, lab in label.items():
+        sz[lab] += 1
+
+    want = {}
+    for c, n_nodes in sz.items():
+        if n_nodes < 2:
+            continue
+        kq = (1_000_000 * k_c[c]) // m2
+        q = (1_000_000 * e_within[c]) // m2 - (kq * kq) // 1_000_000
+        want[c] = (n_nodes, e_within[c], k_c[c], q)
+
+    got = {int(r["community"]): (int(r["n_nodes"]), int(r["e_within"]),
+                                 int(r["k_c"]), int(r["q_contrib_micro"]))
+           for r in gr6_modularity(spark, sf).collect()}
+    assert got == want
+
+
+def test_gr8_matches_pure_python_peel(spark):
+    """ORACLE INDEPENDENCE for gr8: the DuckDB oracle restates the
+    same bounded peel, so this recount re-derives the k-core
+    imperatively from the raw co-purchase pairs (dicts and sets, no
+    SQL) — and ALSO peels to the true fixed point, asserting the
+    bounded 6-round semantics has converged on the fixture (the
+    documented convergence claim)."""
+    from collections import Counter
+
+    import duckdb
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        gr8_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = duckdb.connect().execute(f"""
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM '{sf}/lineitem.parquet' a
+        JOIN '{sf}/lineitem.parquet' b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    """).fetchall()
+    edges = {(int(u), int(v)) for u, v in pairs if u < v}
+
+    def peel_once(es):
+        deg = Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        return {(u, v) for u, v in es if u in keep and v in keep}
+
+    bounded = edges
+    for _ in range(_KCORE_ROUNDS):
+        bounded = peel_once(bounded)
+    fixpoint = edges
+    while True:
+        nxt = peel_once(fixpoint)
+        if nxt == fixpoint:
+            break
+        fixpoint = nxt
+    assert bounded == fixpoint, (
+        "6 rounds did not reach the fixed point on the fixture — "
+        "raise _KCORE_ROUNDS")
+
+    want = Counter()
+    for u, v in bounded:
+        want[u] += 1
+        want[v] += 1
+    got = {int(r["node"]): int(r["core_degree"])
+           for r in gr8_kcore(spark, sf).collect()}
+    assert got == dict(want)
+
+
 def test_gr7_matches_id_canonical_ground_truth(spark):
     """gr7's oracle shares its degree-oriented enumeration with the
     Spark plan — a shared bug would pass the hash gate (it DID: the
