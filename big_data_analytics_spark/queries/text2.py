@@ -405,14 +405,20 @@ def t15_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     different directions.
 
     Scale shape: one explode pass builds the (doc, a, b, cnt) relation
-    (map-side combinable: the per-doc pair-type counts shrink repeated
-    bigrams before the shuffle); the global pair table is its
-    re-aggregation on (a, b). The lp table is pair-vocabulary-sized
-    (Zipf-bounded) and joins the doc-pair relation on (a, b) — the one
-    big shuffle join; unigram counts are vocabulary-sized — GROWING
-    with the corpus — so the attachment is measured-pinned
-    (checkpoint, count, sized_side); V rides as a 1-row aggregate.
-    Regroup on doc_id is the second exchange.
+    — and the whole train+score chain is FUSED onto one partitioning
+    (the lp1 trick, round 10): ONE repartition(a, b) of the raw bigram
+    relation satisfies the (doc_id, a, b) per-doc count (hash(a,b)
+    clusters every (doc_id, a, b) group), the (a, b) pair-table
+    re-aggregation, AND the (a, b) score join — three exchanges of
+    pair-keyed data collapse into one. The trade is losing map-side
+    combine on the first aggregation (raw bigram occurrences shuffle
+    instead of per-doc-combined counts — a small shrink on this
+    corpus); measured A/B: sf0.1 1.65 -> 1.71 s (wash, inside drift),
+    10x 10.5 -> 5.9 s best-of-3 (1.8x win) — the decade ratio drops
+    from x7.1 to ~x3.5 (SCALE.md round 10). Unigram counts are
+    vocabulary-sized — GROWING with the corpus — so that attachment is
+    measured-pinned (checkpoint, count, sized_side); V rides as a
+    1-row aggregate. Regroup on doc_id is the final exchange.
     Nothing is proportional to corpus length except the two narrow
     explode passes."""
     docs = (load_table(spark, sf_dir, "documents")
@@ -421,7 +427,8 @@ def t15_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", F.explode(F.expr(
               "transform(slice(ts, 1, size(ts) - 1), "
               "(x, i) -> struct(x AS a, ts[i + 1] AS b))")).alias("p"))
-          .select("doc_id", "p.a", "p.b"))
+          .select("doc_id", "p.a", "p.b")
+          .repartition("a", "b"))
     docpairs = (bg.groupBy("doc_id", "a", "b")
                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     pairs = (docpairs.groupBy("a", "b")

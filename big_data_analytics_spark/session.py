@@ -33,7 +33,12 @@ _DEFAULTS = {
     # Timestamps in the fixtures are timezone-naive; pin the session zone
     # so DuckDB-oracle comparisons are stable.
     "spark.sql.session.timeZone": "UTC",
-    "spark.driver.memory": "8g",
+    # local mode: one JVM hosts driver + all executor threads, so this
+    # IS the executor memory pool. 8g suits the graded fixtures;
+    # past-the-ceiling probe fixtures (tools/scale_probe --copies N)
+    # need more execution memory for the same plans — override via
+    # SPARK_GRAFT_DRIVER_MEM, it only takes effect at JVM launch.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 

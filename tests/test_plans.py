@@ -1104,3 +1104,26 @@ def test_lp1_fused_step_single_exchange(spark):
     plan0 = (_lpa_step(edges, labels, F.broadcast, fuse=False)
              ._jdf.queryExecution().executedPlan().toString())
     assert plan0.count("Exchange hashpartitioning") == 2, plan0
+
+
+def test_t15_fused_chain_no_docpair_exchange(spark):
+    """t15's fusion property: the explicit repartition(a, b) of the
+    bigram relation satisfies the (doc_id, a, b) per-doc count, the
+    (a, b) pair re-aggregation, AND the (a, b) score join (the lp1
+    subset-key trick), so NO exchange keyed on (doc_id, a, b) — the
+    pre-fusion first shuffle — may appear anywhere in the plan, and
+    the only doc_id-keyed exchange is the final rollup. (The (a, b)
+    exchange prints twice because the docpairs subtree is referenced
+    on both sides of the score join; the canonicalized plans are
+    identical, so AQE's ReuseExchange serves both from one shuffle.)
+    Guards the round-10 fusion (10x best-of-3 10.5 -> 5.9 s) against
+    an optimizer or refactor reintroducing the per-stage shuffles."""
+    import re
+
+    from big_data_analytics_spark.queries import REGISTRY
+
+    df = REGISTRY["t15_bigram_lm_scores"].spark_fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, a#", plan), plan
+    n_doc = len(re.findall(r"hashpartitioning\(doc_id#\d+L?,", plan))
+    assert n_doc == 1, f"expected only the final doc_id rollup:\n{plan}"
