@@ -154,6 +154,12 @@ EXTENDED = [
     "lp1_part_communities",
     "gr7_triangle_counts",
     "t15_bigram_lm_scores",
+    # round 10: iterative degree-peel (k-core — the shrinking-edge-set
+    # loop, a shape no other entry tracks) and pairwise n-gram overlap
+    # scoring (ROUGE — postings-keyed pair join + per-pair rollup);
+    # ir3 is a light variant of ir1/ir2 and lives in BENCH_FULL detail
+    "gr8_kcore",
+    "ev1_rouge_n",
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
@@ -179,7 +185,7 @@ HEADLINE = CORE + EXTENDED
 #: mechanically: value - new_entries_total is the like-for-like
 #: comparison with the PREVIOUS round's BENCH file (VERDICT r9 #7).
 #: Maintained each round: replace with the round's additions.
-ROUND_NEW: frozenset = frozenset()
+ROUND_NEW: frozenset = frozenset({"gr8_kcore", "ev1_rouge_n"})
 
 #: FROZEN: the exact 45-query headline graded in rounds 6-7
 #: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
