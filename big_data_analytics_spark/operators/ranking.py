@@ -67,6 +67,13 @@ def _with_bucket(df: DataFrame, key: str, num_buckets: int,
                  accuracy: int = 10_000) -> DataFrame:
     """Add a bucket id that is monotone non-decreasing in the ordering.
 
+    CARDINALITY PRECONDITION (tie mode): ``kb`` is one row per
+    DISTINCT value of ``key`` — broadcast-attached, so tie mode is for
+    HEAVY-TIE keys (few distinct values, many rows each; that is the
+    only case needing tie splitting). A high-cardinality key makes kb
+    data-proportional: pre-bucket with ``bucket_expr`` instead.
+    Classified in SCALE.md's round-10 broadcast audit.
+
     Plain mode: one percentile pass over ``key``; bucket = #bounds
     below the key value (a LONG). Tie mode (``tie_bucket_col``): one
     grouped percentile pass per distinct key value over the tiebreak
