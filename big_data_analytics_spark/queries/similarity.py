@@ -622,3 +622,90 @@ def v6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact.withColumn("rn", F.row_number().over(we))
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "neighbor_id", "cosine"))
+
+
+_KC_K = 8  # coreset size (greedy furthest-point rounds)
+
+
+def _kc_dist(e: str, s: str) -> str:
+    """Squared-L2 via three dot products, rounded to 6 dp — the same
+    per-pair decomposition and fold order on both engines (the v1
+    portability discipline)."""
+    return (f"ROUND(list_dot_product({e}.v, {e}.v)"
+            f" - 2 * list_dot_product({e}.v, {s}.v)"
+            f" + list_dot_product({s}.v, {s}.v), 6)")
+
+
+def _kcenter_oracle() -> str:
+    body = """
+    WITH emb AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sel0 AS MATERIALIZED (
+        SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1
+    )"""
+    for k in range(1, _KC_K):
+        mins = "LEAST(" + ", ".join(
+            _kc_dist("e", f"s{j}") for j in range(k)) + ")"
+        joins = " ".join(f"CROSS JOIN sel{j} s{j}" for j in range(k))
+        body += f""", sel{k} AS MATERIALIZED (
+        SELECT e.vec_id, e.v, {mins} AS md
+        FROM emb e {joins}
+        ORDER BY md DESC, e.vec_id ASC LIMIT 1
+    )"""
+    parts = ["SELECT CAST(0 AS BIGINT) AS sel_round, vec_id, "
+             "CAST(NULL AS DOUBLE) AS sel_dist FROM sel0"]
+    for k in range(1, _KC_K):
+        parts.append(f"SELECT CAST({k} AS BIGINT), vec_id, md FROM sel{k}")
+    return body + "\n    " + "\n    UNION ALL ".join(parts)
+
+
+@query("v9_kcenter_coreset", oracle=_kcenter_oracle())
+def v9_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (furthest-point) coreset selection over the
+    embedding corpus — the diverse-subset primitive behind data
+    pruning / core-set curation (pick the {K} vectors that 2-approx
+    minimize the maximum distance from any point to its nearest
+    selected center, Gonzalez '85). Seed = smallest vec_id; each round
+    picks the point MAXIMIZING its min squared-L2 distance to the
+    already-selected set (distance per pair via the v1 portability
+    discipline: three sequential-fold dot products, rounded to 6 dp
+    BEFORE the argmax, vec_id tie-break). Output: (sel_round, vec_id,
+    sel_dist) per selected center — sel_dist is the round's coverage
+    radius, the curve a curation pipeline reads to pick k.
+
+    Scale shape: the algorithm is inherently sequentially greedy in k
+    (each argmax depends on the previous pick), so the loop lives on
+    the driver holding exactly k (id, vector) pairs — a BOUNDED
+    collect of ONE row per round (the ml sufficient-stats convention),
+    never the corpus. Each round is one full corpus scan with the
+    selected vectors folded in as literals (JVM-side array folds, no
+    UDF) and a TakeOrderedAndProject(1) cut — k embarrassingly
+    parallel passes at 100 TB, the standard distributed k-center
+    schedule. k² driver work is nil for curation-sized k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    seed = emb.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    sel = [(0, int(seed.vec_id), None)]
+    vecs = [list(seed.v)]
+
+    def _lit_vec(cv):
+        return F.array(*[F.lit(float(x)) for x in cv])
+
+    for k in range(1, _KC_K):
+        dists = []
+        for cv in vecs:
+            c_norm = 0.0
+            for x in cv:  # same left-to-right fold as the engines
+                c_norm += float(x) * float(x)
+            dists.append(F.round(
+                _dot(F.col("v"), F.col("v"))
+                - 2.0 * _dot(F.col("v"), _lit_vec(cv))
+                + F.lit(c_norm), 6))
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        top = (emb.select("vec_id", "v", md.alias("md"))
+               .orderBy(F.desc("md"), F.asc("vec_id"))
+               .limit(1).collect()[0])
+        sel.append((k, int(top.vec_id), float(top.md)))
+        vecs.append(list(top.v))
+    return spark.createDataFrame(
+        sel, "sel_round long, vec_id long, sel_dist double")
