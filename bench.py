@@ -198,7 +198,13 @@ R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
                                "gr4_bfs_hops",
                                "v4_embedding_near_dups",
                                "cm1_compaction_rollup",
-                               "se1_schema_evolution_rollup"})
+                               "se1_schema_evolution_rollup"}
+                            # round-10 additions: excluded per the
+                            # freeze rule above (deriving from the
+                            # LIVE EXTENDED list silently inflated the
+                            # "frozen" subset by 5.9 s when gr8/ev1
+                            # landed — caught comparing r9/r10 sums)
+                            - ROUND_NEW)
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE
 #: iteration checkpoints, the shared co-purchase edge build) is worth
