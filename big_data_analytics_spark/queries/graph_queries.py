@@ -904,6 +904,7 @@ def gr8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") < F.col("dst"))
              .select(F.col("src").alias("u"), F.col("dst").alias("v"))
              .localCheckpoint())
+    n_edges = edges.count()
     for _ in range(_KCORE_ROUNDS):
         keep = (edges.select(F.col("u").alias("node"))
                 .unionAll(edges.select(F.col("v").alias("node")))
@@ -919,6 +920,15 @@ def gr8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .join(_sized_side(keep.select(F.col("node").alias("v")),
                                    n_keep), "v", "left_semi")
                  .localCheckpoint())
+        # the restriction only REMOVES edges, so an unchanged count
+        # means an identical set — a fixed point; the remaining rounds
+        # are no-ops and skipping them cannot change the round-{R}
+        # result (probe: 31.0 -> 8.2 s warm at 10x, 5.1 -> 1.7 s at
+        # sf0.1 — the peel converges in ~2 rounds on these graphs)
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     return (edges.select(F.col("u").alias("node"))
             .unionAll(edges.select(F.col("v").alias("node")))
             .groupBy("node")
