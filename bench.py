@@ -176,6 +176,7 @@ FIXED = [
     "mm7_dhash_neardup",
     "mm8_jpeg_roundtrip",
     "mm9_video_frame_sample",
+    "mm10_scene_cuts",
 ]
 
 HEADLINE = CORE + EXTENDED

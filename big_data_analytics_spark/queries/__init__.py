@@ -87,9 +87,9 @@ def query(name: str, oracle: Optional[str] = None):
 #: conversions: q14/q16/q19, q5/q7/q8/q9/q21, q20p, ml21, t14, t15,
 #: pp1, sm5, ecom_revenue_by_state / ecom_top_products /
 #: ecom_inventory_levels) + the 26 oldest r3-vintage rows in registry
-#: order (v9, a late round-10 addition, displaced inc1 to keep the
-#: head at 50). Remaining r3 backlog for round 11: inc1, df1, bpe1,
-#: sk6, rc1, at1 — then r4 vintage.
+#: order (v9 and mm10, late round-10 additions, displaced inc1 and
+#: t12 to keep the head at 50). Remaining r3 backlog for round 11:
+#: t12, inc1, df1, bpe1, sk6, rc1, at1 — then r4 vintage.
 #: Everything below the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
@@ -101,6 +101,7 @@ GRADE_HEAD = [
     "gr8_kcore",
     "ev1_rouge_n",
     "v9_kcenter_coreset",
+    "mm10_scene_cuts",
     # (b cont.) round-10 changed (measured-pin conversions + guards)
     "gr7_triangle_counts",
     "ts7_cusum_changepoint",
@@ -147,7 +148,6 @@ GRADE_HEAD = [
     "gr1_part_pagerank",
     "a21_robust_price_stats",
     "t11_top_bigrams_per_lang",
-    "t12_token_entropy",
 ]
 
 

@@ -926,3 +926,148 @@ def mm9_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (media.select("media_id", "content")
             .mapInPandas(sample, out_schema)
             .orderBy("media_id"))
+
+
+_N_SCENE_VID = 12   # scene-cut fixture videos (fixed-size corpus)
+_SC_FRAMES = 8      # frames per video
+_SC_JUMP = 60       # per-pixel gray jump at a scene boundary
+_SC_THRESH = 16     # per-pixel cut threshold (within-scene drift <= 3)
+
+
+def _scene_video_fixture(spark: SparkSession) -> DataFrame:
+    """12 executor-muxed MJPEG-AVIs with PLANTED scene boundaries:
+    video v is 8 frames of (2 + v%2)x2 blocks; scene(f) = f // seg
+    with seg = 2 + v%3, and frame f's block (bx, by) holds gray
+    40 + {J}*scene + (f % seg) + 2*bx + 3*by — within a scene the
+    per-pixel drift is <= 3 gray levels/frame, across a boundary it
+    jumps {J}±3. Values stay < 256 (no wrap), frames are
+    block-constant at DC quant 8, so every frame round-trips the JPEG
+    codec bit-losslessly (the mm8 contract) and per-frame pixel sums
+    have a closed form the SQL oracle recomputes."""
+    from big_data_analytics_spark.multimodal.avi import encode_avi_mjpeg
+    from big_data_analytics_spark.multimodal.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v in pdf["id"]:
+                v = int(v)
+                seg, bw, bh = 2 + v % 3, 2 + v % 2, 2
+                frames = []
+                for f in range(_SC_FRAMES):
+                    px = [[(40 + _SC_JUMP * (f // seg) + (f % seg)
+                            + 2 * (x // 8) + 3 * (y // 8))
+                           for x in range(bw * 8)] for y in range(bh * 8)]
+                    frames.append(encode_jpeg(px, qdc=8, qac=16))
+                content = encode_avi_mjpeg(frames, bw * 8, bh * 8, fps=10)
+                rows.append({
+                    "media_id": v, "media_type": "video",
+                    "content": content,
+                    "meta": {"source": "mjpeg_avi_scenes",
+                             "byte_size": len(content),
+                             "mime": "video/x-msvideo"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_SCENE_VID).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+_scene_video_fixture.__doc__ = _scene_video_fixture.__doc__.format(
+    J=_SC_JUMP)
+
+
+@query(
+    "mm10_scene_cuts",
+    oracle=f"""
+    WITH vids AS (
+        SELECT v, 2 + v % 3 AS seg, 2 + v % 2 AS bw
+        FROM range(0, {_N_SCENE_VID}) t(v)
+    ), blk AS (
+        SELECT v, seg, bw, f.f AS f, bx.x AS bx, by.y AS by
+        FROM vids, range(0, {_SC_FRAMES}) f(f),
+             range(0, 3) bx(x), range(0, 2) by(y)
+        WHERE bx.x < bw
+    ), fs AS (
+        SELECT v, f,
+               CAST(SUM(64 * (40 + {_SC_JUMP} * (f // seg) + (f % seg)
+                              + 2 * bx + 3 * by)) AS BIGINT) AS s,
+               CAST(MAX(bw) * 8 * 16 AS BIGINT) AS npx
+        FROM blk GROUP BY v, f
+    ), d AS (
+        SELECT v, f, npx,
+               s - LAG(s) OVER (PARTITION BY v ORDER BY f) AS ds
+        FROM fs
+    )
+    SELECT v AS media_id,
+           CAST({_SC_FRAMES} AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN ds > {_SC_THRESH} * npx THEN 1 ELSE 0 END)
+                AS INT) AS n_cuts,
+           CAST(MIN(CASE WHEN ds > {_SC_THRESH} * npx THEN f END)
+                AS INT) AS first_cut_frame,
+           CAST(SUM(CASE WHEN ds > {_SC_THRESH} * npx THEN f ELSE 0 END)
+                AS BIGINT) AS cut_frame_sum
+    FROM d GROUP BY v ORDER BY media_id
+    """,
+)
+def mm10_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over MJPEG video — the shot-segmentation
+    step a video-training pipeline runs before per-scene sampling or
+    captioning: demux every frame (multimodal/avi.py RIFF walking),
+    decode each through the SAME stdlib+numpy JPEG pipeline every
+    image payload rides, and mark frame f a CUT when its mean-luma
+    jump over frame f−1 exceeds {T} gray levels/pixel (planted
+    boundaries jump {J}; within-scene drift is <= 3 — the margin makes
+    the decision integer-exact: the comparison is on raw pixel SUMS
+    vs {T}·npx, no float mean). Per video: frame count, cut count,
+    first cut frame, and the cut-index sum. The fixture frames
+    round-trip the codec bit-losslessly (mm8 contract), so the oracle
+    recomputes every sum in closed form from the generation formulas —
+    a hash mismatch pinpoints a demux-order, decode, lag, or
+    threshold bug.
+
+    Scale shape: the UDF stage emits one narrow row PER FRAME
+    (media_id, frame_idx, pix_sum, npx) from Arrow-batched
+    mapInPandas — scan-bound, embarrassingly parallel; the temporal
+    logic (lag over (video, frame), threshold, per-video rollup) is
+    JVM-side window + aggregate on the frame-count-sized relation,
+    all sharing one exchange on media_id. At 100 TB the frame
+    relation is the thing you'd persist; the cut logic reruns in
+    seconds without touching a byte of video."""
+    from pyspark.sql import Window
+
+    from big_data_analytics_spark.multimodal.avi import demux_avi_mjpeg
+    from big_data_analytics_spark.multimodal.jpeg import jpeg_planes
+
+    media = _scene_video_fixture(spark)
+
+    def frame_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for f, jpg in enumerate(demux_avi_mjpeg(bytes(r["content"]))):
+                    p = jpeg_planes(jpg)[0]
+                    rows.append({
+                        "media_id": int(r["media_id"]), "f": f,
+                        "s": int(p.sum()),
+                        "npx": int(p.shape[0] * p.shape[1]),
+                    })
+            yield pd.DataFrame(rows)
+
+    fs = (media.select("media_id", "content")
+          .mapInPandas(frame_sums, "media_id long, f int, s long, npx long"))
+    w = Window.partitionBy("media_id").orderBy("f")
+    is_cut = (F.col("s") - F.lag("s").over(w)
+              > F.lit(_SC_THRESH) * F.col("npx"))
+    return (fs.withColumn("cut", is_cut)
+            .groupBy("media_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
+                 F.sum(F.coalesce(F.col("cut").cast("int"), F.lit(0)))
+                 .cast("int").alias("n_cuts"),
+                 F.min(F.when(F.col("cut"), F.col("f"))).cast("int")
+                 .alias("first_cut_frame"),
+                 F.sum(F.when(F.col("cut"), F.col("f")).otherwise(0))
+                 .cast("long").alias("cut_frame_sum")))
+
+
+mm10_scene_cuts.__doc__ = mm10_scene_cuts.__doc__.format(
+    T=_SC_THRESH, J=_SC_JUMP)
