@@ -124,6 +124,138 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+    checkpoint: str = "local",
+    broadcast_max_nodes: int = 5_000_000,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the scale path for LONG-CHAIN graphs where
+    :func:`connected_components`' one-hop-per-round min-label
+    propagation needs O(diameter) rounds. Star contraction converges
+    in O(log² n) rounds regardless of diameter: a 99-hop user-event
+    chain takes ~99 propagation rounds but a handful of star rounds.
+    Component = minimum node id in the component (same contract as
+    connected_components; isolated nodes are likewise absent).
+
+    One round is two passes over the edge list, each pass one
+    node-sized min-aggregate joined back into the edges:
+
+    - large-star: for every node u, hook each LARGER neighbor v > u
+      directly to m = min(N(u) ∪ {u}) — long tails fold toward local
+      minima, doubling the reach of every hop (this is what breaks
+      the one-hop-per-round diameter bound);
+    - small-star: orient every edge to (larger, smaller), then hook
+      u and each smaller neighbor to m = min(N≤(u) ∪ {u}) —
+      flattening the partial trees into stars.
+
+    The min relation is node-sized and attached through the measured
+    ``sized_side`` pin (broadcast below ``broadcast_max_nodes``
+    measured nodes, forced sort-merge above — never plan-time stats;
+    the gr4/gr6/gr7 OOM lesson). Each round's edge set is
+    checkpoint-truncated exactly like the propagation path. Shuffle
+    volume per round is proportional to the CURRENT edge set, which
+    only shrinks as trees flatten; at 100 TB the dominant cost is the
+    first two rounds over the raw pair list.
+
+    Convergence detection: the round-over-round (count, xxhash64
+    checksum) pair of the canonical directed edge set — both
+    operations are idempotent on a converged star set, and the edge
+    multiset is distinct by construction, so an equal (count,
+    checksum) pair identifies the fixed point without an anti-join.
+    Raises :class:`ConvergenceError` past ``max_rounds`` (the paper's
+    bound is O(log² n) rounds with high probability) rather than
+    returning under-merged labels.
+    """
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    e = _ckpt(e, checkpoint)
+    nodes = _ckpt(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct(),
+        checkpoint,
+    )
+    n_nodes = nodes.count()
+
+    def _mins(rel: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}) over whatever neighborhood `rel`
+        # encodes; node-sized regardless of edge volume.
+        return (
+            rel.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+
+    def _large_star(rel: DataFrame) -> DataFrame:
+        sym = rel.unionByName(
+            rel.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pinned = sized_side(_mins(sym), n_nodes, broadcast_max_nodes)
+        # (v, m) for v > u: v > u ≥ m, so the pair is already
+        # (larger, smaller)-canonical and never a self-loop.
+        return (
+            sym.join(pinned, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(rel: DataFrame) -> DataFrame:
+        # rel is (larger, smaller)-canonical: every neighbor v < u.
+        mins = _mins(rel)  # here m = min neighbor (< u)
+        pinned = sized_side(mins, n_nodes, broadcast_max_nodes)
+        hooked = (
+            rel.join(pinned, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        own = mins.select(F.col("u"), F.col("m").alias("v"))
+        return hooked.unionByName(own).distinct()
+
+    def _sig(rel: DataFrame):
+        row = rel.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum — an int64 sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).collect()[0]
+        return row["n"], row["chk"]
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_rounds):
+        e = _ckpt(_small_star(_large_star(e)), checkpoint)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds; the O(log² n) bound suggests a data problem "
+            "(raise max_rounds only after checking the edge build)"
+        )
+    # converged set is a star forest oriented (node, root) with
+    # root < node; roots appear only on the v side.
+    parents = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        nodes.join(parents.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return parents.unionByName(roots)
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -936,3 +936,83 @@ def gr8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 gr8_kcore.__doc__ = gr8_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# gr9: star-contraction connected components over the event-chain graph
+# ---------------------------------------------------------------------------
+#
+# The co-purchase graph is near-clique (diameter ~2) — exactly where
+# min-label propagation is fine. The graph that BREAKS propagation is
+# the long chain, and the fixture has a natural one: each user's
+# events, linked consecutively in time order, form a path of up to
+# ~99 hops (sf0.1). One-hop-per-round propagation needs ~diameter
+# rounds (ConvergenceError at the default 20); alternating
+# large-star/small-star contraction (operators/graph.py:
+# connected_components_star, Kiveris et al. SoCC'14) converges in
+# O(log² n) rounds regardless of diameter — the 100 TB-scale CC
+# algorithm.
+#
+# ORACLE INDEPENDENCE (standing policy, queries/__init__.py): the
+# oracle never builds a graph at all — by construction each user's
+# chain is one component whose minimum node is the user's minimum
+# event_id, so the oracle states the problem as a plain GROUP BY
+# user_id. A bug anywhere in the edge build, the star rounds, or the
+# final labeling cannot be mirrored by the oracle (the codec-query
+# closed-form pattern). The operator itself additionally has a pure-
+# python union-find reference on adversarial graphs
+# (tests/test_graph.py).
+
+_GR9_ORACLE = """
+    SELECT CAST(MIN(event_id) AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("gr9_event_chain_components", oracle=_GR9_ORACLE)
+def gr9_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the per-user event chain graph
+    (consecutive events of a user in (ts, event_id) order are linked)
+    via alternating large-star/small-star contraction — the
+    session-stitching / identity-resolution shape, where edges arrive
+    as pairwise links and components must be closed transitively over
+    chains far longer than any fixed propagation budget. Output: one
+    row per component, (component = min event_id, n_events = chain
+    length); single-event users have no edges and are out of scope
+    (the connected_components contract).
+
+    Scale shape: the chain edge build is one per-user window pass
+    (lead over (user_id; ts, event_id) — one shuffle of the events,
+    no self-join); each star round is two node-sized min-aggregates
+    joined back through the measured ``sized_side`` pin with
+    checkpoint-truncated lineage, and the edge set SHRINKS as trees
+    flatten (round 1 already folds every chain interior onto a local
+    minimum). Round count is O(log² n) independent of chain length —
+    the property that makes this the 100 TB CC algorithm while
+    min-label propagation (operators/graph.py:connected_components)
+    stays O(diameter). The final rollup partial-aggregates on the
+    component label.
+
+    Reference parity: none — the reference has no graph surface; this
+    extends the gr* family with the dedup-clustering workhorse
+    (cc1/cc2 run propagation because dup clusters are near-cliques;
+    chains need this operator)."""
+    from pyspark.sql import Window
+
+    from big_data_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.withColumn("nxt", F.lead("event_id").over(w))
+             .filter(F.col("nxt").isNotNull())
+             .select(F.col("event_id").alias("id_a"),
+                     F.col("nxt").alias("id_b")))
+    comp = connected_components_star(edges)
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events")))

@@ -543,3 +543,83 @@ def test_gr5_matches_pure_python_reference(spark):
             int(r["common_neighbors"]), int(r["aa_q"]))
            for r in gr5_link_prediction(spark, sf).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected_components_star (large-star/small-star contraction)
+# ---------------------------------------------------------------------------
+
+def _uf_components(pairs):
+    """Pure-python union-find ground truth: node -> min id in component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    groups: dict = {}
+    for x in list(parent):
+        groups.setdefault(find(x), []).append(x)
+    return {x: min(ms) for ms in groups.values() for x in ms}
+
+
+def _star_labels(spark, pairs, **kw):
+    from big_data_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    return {r.node: r.component
+            for r in connected_components_star(df, **kw).collect()}
+
+
+def test_star_components_match_union_find_random(spark):
+    """Seeded random multigraphs (dupes, self-loops, both edge
+    orientations) against an independent union-find reference."""
+    import random
+
+    rng = random.Random(20260815)
+    for _ in range(4):
+        n = rng.randint(6, 50)
+        m = rng.randint(n // 2, 2 * n)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        assert _star_labels(spark, pairs) == _uf_components(pairs)
+
+
+def test_star_components_long_chain_beyond_propagation_budget(spark):
+    """The motivating case: a 120-hop chain needs ~120 min-label
+    propagation rounds (ConvergenceError at the default 20) but a
+    handful of star rounds — O(log² n) vs O(diameter)."""
+    pairs = [(i, i + 1) for i in range(120)]
+    with pytest.raises(ConvergenceError):
+        connected_components(_edges(spark, pairs)).collect()
+    got = _star_labels(spark, pairs)
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_star_components_raises_past_max_rounds(spark):
+    from big_data_analytics_spark.operators.graph import (
+        connected_components_star,
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components_star(
+            _edges(spark, [(i, i + 1) for i in range(50)]),
+            max_rounds=1).collect()
+
+
+def test_star_components_sized_side_flip(spark):
+    """Forcing the node count past the broadcast ceiling must flip the
+    min-relation attachment to the sort-merge path without changing
+    the labels (the gr6/gr7 measured-pin rule applied to this
+    operator's per-round join)."""
+    pairs = [(i, i + 1) for i in range(40)] + [(100, 200), (200, 300)]
+    default = _star_labels(spark, pairs)
+    forced_merge = _star_labels(spark, pairs, broadcast_max_nodes=2)
+    assert default == forced_merge == _uf_components(pairs)
