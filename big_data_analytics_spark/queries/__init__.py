@@ -48,6 +48,12 @@ def query(name: str, oracle: Optional[str] = None):
 #: decoration time, bodies read them at call time — see
 #: tests/test_module_constant_guard.py). Shared-helper edits gate
 #: every consumer module.
+#: ADDITIONALLY (round-11 lesson, the gr9/README incident): any commit
+#: that ADDS or REMOVES a registry entry must also run the repo-level
+#: guard tests — ``pytest tests/test_bench_output.py -q`` (~2 s) —
+#: because README.md advertises the registry/oracle counts and
+#: test_readme_registry_counts_match fails the suite when they drift.
+#: The oracle gate alone does not cover these guards.
 #:
 #: ORACLE INDEPENDENCE (round-9 lesson, the gr7 incident): when an
 #: oracle restates the implementation's ALGORITHM rather than the
