@@ -273,6 +273,40 @@ COLD = ["v3_ivf_topk", "d2_minhash_lsh_pairs", "d3_simhash_pairs",
         "cm1_compaction_rollup"]
 
 
+def _drift_outliers(timings: dict[str, float], sf: float) -> list[str]:
+    """Self-flagging for the gr5-class anomaly (VERDICT r11 #2/#7): a
+    query whose current warm reading exceeds 1.5x its median across
+    the last 3 committed snapshots is named on the bench line, so a
+    single-reading doubling is visible in the round it happens instead
+    of a round later in the judge's hand-reconstructed history.
+    Snapshots = the repo's BENCH_r*.json driver artifacts (parsed
+    per-query timings at the same sf); queries with <2 historical
+    readings are skipped (no median to trust)."""
+    import glob
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, list[float]] = {}
+    snaps = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]
+    for path in snaps:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            parsed = doc.get("parsed") or {}
+            if parsed.get("sf") != sf:
+                continue
+            for name, t in (parsed.get("queries") or {}).items():
+                hist.setdefault(name, []).append(float(t))
+        except (OSError, ValueError):
+            continue
+    out = []
+    for name, t in timings.items():
+        past = hist.get(name, [])
+        if len(past) >= 2 and t > 1.5 * statistics.median(past):
+            out.append(name)
+    return sorted(out)
+
+
 def _run(q, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -348,6 +382,10 @@ def main() -> None:
         "new_entries_total": round(
             sum(t for n, t in timings.items() if n in ROUND_NEW), 3),
         "cold_total": round(sum(cold.values()), 3),
+        # queries reading >1.5x their median over the last 3 driver
+        # snapshots at this sf — the gr5-class single-reading anomaly,
+        # self-flagged (usually [])
+        "drift_outliers": _drift_outliers(timings, sf),
         "queries": {**timings, **fixed},
         "sf": sf,
     }
