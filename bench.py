@@ -177,6 +177,7 @@ FIXED = [
     "mm8_jpeg_roundtrip",
     "mm9_video_frame_sample",
     "mm10_scene_cuts",
+    "mm11_audio_vad",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -186,7 +187,10 @@ HEADLINE = CORE + EXTENDED
 #: mechanically: value - new_entries_total is the like-for-like
 #: comparison with the PREVIOUS round's BENCH file (VERDICT r9 #7).
 #: Maintained each round: replace with the round's additions.
-ROUND_NEW: frozenset = frozenset({"gr8_kcore", "ev1_rouge_n"})
+#: Round 12 adds no HEADLINE entries (ir4/ev2/t16/v10 are light
+#: variants of tracked shapes and live in BENCH_FULL detail; mm11 is
+#: a constant-size fixture → FIXED), so this is empty.
+ROUND_NEW: frozenset = frozenset()
 
 #: FROZEN: the exact 45-query headline graded in rounds 6-7
 #: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
@@ -199,12 +203,15 @@ R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
                                "gr4_bfs_hops",
                                "v4_embedding_near_dups",
                                "cm1_compaction_rollup",
-                               "se1_schema_evolution_rollup"}
-                            # round-10 additions: excluded per the
-                            # freeze rule above (deriving from the
-                            # LIVE EXTENDED list silently inflated the
-                            # "frozen" subset by 5.9 s when gr8/ev1
-                            # landed — caught comparing r9/r10 sums)
+                               "se1_schema_evolution_rollup",
+                               # round-10 additions: excluded per the
+                               # freeze rule above (deriving from the
+                               # LIVE ROUND_NEW silently inflated the
+                               # "frozen" subset by 5.9 s when gr8/ev1
+                               # landed — caught comparing r9/r10
+                               # sums; now pinned by name)
+                               "gr8_kcore",
+                               "ev1_rouge_n"}
                             - ROUND_NEW)
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE

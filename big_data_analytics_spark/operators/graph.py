@@ -163,10 +163,12 @@ def connected_components_star(
     first two rounds over the raw pair list.
 
     Convergence detection: the round-over-round (count, xxhash64
-    checksum) pair of the canonical directed edge set — both
-    operations are idempotent on a converged star set, and the edge
-    multiset is distinct by construction, so an equal (count,
-    checksum) pair identifies the fixed point without an anti-join.
+    checksum) pair of the canonical directed edge set screens every
+    round cheaply; the ONE round whose signature matches is then
+    confirmed exactly with a single anti-join between the consecutive
+    edge sets (counts already equal per the signature, so prev ⊆ e
+    proves set equality) — correctness never rests on the hash, and
+    the exact check runs once, on the smallest edge set of the run.
     Raises :class:`ConvergenceError` past ``max_rounds`` (the paper's
     bound is O(log² n) rounds with high probability) rather than
     returning under-merged labels.
@@ -234,11 +236,20 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_rounds):
+        prev = e
         e = _ckpt(_small_star(_large_star(e)), checkpoint)
         new_sig = _sig(e)
         if new_sig == sig:
-            converged = True
-            break
+            # Exact confirmation, run ONCE at the candidate fixed
+            # point: the signature already proves equal cardinality,
+            # so one anti-join proving prev ⊆ e proves set equality —
+            # correctness never rests on the 2^-64 collision odds of
+            # the hash pair. Cost: one join on the FINAL (smallest)
+            # edge set, only in the round that terminates.
+            if (prev.join(e, ["u", "v"], "left_anti")
+                    .limit(1).count() == 0):
+                converged = True
+                break
         sig = new_sig
     if not converged:
         raise ConvergenceError(

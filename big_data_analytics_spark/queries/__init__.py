@@ -86,74 +86,74 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-10 head-50: 2 canaries + round-10 new/changed (the three new
-#: queries ir3 MRR/recall eval, gr8 bounded k-core, ev1 ROUGE-N; gr7
-#: whose node/edge-sized attachments gained measured pins; ts7 which
-#: gained the int64 headroom guard; and the broadcast-audit pin
-#: conversions: q14/q16/q19, q5/q7/q8/q9/q21, q20p, ml21, t14, t15,
-#: pp1, sm5, ecom_revenue_by_state / ecom_top_products /
-#: ecom_inventory_levels) + the 26 oldest r3-vintage rows in registry
-#: order (v9 and mm10, late round-10 additions, displaced inc1 and
-#: t12 to keep the head at 50). Remaining r3 backlog for round 11:
-#: t12, inc1, df1, bpe1, sk6, rc1, at1 — then r4 vintage.
-#: Everything below the fold re-verifies locally every pytest run via
-#: tests/test_queries_vs_duckdb.py.
+#: Round-12 head-50: 2 canaries + round-12 new (ir4 MAP, ev2 BLEU-2
+#: precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage rerank) +
+#: round-12 changed (gr9, whose star-contraction operator gained the
+#: exact fixed-point confirmation — also its FIRST driver row, the
+#: only registry entry with zero driver evidence after r11) +
+#: ecom_clv (the reference-parity anchor, last graded r9 — never let
+#: it go >3 rounds stale) + the final 7 r3-vintage rows + the 34
+#: oldest r4-vintage rows in registry order. Remaining r4 backlog for
+#: round 13: sm4, mb1, ts2, ts3, st5, ml4, t13, x11, x12 — then r5
+#: vintage. Everything below the fold re-verifies locally every
+#: pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-10 new
-    "ir3_mrr_eval",
-    "gr8_kcore",
-    "ev1_rouge_n",
-    "v9_kcenter_coreset",
-    "mm10_scene_cuts",
-    # (b cont.) round-10 changed (measured-pin conversions + guards)
-    "gr7_triangle_counts",
-    "ts7_cusum_changepoint",
-    "q14_brand_revenue_share",
-    "q19_or_of_ands",
-    "q16_supplier_variety",
-    "q5_local_supplier_volume",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q21_sole_late_supplier",
-    "q20p_dominant_part_suppliers",
-    "ml21_grouped_ols",
-    "t14_pmi_cooccurrence",
-    "t15_bigram_lm_scores",
-    "pp1_perplexity_filter",
-    "sm5_stream_static_enrich",
-    "ecom_revenue_by_state",
-    "ecom_top_products",
-    "ecom_inventory_levels",
-    # (c) oldest-first: the 26 oldest r3-vintage rows, registry order
-    # (q20p already above with the changed set)
-    "p20b_stratified_sample",
-    "p19b_hash_split",
-    "sk1_hll_distinct_users",
-    "sk2_hll_mergeable",
-    "t7_vocabulary",
-    "ts1_ema_user_value",
-    "dq1_profile_lineitem",
-    "dq2_referential_integrity",
-    "t8_repetition_signals",
-    "pv2_unpivot_metrics",
-    "o2g_topk_per_group",
-    "ws1_weighted_doc_sample",
-    "sk4_heavy_hitters",
-    "sk5_count_min_tokens",
-    "q2p_min_price_per_type",
-    "q11p_supplier_revenue_share",
-    "t9_sequence_packing",
-    "t10_pii_scrub",
-    "a20_winsorized_prices",
-    "up1_orders_upsert",
-    "gi1_activity_islands",
-    "gr1_part_pagerank",
-    "a21_robust_price_stats",
-    "t11_top_bigrams_per_lang",
+    # (b) round-12 new
+    "ir4_map_eval",
+    "ev2_bleu_precision",
+    "mm11_audio_vad",
+    "t16_zipf_fit",
+    "v10_two_stage_rerank",
+    # (b cont.) round-12 changed + first-ever driver row
+    "gr9_event_chain_components",
+    # (b cont.) reference-parity anchor re-grade (last row r9)
+    "ecom_clv",
+    # (c) oldest-first: the last 7 r3-vintage rows, registry order
+    "sk6_hll_intersection",
+    "t12_token_entropy",
+    "inc1_incremental_rollup",
+    "df1_snapshot_diff",
+    "rc1_hierarchy_rollup",
+    "at1_time_decay_attribution",
+    "bpe1_merge_steps",
+    # (c cont.) the 34 oldest r4-vintage rows, registry order
+    "v5_sq_topk",
+    "v6_pq_adc_topk",
+    "sql1_revenue_by_state_sqlapi",
+    "d2b_minhash_portable",
+    "d7_incremental_dedup",
+    "d3b_simhash_portable",
+    "d5_containment_pairs",
+    "w11_session_duration_percentiles",
+    "w12_cumulative_distinct_users",
+    "bm1_bitmap_segment_intersect",
+    "dq3_contamination_check",
+    "ws2_reservoir_per_group",
+    "gr2_triangle_count",
+    "gr3_weighted_pagerank",
+    "a22_corr_matrix",
+    "rt1_weekly_retention",
+    "st1_chi_square_independence",
+    "st2_ab_test_proportions",
+    "ml1_ols_inference",
+    "st3_mann_whitney_u",
+    "ml2_anova_f",
+    "st4_ks_two_sample",
+    "ml3_ols_multiple",
+    "bpe2_encode",
+    "mm1_media_stats",
+    "z1_zorder_keys",
+    "mx1_mixture_budgets",
+    "sj1_salted_skew_join",
+    "cp1_corpus_clean_audit",
+    "bl1_bloom_semi_join",
+    "cc1_dedup_clusters",
+    "sm1_stream_daily_metrics",
+    "sm2_stream_sessions",
+    "sm3_stream_dedup_ingest",
 ]
 
 
@@ -204,6 +204,7 @@ def load_all() -> dict[str, Query]:
         stats_ext,
         text4,
         text5,
+        text6,
         layout,
         udf_queries,
         ml_queries,

@@ -1071,3 +1071,153 @@ def mm10_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 mm10_scene_cuts.__doc__ = mm10_scene_cuts.__doc__.format(
     T=_SC_THRESH, J=_SC_JUMP)
+
+
+_N_VAD = 24         # VAD clips
+_VAD_L = 160        # samples per frame (10 ms at 16 kHz)
+_VAD_TH = 40_000_000  # frame-energy threshold: quiet max 4e5, loud min 1.6e8
+
+
+def _vad_fixture(spark: SparkSession) -> DataFrame:
+    """{n} executor-encoded PCM16 WAV clips with PLANTED speech/silence
+    structure: clip i has nf = 8 + i%5 frames of {L} samples; frame k
+    is LOUD iff (k // sl) % 2 == 1 with sl = 2 + i%3 (alternating
+    silence/speech runs of sl frames). Sample t of a loud frame is
+    1000 + lcg(i,t) % 1000 (|s| >= 1000), of a quiet frame
+    lcg(i,t) % 101 - 50 (|s| <= 50), lcg(i,t) = i*7919 + t*104729 —
+    per-frame energy is separated by 400x across the threshold, so
+    the VAD decision is integer-exact."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf, sl = 8 + i % 5, 2 + i % 3
+                samples = []
+                for t in range(nf * _VAD_L):
+                    r = i * 7919 + t * 104729
+                    if ((t // _VAD_L) // sl) % 2 == 1:
+                        samples.append(1000 + r % 1000)
+                    else:
+                        samples.append(r % 101 - 50)
+                content = encode_wav(samples, 16_000)
+                rows.append({
+                    "media_id": i, "media_type": "audio",
+                    "content": content,
+                    "meta": {"source": "vad_planted",
+                             "byte_size": len(content),
+                             "mime": "audio/wav"},
+                })
+            yield pd.DataFrame(rows)
+
+    return spark.range(_N_VAD).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+_vad_fixture.__doc__ = _vad_fixture.__doc__.format(n=_N_VAD, L=_VAD_L)
+
+
+@query(
+    "mm11_audio_vad",
+    oracle=f"""
+    WITH clips AS (
+        SELECT i, 8 + i % 5 AS nf, 2 + i % 3 AS sl
+        FROM range(0, {_N_VAD}) t(i)
+    ), samp AS (
+        SELECT c.i, s.t // {_VAD_L} AS k,
+               CASE WHEN ((s.t // {_VAD_L}) // c.sl) % 2 = 1
+                    THEN 1000 + (c.i * 7919 + s.t * 104729) % 1000
+                    ELSE (c.i * 7919 + s.t * 104729) % 101 - 50
+               END AS s
+        FROM clips c, range(0, {_VAD_L} * 12) s(t)
+        WHERE s.t < c.nf * {_VAD_L}
+    ), fr AS (
+        SELECT i, k, CAST(SUM(s * s) AS BIGINT) AS e
+        FROM samp GROUP BY i, k
+    ), fl AS (
+        SELECT i, k, e, e > {_VAD_TH} AS act,
+               LAG(e > {_VAD_TH}) OVER (PARTITION BY i ORDER BY k)
+                   AS pact
+        FROM fr
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN act THEN 1 ELSE 0 END) AS INT)
+               AS n_active,
+           CAST(SUM(CASE WHEN act AND (pact IS NULL OR NOT pact)
+                    THEN 1 ELSE 0 END) AS INT) AS n_segments,
+           CAST(MIN(CASE WHEN act THEN k END) AS INT)
+               AS first_active_frame,
+           CAST(SUM(CASE WHEN act THEN k ELSE 0 END) AS BIGINT)
+               AS active_frame_sum,
+           CAST(SUM(e) AS BIGINT) AS energy
+    FROM fl GROUP BY i
+    """,
+)
+def mm11_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over real WAV
+    payloads — the audio twin of mm10's scene cuts, and the first step
+    an audio-training pipeline runs before transcription or per-
+    segment sampling: decode PCM16 bytes (the same stdlib struct path
+    mm6 grades), frame into {L}-sample windows, mark a frame ACTIVE
+    when its energy Σs² exceeds {TH} (planted loud frames sit 4x
+    above, quiet 100x below — the decision is integer-exact), and
+    merge consecutive active frames into segments with the
+    gaps-and-islands lag trick (gi1's shape, on frames instead of
+    days). Per clip: frame/active counts, SEGMENT count, first active
+    frame, active-frame index sum, and the exact total energy (byte-
+    level corruption anywhere in encode → decode flips it even when
+    the threshold decision survives). The oracle recomputes everything
+    from the planted generation schedule without seeing a byte — a
+    mismatch pinpoints codec, framing, threshold, or lag bugs.
+
+    Scale shape: the UDF stage emits one narrow row PER FRAME
+    (media_id, k, e) from Arrow-batched mapInPandas — scan-bound,
+    embarrassingly parallel, ~1/{L}00th of the input bytes; the
+    temporal logic (lag over (clip, frame), threshold, rollup) is
+    JVM-side window + aggregate sharing one exchange on media_id. At
+    100 TB of audio the frame-energy relation is what you'd persist;
+    re-segmenting at a new threshold never touches a byte of audio."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    from big_data_analytics_spark.multimodal.binary_ops import _wav_pcm
+
+    media = _vad_fixture(spark)
+
+    def frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = _wav_pcm(bytes(content))
+                s = np.array(struct.unpack(f"<{len(pcm) // 2}h", pcm),
+                             dtype=np.int64)
+                e = (s * s).reshape(-1, _VAD_L).sum(axis=1)
+                for k, ek in enumerate(e):
+                    rows.append({"media_id": int(mid), "k": k,
+                                 "e": int(ek)})
+            yield pd.DataFrame(rows)
+
+    fr = (media.select("media_id", "content")
+          .mapInPandas(frame_energy, "media_id long, k int, e long"))
+    w = Window.partitionBy("media_id").orderBy("k")
+    act = F.col("e") > _VAD_TH
+    fl = (fr.withColumn("act", act)
+          .withColumn("pact", F.lag("act").over(w)))
+    return (fl.groupBy("media_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_frames"),
+                 F.sum(F.col("act").cast("int")).cast("int")
+                 .alias("n_active"),
+                 F.sum((F.col("act")
+                        & F.coalesce(~F.col("pact"), F.lit(True)))
+                       .cast("int")).cast("int").alias("n_segments"),
+                 F.min(F.when(F.col("act"), F.col("k"))).cast("int")
+                 .alias("first_active_frame"),
+                 F.sum(F.when(F.col("act"), F.col("k")).otherwise(0))
+                 .cast("long").alias("active_frame_sum"),
+                 F.sum("e").cast("long").alias("energy")))
+
+
+mm11_audio_vad.__doc__ = mm11_audio_vad.__doc__.format(
+    L=_VAD_L, TH=_VAD_TH)

@@ -350,3 +350,134 @@ def ir3_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ir3_mrr_eval.__doc__ = ir3_mrr_eval.__doc__.format(
     TOP=_MRR_TOP, TERMS=_TERMS, TN=_TITLE_N)
+
+
+@query(
+    "ir4_map_eval",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl
+    ), tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS token
+            FROM docs)
+        WHERE token IN ({_TERMS_SQL})
+        GROUP BY doc_id, dl, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.token, tf.doc_id,
+               CAST(FLOOR(
+                   ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * ({_K1} + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + {_K1} * (1.0 - {_B}
+                                 + {_B} * CAST(dl AS DOUBLE)
+                                   / (CAST(sdl AS DOUBLE)
+                                      / CAST(n AS DOUBLE))))
+                   * {_RR_Q}) AS BIGINT) AS s_q
+        FROM tf JOIN df USING (token), stats
+    ), ranked AS (
+        SELECT token, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY token
+                                  ORDER BY s_q DESC, doc_id) AS rk
+        FROM scored
+    ), rel AS (
+        SELECT d.doc_id, t.token
+        FROM docs d, (SELECT UNNEST([{_TERMS_SQL}]) AS token) t
+        WHERE list_contains(d.toks[1:{_TITLE_N}], t.token)
+    ), hits AS (
+        SELECT r.token,
+               CAST(FLOOR({_RR_Q}
+                    * ROW_NUMBER() OVER (PARTITION BY r.token
+                                         ORDER BY r.rk)
+                    / r.rk) AS BIGINT) AS p_q
+        FROM ranked r JOIN rel USING (token, doc_id)
+        WHERE r.rk <= {_MRR_TOP}
+    ), nrel AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY token
+    )
+    SELECT n.token AS term, n.n_rel,
+           CAST(COUNT(h.p_q) AS BIGINT) AS hits_at_k,
+           CAST(FLOOR(COALESCE(SUM(h.p_q), 0)
+                / LEAST(n.n_rel, {_MRR_TOP})) AS BIGINT) AS ap_q
+    FROM nrel n LEFT JOIN hits h USING (token)
+    GROUP BY n.token, n.n_rel
+    """,
+)
+def ir4_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @{TOP} of per-term BM25 rankings — the fourth
+    retrieval-eval leg (ir2 grades graded-relevance rank quality, ir3
+    first-hit latency + coverage; AP is the order-sensitive summary a
+    retrieval team actually tracks: it rewards putting EVERY relevant
+    doc early, not just the first). Same deterministic binary
+    relevance as ir3 (term appears in the doc's first {TN} tokens —
+    independent of the score under evaluation). Per term: AP@{TOP} =
+    (1 / min(n_rel, {TOP})) * sum over relevant ranks r of
+    precision@r, where precision@r = (#relevant in top r) / r. Each
+    precision term is floor-quantized to the 1e-9 grid from exact
+    integer ranks (i-th hit at rank r contributes floor(Q*i/r); both
+    operands are integers < 2^31 so the double product/quotient is
+    exact to well past the floor boundary — same discipline as ir3's
+    rr_q), so the quantized sum is exact and order-free; MAP =
+    avg(ap_q)/1e9 is the consumer's one division.
+
+    Scale shape: identical to ir3 up to the hits relation (postings-
+    bounded explode, fixed-size df/stats broadcasts, WindowGroupLimit
+    per-partition top-{TOP} before the per-term exchange). The extra
+    work over ir3 is one window over the HITS relation — at most
+    |terms| x {TOP} rows, constant-size — and the same |terms|-row
+    rollup. Nothing new touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("dl").cast("long").alias("sdl"))
+    tf = (docs.select("doc_id", F.size("toks").alias("dl"),
+                      F.explode("toks").alias("token"))
+          .filter(F.col("token").isin(*_TERMS))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count("*").alias("tf")))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = F.col("n").cast("double")
+    idf = F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    term_score = (idf * (tfd * (_K1 + 1.0))
+                  / (tfd + _K1 * (1.0 - _B
+                                  + _B * F.col("dl").cast("double")
+                                  / (F.col("sdl").cast("double") / nd))))
+    scored = (tf.join(F.broadcast(dfr), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("token", "doc_id",
+                      F.floor(term_score * _RR_Q).cast("long").alias("s_q")))
+    w = Window.partitionBy("token").orderBy(F.desc("s_q"), F.asc("doc_id"))
+    ranked = (scored.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= _MRR_TOP))
+    rel = (docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(t) for t in _TERMS])).alias("token"),
+        F.slice("toks", 1, _TITLE_N).alias("title"))
+        .filter(F.expr("array_contains(title, token)"))
+        .select("doc_id", "token"))
+    wh = Window.partitionBy("token").orderBy("rk")
+    hits = (ranked.join(rel, ["token", "doc_id"])
+            .withColumn("i", F.row_number().over(wh))
+            .select("token",
+                    F.floor(F.lit(_RR_Q) * F.col("i") / F.col("rk"))
+                    .cast("long").alias("p_q")))
+    nrel = rel.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_rel"))
+    return (nrel.join(hits, "token", "left")
+            .groupBy(F.col("token").alias("term"), "n_rel")
+            .agg(F.count("p_q").cast("long").alias("hits_at_k"),
+                 F.floor(F.coalesce(F.sum("p_q"), F.lit(0))
+                         / F.least(F.col("n_rel"), F.lit(_MRR_TOP)))
+                 .cast("long").alias("ap_q")))
+
+
+ir4_map_eval.__doc__ = ir4_map_eval.__doc__.format(
+    TOP=_MRR_TOP, TN=_TITLE_N)

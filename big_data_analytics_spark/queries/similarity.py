@@ -709,3 +709,105 @@ def v9_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.append(list(top.v))
     return spark.createDataFrame(
         sel, "sel_round long, vec_id long, sel_dist double")
+
+
+# --------------------------------------------------------------------
+# V10 — two-stage retrieval: truncated-dim candidate generation +
+# full-dim exact rerank (the Matryoshka / dimension-funnel pattern).
+# --------------------------------------------------------------------
+_TRUNC_D = 16    # candidate-generation prefix dims (of 64)
+_CAND_C = 32     # candidates per query passed to the rerank stage
+
+
+@query(
+    "v10_two_stage_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id >= {N_QUERY_VECS}),
+         stage1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.v AS qv, c.v AS cv,
+               ROUND(list_dot_product(q.v[1:{_TRUNC_D}],
+                                      c.v[1:{_TRUNC_D}]), 6) AS tdot
+        FROM q, c
+    ), cand AS (
+        SELECT query_id, neighbor_id, qv, cv
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY tdot DESC, neighbor_id) AS crn
+              FROM stage1)
+        WHERE crn <= {_CAND_C}
+    ), rer AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rn AS INT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC,
+                                                neighbor_id) AS rn
+          FROM rer)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def v10_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage dense retrieval: rank the corpus by the inner product
+    of the first {TD} dims only (the Matryoshka-embedding /
+    dimension-funnel trick — prefix dims carry most of the signal),
+    keep the top-{C} candidates per query, then rerank JUST those by
+    exact full-{FD}-dim cosine and emit the top-{K} with ranks. This
+    is how production vector search actually spends its FLOPs: a
+    cheap coarse scorer touches everything, the exact scorer touches
+    a constant number of rows per query. Both stages break ties on
+    (rounded score, neighbor_id) so the candidate-set boundary and
+    the final ranking are deterministic across engines (the v1
+    discipline).
+
+    Scale shape: the data-sized stage folds {TD}/{FD} of each vector
+    (a 4x FLOP/byte cut on the scoring loop; with a column layout
+    that stores the prefix separately it is also a 4x I/O cut), and
+    Catalyst plans the per-query top-{C} as WindowGroupLimit — each
+    partition keeps its local top-{C} before the single exchange on
+    the tiny query_id keyspace. The full-dim rerank then touches
+    exactly {C} rows per query — constant, corpus-size-independent.
+    Versus v1's brute force: same exchange structure, 1/4 the fold
+    work where it matters. The production operators
+    (operators/similarity.py IVF/LSH/PQ) cut the CANDIDATE COUNT;
+    this query cuts the PER-CANDIDATE cost — at 100 TB you compose
+    the two (IVF probe -> truncated score -> exact rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    stage1 = (c.crossJoin(F.broadcast(q))
+              .select("query_id", "neighbor_id", "qv", "cv",
+                      F.round(_dot(F.slice("qv", 1, _TRUNC_D),
+                                   F.slice("cv", 1, _TRUNC_D)), 6)
+                      .alias("tdot")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("tdot"), F.asc("neighbor_id"))
+    cand = (stage1.withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") <= _CAND_C))
+    rer = cand.select(
+        "query_id", "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))), 6)
+        .alias("cosine"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (rer.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rk").cast("int")))
+
+
+v10_two_stage_rerank.__doc__ = v10_two_stage_rerank.__doc__.format(
+    TD=_TRUNC_D, FD=64, C=_CAND_C, K=TOP_K)
