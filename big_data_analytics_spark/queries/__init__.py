@@ -74,7 +74,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: (tests/test_gi1_groundtruth.py); fj1/d9
 #: already oracle against the brute-force definition, ivm1 against a
 #: full recompute, and the iterative graph ops against pure-python
-#: references in tests/test_graph.py.
+#: references in tests/test_graph.py. Round-10 additions recount in
+#: tests/test_r10_groundtruth.py; round-12 (ir4/ev2/t16/v10) in
+#: tests/test_r12_groundtruth.py (mm11's oracle is independent by
+#: construction — closed-form generation schedule vs real decode).
 #:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the

@@ -501,7 +501,8 @@ def sm5_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sm6_stream_stateful_user_totals(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
+                                    sf_dir: str,
+                                    files_per_trigger: int = 1) -> DataFrame:
     """CUSTOM stateful operator executed by the streaming engine:
     per-user lifetime totals accumulated in applyInPandasWithState
     Python state across 4 real micro-batches (streaming/events.py
@@ -519,11 +520,19 @@ def sm6_stream_stateful_user_totals(spark: SparkSession,
     partitioned by user_id; the Arrow transfer batches per group —
     the sanctioned tier-3 escape hatch for state Spark's built-in
     aggregates can't hold (asserted as FlatMapGroupsInPandasWithState
-    in tests/test_plans.py)."""
+    in tests/test_plans.py).
+
+    ``files_per_trigger`` is sm4's trigger-sizing knob: the graded
+    default (1) forces 4 real micro-batches; a backfill sets it >=
+    the file count to pay state snapshot/commit once instead of per
+    trigger. Identical output either way (the state fold is
+    commutative and the final max_by rollup reads only the last row
+    per user) — asserted in tests/test_streaming.py; the measured
+    delta is SCALE.md's "sm6/sm11 trigger-count A/B"."""
     root = _events_stream_dir(spark, sf_dir)
     batch = spark.read.parquet(str(root / "data"))
     src = (spark.readStream.schema(batch.schema)
-           .option("maxFilesPerTrigger", 1)
+           .option("maxFilesPerTrigger", int(files_per_trigger))
            .parquet(str(root / "data")))
     updates = user_lifetime_stats_stateful(src)
     qname = _run_to_memory(updates, "update", "sm6_mem",
@@ -934,7 +943,8 @@ _SM11_H = 20_000      # alarm threshold, cents
     GROUP BY a.user_id
     """,
 )
-def sm11_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sm11_stream_cusum(spark: SparkSession, sf_dir: str,
+                      files_per_trigger: int = 1) -> DataFrame:
     """Per-user CUSUM changepoint detection executed BY THE STREAMING
     ENGINE as the true per-event recursion — the incremental twin
     ts7's batch Lindley closed form stands in for. Four event-time-
@@ -954,14 +964,21 @@ def sm11_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts within each batch. The update-mode sink accumulates one row
     per (user, active batch); n_events is strictly increasing within
     a user, so the lifetime row is max_by(n_events) — the sm6
-    finalization pattern."""
+    finalization pattern.
+
+    ``files_per_trigger``: sm4/sm6's trigger-sizing knob. Safe here
+    despite the order-sensitive state because the operator sorts
+    WITHIN each batch and the fixture's files carry disjoint
+    increasing time ranges — one merged batch sorts to the same
+    global order the 4-batch replay consumes. Identical output
+    asserted in tests/test_streaming.py."""
     from big_data_analytics_spark.streaming.events import (
         cusum_alarms_stateful,
     )
     root = _events_stream_dir_ordered(spark, sf_dir)
     batch = spark.read.parquet(str(root / "data"))
     src = (spark.readStream.schema(batch.schema)
-           .option("maxFilesPerTrigger", 1)
+           .option("maxFilesPerTrigger", int(files_per_trigger))
            .parquet(str(root / "data")))
     updates = cusum_alarms_stateful(src, _SM11_DRIFT, _SM11_H)
     qname = _run_to_memory(updates, "update", "sm11_mem",
