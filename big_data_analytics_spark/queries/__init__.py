@@ -75,7 +75,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: already oracle against the brute-force definition, ivm1 against a
 #: full recompute, and the iterative graph ops against pure-python
 #: references in tests/test_graph.py. Round-10 additions recount in
-#: tests/test_r10_groundtruth.py; round-12 (ir4/ev2/t16/v10) in
+#: tests/test_r10_groundtruth.py; round-12 (ir4/ev2/t16/v10/w15) in
 #: tests/test_r12_groundtruth.py (mm11's oracle is independent by
 #: construction — closed-form generation schedule vs real decode).
 #:
@@ -95,10 +95,11 @@ def query(name: str, oracle: Optional[str] = None):
 #: exact fixed-point confirmation — also its FIRST driver row, the
 #: only registry entry with zero driver evidence after r11) +
 #: ecom_clv (the reference-parity anchor, last graded r9 — never let
-#: it go >3 rounds stale) + the final 7 r3-vintage rows + the 34
-#: oldest r4-vintage rows in registry order. Remaining r4 backlog for
-#: round 13: sm4, mb1, ts2, ts3, st5, ml4, t13, x11, x12 — then r5
-#: vintage. Everything below the fold re-verifies locally every
+#: it go >3 rounds stale) + the final 7 r3-vintage rows + the 33
+#: oldest r4-vintage rows in registry order (w15, a late round-12
+#: addition, displaced sm3 to keep the head at 50). Remaining r4
+#: backlog for round 13: sm3, sm4, mb1, ts2, ts3, st5, ml4, t13,
+#: x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
 #: pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
@@ -110,6 +111,7 @@ GRADE_HEAD = [
     "mm11_audio_vad",
     "t16_zipf_fit",
     "v10_two_stage_rerank",
+    "w15_rolling_7d_distinct_users",
     # (b cont.) round-12 changed + first-ever driver row
     "gr9_event_chain_components",
     # (b cont.) reference-parity anchor re-grade (last row r9)
@@ -156,7 +158,6 @@ GRADE_HEAD = [
     "cc1_dedup_clusters",
     "sm1_stream_daily_metrics",
     "sm2_stream_sessions",
-    "sm3_stream_dedup_ingest",
 ]
 
 

@@ -285,3 +285,66 @@ def w14_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("session_end"),
                 "n_events")
             .orderBy("user_id", "session_start"))
+
+
+@query(
+    "w15_rolling_7d_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+               user_id
+        FROM events
+    ), dau AS (
+        SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY d
+    ), win AS (
+        SELECT ud.user_id, ud.d + CAST(o.o AS INT) AS rd
+        FROM ud, range(0, 7) o(o)
+    ), wau AS (
+        SELECT rd, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+        FROM win GROUP BY rd
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau_7d,
+           CAST(FLOOR(1000000000.0 * dau.dau / wau.wau_7d) AS BIGINT)
+               AS stickiness_q
+    FROM dau JOIN wau ON wau.rd = dau.d
+    """,
+)
+def w15_rolling_7d_distinct_users(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (WAU) alongside the daily
+    count (DAU) and the DAU/WAU stickiness ratio — the product-
+    analytics query every events pipeline serves, and a window shape
+    NOTHING else in the registry covers: sliding-window COUNT DISTINCT
+    is not expressible as a running sum (distinct doesn't decompose),
+    and the naive form rescans the fact table once per day.
+
+    The scalable reduction: dedup events to user-DAYS first (one
+    map-side-combinable exchange on (user, day) — the relation is
+    |users|·|active days|, orders of magnitude under |events|), then
+    EXPLODE each user-day into the 7 report days it contributes to
+    (the contribution trick: day d serves report days d..d+6, so the
+    7x blow-up happens on the deduped relation, not the events), and
+    count distinct users per report day (Spark's two-phase distinct
+    aggregate — partial dedup before the exchange). Phantom report
+    days past the data's end drop in the DAU join. No per-day rescan,
+    no unbounded window over users, and the 7x factor is the window
+    length — at 100 TB you'd pre-aggregate user-days incrementally
+    and this query never touches raw events at all. stickiness_q
+    floor-quantizes DAU/WAU to the 1e-9 grid from exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = (ud.groupBy("d")
+           .agg(F.countDistinct("user_id").cast("long").alias("dau")))
+    win = ud.select(
+        F.explode(F.expr(
+            "sequence(d, date_add(d, 6), interval 1 day)")).alias("rd"),
+        "user_id")
+    wau = (win.groupBy("rd")
+           .agg(F.countDistinct("user_id").cast("long").alias("wau_7d")))
+    return (dau.join(wau, dau.d == wau.rd)
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "dau", "wau_7d",
+                    F.floor(F.lit(1_000_000_000.0) * F.col("dau")
+                            / F.col("wau_7d")).cast("long")
+                    .alias("stickiness_q")))

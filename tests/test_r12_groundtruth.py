@@ -1,7 +1,8 @@
 """Independent imperative recounts for the round-12 queries whose
 DuckDB oracles restate the implementation's algorithm (the ORACLE
 INDEPENDENCE policy, queries/__init__.py): ir4 MAP, ev2 BLEU-2
-precision, t16 Zipf fit, v10 two-stage rerank. Each re-derives the
+precision, t16 Zipf fit, v10 two-stage rerank, w15 rolling distinct.
+Each re-derives the
 answer from the raw parquet in plain Python (dicts, loops, sorts —
 no SQL, no window, no join machinery), so a shared Spark/oracle
 formulation bug cannot hash-match green. mm11's oracle is already
@@ -191,3 +192,36 @@ def test_v10_matches_pure_python_recount(spark):
            for r in v10_two_stage_rerank(spark, SF).collect()}
     assert got == want
     assert len(got) == N_QUERY_VECS * TOP_K
+
+
+def test_w15_matches_pure_python_recount(spark):
+    """w15's oracle reuses the contribution-trick derivation, so this
+    recount states the problem the naive way: for each day, literally
+    union the user sets of the trailing 7 calendar days."""
+    import datetime
+
+    from big_data_analytics_spark.queries.windows2 import (
+        w15_rolling_7d_distinct_users,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(date_trunc('day', ts) AS DATE), user_id "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    by_day = {}
+    for d, u in rows:
+        by_day.setdefault(d, set()).add(int(u))
+
+    want = {}
+    for d, users in by_day.items():
+        trailing = set()
+        for o in range(7):
+            trailing |= by_day.get(d - datetime.timedelta(days=o), set())
+        want[d.strftime("%Y-%m-%d")] = (
+            len(users), len(trailing),
+            math.floor(1e9 * len(users) / len(trailing)))
+
+    got = {r["day"]: (int(r["dau"]), int(r["wau_7d"]),
+                      int(r["stickiness_q"]))
+           for r in w15_rolling_7d_distinct_users(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
