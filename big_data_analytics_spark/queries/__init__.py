@@ -95,11 +95,12 @@ def query(name: str, oracle: Optional[str] = None):
 #: exact fixed-point confirmation — also its FIRST driver row, the
 #: only registry entry with zero driver evidence after r11) +
 #: ecom_clv (the reference-parity anchor, last graded r9 — never let
-#: it go >3 rounds stale) + the final 7 r3-vintage rows + the 33
-#: oldest r4-vintage rows in registry order (w15, a late round-12
-#: addition, displaced sm3 to keep the head at 50). Remaining r4
-#: backlog for round 13: sm3, sm4, mb1, ts2, ts3, st5, ml4, t13,
-#: x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
+#: it go >3 rounds stale) + ir3 (changed: the fixed-size hits-join
+#: broadcast) + the final 7 r3-vintage rows + the 32 oldest
+#: r4-vintage rows in registry order (w15 and the ir3 change, late
+#: round-12 additions, displaced sm2/sm3 to keep the head at 50).
+#: Remaining r4 backlog for round 13: sm2, sm3, sm4, mb1, ts2, ts3,
+#: st5, ml4, t13, x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
 #: pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
@@ -114,6 +115,9 @@ GRADE_HEAD = [
     "w15_rolling_7d_distinct_users",
     # (b cont.) round-12 changed + first-ever driver row
     "gr9_event_chain_components",
+    # (b cont.) round-12 changed: fixed-size broadcast on the hits
+    # join (plan-audit fix; ir4 above shares it)
+    "ir3_mrr_eval",
     # (b cont.) reference-parity anchor re-grade (last row r9)
     "ecom_clv",
     # (c) oldest-first: the last 7 r3-vintage rows, registry order
@@ -157,7 +161,6 @@ GRADE_HEAD = [
     "bl1_bloom_semi_join",
     "cc1_dedup_clusters",
     "sm1_stream_daily_metrics",
-    "sm2_stream_sessions",
 ]
 
 

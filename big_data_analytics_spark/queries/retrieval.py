@@ -328,13 +328,17 @@ def ir3_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("toks", 1, _TITLE_N).alias("title"))
         .filter(F.expr("array_contains(title, token)"))
         .select("doc_id", "token"))
-    hits = (ranked.join(rel, ["token", "doc_id"])
+    # ranked is FIXED-size by construction (<= |terms| x TOP = 60
+    # rows, both constants) — broadcast it so the data-sized rel
+    # relation joins map-side instead of shuffling through the SMJ
+    # the post-window stats otherwise pick (round-12 plan audit)
+    hits = (rel.join(F.broadcast(ranked), ["token", "doc_id"])
             .groupBy("token")
             .agg(F.min("rk").cast("long").alias("first_rel_rank"),
                  F.count("*").cast("long").alias("hits_at_k")))
     nrel = rel.groupBy("token").agg(
         F.count("*").cast("long").alias("n_rel"))
-    return (nrel.join(hits, "token", "left")
+    return (nrel.join(F.broadcast(hits), "token", "left")
             .select(F.col("token").alias("term"), "n_rel",
                     "first_rel_rank",
                     F.coalesce(
@@ -464,14 +468,15 @@ def ir4_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("array_contains(title, token)"))
         .select("doc_id", "token"))
     wh = Window.partitionBy("token").orderBy("rk")
-    hits = (ranked.join(rel, ["token", "doc_id"])
+    # same fixed-size broadcast as ir3's hits join (<= 60 rows)
+    hits = (rel.join(F.broadcast(ranked), ["token", "doc_id"])
             .withColumn("i", F.row_number().over(wh))
             .select("token",
                     F.floor(F.lit(_RR_Q) * F.col("i") / F.col("rk"))
                     .cast("long").alias("p_q")))
     nrel = rel.groupBy("token").agg(
         F.count("*").cast("long").alias("n_rel"))
-    return (nrel.join(hits, "token", "left")
+    return (nrel.join(F.broadcast(hits), "token", "left")
             .groupBy(F.col("token").alias("term"), "n_rel")
             .agg(F.count("p_q").cast("long").alias("hits_at_k"),
                  F.floor(F.coalesce(F.sum("p_q"), F.lit(0))

@@ -1127,3 +1127,46 @@ def test_t15_fused_chain_no_docpair_exchange(spark):
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, a#", plan), plan
     n_doc = len(re.findall(r"hashpartitioning\(doc_id#\d+L?,", plan))
     assert n_doc == 1, f"expected only the final doc_id rollup:\n{plan}"
+
+
+def test_ir3_ir4_no_sortmergejoin(spark):
+    """ir3/ir4: the ranked relation is FIXED-size by construction
+    (<= |terms| x TOP rows, both constants) and must join broadcast —
+    an SMJ here means the data-sized relevance relation is being
+    shuffled against a 60-row table (the round-12 plan-audit fix)."""
+    for name in ("ir3_mrr_eval", "ir4_map_eval"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
+
+
+def test_t16_window_group_limit_no_joins(spark):
+    """t16: the per-language top-64 cut must plan as WindowGroupLimit
+    (partition-local pruning before the vocabulary exchange), and the
+    whole query is one aggregation chain — any join in the plan means
+    the closed-form slope regressed to a self-join formulation."""
+    plan = _plan(spark, "t16_zipf_fit")
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_v10_window_group_limit_stages(spark):
+    """v10: both ranking stages must prune partition-locally
+    (WindowGroupLimit), and the only join is the broadcast-scalar
+    query-set cross — a sort-merge or shuffled-hash join would mean
+    the corpus is being exchanged for ranking."""
+    plan = _plan(spark, "v10_two_stage_rerank")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_w15_two_phase_distinct_no_expand(spark):
+    """w15: both COUNT DISTINCTs must plan two-phase (partial dedup
+    before the exchange) and never through Expand; the only join is
+    the day-axis DAU/WAU merge (bounded by calendar length)."""
+    plan = _plan(spark, "w15_rolling_7d_distinct_users")
+    assert plan.count("partial_count(distinct") == 2
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
