@@ -96,11 +96,11 @@ def query(name: str, oracle: Optional[str] = None):
 #: only registry entry with zero driver evidence after r11) +
 #: ecom_clv (the reference-parity anchor, last graded r9 — never let
 #: it go >3 rounds stale) + ir3 (changed: the fixed-size hits-join
-#: broadcast) + the final 7 r3-vintage rows + the 32 oldest
-#: r4-vintage rows in registry order (w15 and the ir3 change, late
-#: round-12 additions, displaced sm2/sm3 to keep the head at 50).
-#: Remaining r4 backlog for round 13: sm2, sm3, sm4, mb1, ts2, ts3,
-#: st5, ml4, t13, x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
+#: broadcast) + the final 7 r3-vintage rows + the 31 oldest
+#: r4-vintage rows in registry order (w15, bpe3, and the ir3 change,
+#: late round-12 additions, displaced sm1/sm2/sm3 to keep the head
+#: at 50). Remaining r4 backlog for round 13: sm1, sm2, sm3, sm4,
+#: mb1, ts2, ts3, st5, ml4, t13, x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
 #: pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
@@ -113,6 +113,7 @@ GRADE_HEAD = [
     "t16_zipf_fit",
     "v10_two_stage_rerank",
     "w15_rolling_7d_distinct_users",
+    "bpe3_fertility",
     # (b cont.) round-12 changed + first-ever driver row
     "gr9_event_chain_components",
     # (b cont.) round-12 changed: fixed-size broadcast on the hits
@@ -160,7 +161,6 @@ GRADE_HEAD = [
     "cp1_corpus_clean_audit",
     "bl1_bloom_semi_join",
     "cc1_dedup_clusters",
-    "sm1_stream_daily_metrics",
 ]
 
 

@@ -168,3 +168,75 @@ def bpe2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (encoded.filter(F.col("doc_id") < _ENCODE_SAMPLE)
             .select("doc_id", F.col("text").alias("encoded"),
                     F.size(F.split("text", " ")).alias("n_tokens")))
+
+
+def _bpe_fertility_oracle() -> str:
+    body, final = _bpe_chain_sql()
+    return body + f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS words,
+           CAST(SUM(len(string_split(f.text, ' '))) AS BIGINT) AS tokens,
+           CAST(SUM(len(list_filter(string_split(f.text, ' '),
+                                    t -> contains(t, '+'))))
+               AS BIGINT) AS merged_tokens,
+           CAST(FLOOR(1000000000.0
+                      * SUM(len(string_split(f.text, ' ')))
+                      / SUM(len(string_split(d.text, ' '))))
+               AS BIGINT) AS compression_q,
+           CAST(FLOOR(1000000000.0
+                      * SUM(len(list_filter(string_split(f.text, ' '),
+                                            t -> contains(t, '+'))))
+                      / SUM(len(string_split(f.text, ' '))))
+               AS BIGINT) AS merge_share_q
+    FROM {final} f JOIN documents d USING (doc_id)
+    GROUP BY d.lang"""
+
+
+@query("bpe3_fertility", oracle=_bpe_fertility_oracle())
+def bpe3_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostics per language: after the {_STEPS}
+    corpus-learned merges, how many tokens does each language's text
+    need per original word (compression_q = tokens/words on the 1e-9
+    grid), and what share of its tokens are merged pairs
+    (merge_share_q)? This is the fertility table an LLM data team
+    reads before committing a tokenizer — a language whose merge
+    share is near zero is paying full-length sequences because the
+    merge table was learned on someone else's distribution (the
+    fixture's zh rows exercise exactly that skew). No '+' occurs in
+    the raw corpus, so merged tokens are unambiguous.
+
+    Scale shape: the merges are learned once by the shared bpe chain
+    (per step: one map-side-combined pair count + a broadcast rule
+    rewrite — bpe1's audited dataflow); the fertility rollup adds ONE
+    doc_id-keyed join of the encoded corpus back to (lang, original
+    text) and a per-language mergeable aggregate. Token counting is
+    size(split(...)) — JVM-side, no explode: the per-doc counts
+    reduce before the language rollup, so the exchange carries
+    |docs| narrow rows, not tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, encoded = _bpe_steps(docs.select("doc_id", "text"))
+    orig = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("w"))
+    enc = encoded.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+        F.size(F.filter(F.split("text", " "),
+                        lambda x: x.contains("+"))).cast("long")
+        .alias("m"))
+    return (orig.join(enc, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("words"),
+                 F.sum("t").cast("long").alias("tokens"),
+                 F.sum("m").cast("long").alias("merged_tokens"),
+                 F.floor(F.lit(1_000_000_000.0) * F.sum("t")
+                         / F.sum("w")).cast("long")
+                 .alias("compression_q"),
+                 F.floor(F.lit(1_000_000_000.0) * F.sum("m")
+                         / F.sum("t")).cast("long")
+                 .alias("merge_share_q")))
+
+
+bpe3_fertility.__doc__ = bpe3_fertility.__doc__.format(_STEPS=_STEPS)

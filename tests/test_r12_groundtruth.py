@@ -225,3 +225,57 @@ def test_w15_matches_pure_python_recount(spark):
            for r in w15_rolling_7d_distinct_users(spark, SF).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_bpe3_matches_pure_python_bpe(spark):
+    """The BPE family's oracles reuse the implementation's own
+    doubled-separator replace chain, so this recount implements BPE
+    the textbook way — pair Counter, global top-1 (ties by pair
+    text), greedy left-to-right non-overlapping token-walk merge —
+    and checks bpe3's whole fertility table against it. A green row
+    here independently certifies the string-replace trick for bpe1/2
+    as well (same chain)."""
+    from big_data_analytics_spark.queries.text3 import (
+        _STEPS,
+        bpe3_fertility,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    toks = {int(d): t.split(" ") for d, _, t in rows}
+    langs = {int(d): lg for d, lg, _ in rows}
+
+    for _ in range(_STEPS):
+        pc = Counter()
+        for ts in toks.values():
+            pc.update(zip(ts, ts[1:]))
+        (a, b), _n = min(pc.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for d, ts in toks.items():
+            out, i = [], 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                    out.append(a + "+" + b)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[d] = out
+
+    want = {}
+    orig = {int(d): t.split(" ") for d, _, t in rows}
+    for d, ts in toks.items():
+        lg = langs[d]
+        n_docs, words, tokens, merged = want.get(lg, (0, 0, 0, 0))
+        want[lg] = (n_docs + 1, words + len(orig[d]), tokens + len(ts),
+                    merged + sum(1 for t in ts if "+" in t))
+    want = {lg: (nd, w, t, m,
+                 math.floor(1e9 * t / w), math.floor(1e9 * m / t))
+            for lg, (nd, w, t, m) in want.items()}
+
+    got = {r["lang"]: (int(r["n_docs"]), int(r["words"]),
+                       int(r["tokens"]), int(r["merged_tokens"]),
+                       int(r["compression_q"]), int(r["merge_share_q"]))
+           for r in bpe3_fertility(spark, SF).collect()}
+    assert got == want
