@@ -15,9 +15,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
+
+
+def _ngram_row_bound(docs_raw: DataFrame) -> int:
+    """Measured upper bound on the per-doc n-gram COUNT relations'
+    row count, from the documents table's n_chars column (verified
+    n_chars == length(text) by the fixture): every token is >= 1
+    char + a separator, so tokens <= (chars + 1) / 2 per doc, and
+    distinct (doc, ngram) rows <= token count for unigrams AND
+    bigrams. One column-pruned scan of a single int64 column — the
+    cheap measurement the sized_side discipline requires for derived
+    relations (operators/joins.py)."""
+    row = docs_raw.agg(
+        F.sum("n_chars").alias("c"), F.count("*").alias("n")).collect()[0]
+    return (int(row["c"]) + int(row["n"])) // 2 + 1
 
 
 @query(
@@ -90,7 +105,13 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates on pair_id. At 100 TB this is two token-proportional
     exchanges plus the pair rollup — embarrassingly parallel across
     pairs."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    raw = load_table(spark, sf_dir, "documents")
+    # measured pin bound for the overlap joins (sized_side class:
+    # both join sides are corpus-proportional n-gram count relations,
+    # and plan-time stats UNDERESTIMATE post-explode aggregates — the
+    # 10x probe showed a ~4.5M-row relation still planning broadcast)
+    n_bound = _ngram_row_bound(raw)
+    docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
@@ -109,7 +130,7 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = (rel.filter(F.col("doc_id") % 2 == 1)
                 .select((F.col("doc_id") - 1).alias("pair_id"), "tok",
                         F.col("c").alias("cc")))
-        return (ref.join(cand, ["pair_id", "tok"])
+        return (cand.join(sized_side(ref, n_bound), ["pair_id", "tok"])
                 .groupBy("pair_id")
                 .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out)))
 
@@ -227,7 +248,13 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never |docs|²), and the per-pair rollup partial-aggregates on
     pair_id. o1·o2 ≤ len² ≤ 2^40 at any plausible document length, so
     the rational stays in exact int64/double-integer range."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    raw = load_table(spark, sf_dir, "documents")
+    # measured pin bound for the overlap joins (sized_side class:
+    # both join sides are corpus-proportional n-gram count relations,
+    # and plan-time stats UNDERESTIMATE post-explode aggregates — the
+    # 10x probe showed a ~4.5M-row relation still planning broadcast)
+    n_bound = _ngram_row_bound(raw)
+    docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
@@ -246,7 +273,7 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = (rel.filter(F.col("doc_id") % 2 == 1)
                 .select((F.col("doc_id") - 1).alias("pair_id"), "tok",
                         F.col("c").alias("cc")))
-        return (ref.join(cand, ["pair_id", "tok"])
+        return (cand.join(sized_side(ref, n_bound), ["pair_id", "tok"])
                 .groupBy("pair_id")
                 .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out)))
 
