@@ -198,6 +198,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # of the scoring join — without materialization the (expensive)
     # signature computation would run three times
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
+    # measured pin counts (round-12 implicit-broadcast audit: the 10×
+    # plan broadcast the CORPUS-sized signature and banded relations
+    # on underestimated derived-relation stats). The count also
+    # populates the cache up front, which every consumer reuses.
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    n_sigs = sigs.count()
 
     # Band keys only: the candidate join and pair-dedup shuffle bare
     # (band, hash, id) rows; the num_hashes-element signature arrays are
@@ -226,7 +233,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     left = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
     right = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))
     cand = (
-        left.join(right, ["band", "band_hash"])
+        left.join(sized_side(right, n_sigs * bands), ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -240,8 +247,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                         lambda eq: eq)).cast("double")
         / F.size("sig_a")
     )
+    # signature rows are payload-heavy (num_hashes-long arrays): pin
+    # on the ELEMENT count per the operators/joins.py guidance
     return (
-        cand.join(sig_a, "id_a").join(sig_b, "id_b")
+        cand.join(sized_side(sig_a, n_sigs * num_hashes), "id_a")
+        .join(sized_side(sig_b, n_sigs * num_hashes), "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
@@ -275,12 +285,18 @@ def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
     recompute once instead of accumulating storage)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    from big_data_analytics_spark.operators.joins import sized_side
+
     sig_l = minhash_signatures(left, text_col, id_col, num_hashes,
                                shingle_k)
     sig_r = minhash_signatures(right, text_col, id_col, num_hashes,
                                shingle_k)
     if cache_signatures:
         sig_l, sig_r = sig_l.cache(), sig_r.cache()
+    # measured pin counts (the minhash_lsh_pairs discipline); with
+    # cache_signatures=False this is one extra signature pass — the
+    # caller already chose recompute over storage
+    n_l, n_r = sig_l.count(), sig_r.count()
 
     def banded(sigs, out_id):
         return sigs.select(
@@ -302,15 +318,17 @@ def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
         counts = (
             bl.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("nl"))
-            .join(br.groupBy("band", "band_hash")
-                  .agg(F.count(F.lit(1)).alias("nr")),
+            .join(sized_side(br.groupBy("band", "band_hash")
+                             .agg(F.count(F.lit(1)).alias("nr")),
+                             n_r * bands),
                   ["band", "band_hash"])
             .filter(F.col("nl") + F.col("nr") <= max_bucket_size)
             .select("band", "band_hash")
         )
-        bl = bl.join(counts, ["band", "band_hash"])
+        bl = bl.join(sized_side(counts, n_l * bands),
+                     ["band", "band_hash"])
     cand = (
-        bl.join(br, ["band", "band_hash"])
+        bl.join(sized_side(br, n_r * bands), ["band", "band_hash"])
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
@@ -320,10 +338,14 @@ def cross_corpus_lsh_pairs(left: DataFrame, right: DataFrame,
         / F.size("sig_a")
     )
     return (
-        cand.join(sig_l.select(F.col(id_col).alias("left_id"),
-                               F.col("signature").alias("sig_a")), "left_id")
-        .join(sig_r.select(F.col(id_col).alias("right_id"),
-                           F.col("signature").alias("sig_b")), "right_id")
+        cand.join(sized_side(
+            sig_l.select(F.col(id_col).alias("left_id"),
+                         F.col("signature").alias("sig_a")),
+            n_l * num_hashes), "left_id")
+        .join(sized_side(
+            sig_r.select(F.col(id_col).alias("right_id"),
+                         F.col("signature").alias("sig_b")),
+            n_r * num_hashes), "right_id")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("left_id", "right_id", "est_jaccard")
@@ -439,8 +461,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     within Hamming distance ≤3 of 64 bits must agree exactly on at
     least one of 4 16-bit blocks (pigeonhole), so exact-match joins on
     blocks find all such pairs; candidates are verified with
-    bit_count(xor)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    bit_count(xor).
+
+    The signature relation is checkpoint-materialized and its
+    measured count pins the block self-join (the minhash_lsh_pairs
+    discipline — derived-relation stats mis-broadcast at scale)."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    n_sigs = sigs.count()  # cheap: checkpoint-materialized
     blocks = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -455,7 +484,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     right = blocks.select("block", "block_val", F.col(id_col).alias("id_b"),
                           F.col("simhash").alias("sim_b"))
     return (
-        left.join(right, ["block", "block_val"])
+        left.join(sized_side(right, n_sigs * 4), ["block", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
@@ -474,16 +503,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact Jaccard-similar pairs via an inverted-index join on
     shingles: |A∩B| from co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
     Exact but shuffles every (doc, shingle) pair — the oracle for the
-    LSH estimators and the small-corpus tool."""
+    LSH estimators and the small-corpus tool.
+
+    The shingle relation is checkpoint-materialized (it feeds the
+    size aggregate AND both self-join sides — one explode instead of
+    three) and its MEASURED count pins every attachment through
+    operators.joins.sized_side: plan-time stats on post-explode
+    relations underestimate (the round-12 implicit-broadcast audit
+    caught the 10× plan broadcasting a corpus-sized (doc, shingle)
+    side), so broadcast below the ceiling, sort-merge past it."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     sh = (
         df.select(id_col, F.explode(word_shingles(F.col(text_col), shingle_k))
                   .alias("shingle"))
+        .localCheckpoint()
     )
+    n_sh = sh.count()  # cheap: checkpoint-materialized
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
+        a.join(sized_side(b, n_sh), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -491,7 +532,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        inter.join(sized_side(sa, n_sh), "id_a")
+        .join(sized_side(sb, n_sh), "id_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -514,16 +556,21 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     the smaller side's shingle set is ≥ threshold contained in the
     other. Same inverted-index join as ngram_jaccard_pairs — one
     (doc, shingle) explode, co-occurrence counts, per-side
-    normalization."""
+    normalization. Checkpoint + measured sized_side pins, same as
+    ngram_jaccard_pairs above."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     sh = (
         df.select(id_col, F.explode(word_shingles(F.col(text_col), shingle_k))
                   .alias("shingle"))
+        .localCheckpoint()
     )
+    n_sh = sh.count()  # cheap: checkpoint-materialized
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
+        a.join(sized_side(b, n_sh), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -531,7 +578,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     scored = (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        inter.join(sized_side(sa, n_sh), "id_a")
+        .join(sized_side(sb, n_sh), "id_b")
         # containment from the smaller side (the embedded document)
         .withColumn(
             "containment",
@@ -593,7 +641,15 @@ def exact_ngram_contamination(left: DataFrame, right: DataFrame,
             .select(out_id, F.md5("__ng").alias("fp"))
         ).localCheckpoint()
 
+    from big_data_analytics_spark.operators.joins import sized_side
+
     l, r = ngrams(left, "left_id"), ngrams(right, "right_id")
+    # corpus-proportional n-gram relations: measure the checkpoints
+    # (cheap) and pin every attachment — a localCheckpoint's size
+    # ESTIMATE once misled the optimizer into broadcasting a 24M-row
+    # relation (operators/joins.py), and the round-12 audit found the
+    # same class here at 10×
+    n_l, n_r = l.count(), r.count()
     if max_doc_freq is not None:
         keep = (
             l.select("fp").unionByName(r.select("fp"))
@@ -601,9 +657,10 @@ def exact_ngram_contamination(left: DataFrame, right: DataFrame,
             .filter(F.col("__df") <= max_doc_freq)
             .select("fp")
         )
-        l = l.join(keep, "fp")
+        # keep is boilerplate-filtered but bounded only by n_l + n_r
+        l = l.join(sized_side(keep, n_l + n_r), "fp")
     return (
-        l.join(r, "fp")
+        l.join(sized_side(r, n_r), "fp")
         .groupBy("left_id", "right_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
@@ -632,16 +689,26 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, text_col: str = "text",
     frequent shingles — the quadratic blowup in a naive index — land
     in the LONG suffix and are never joined. threshold*|A| must be
     exactly representable (t = 0.5 here) for the prefix length to be
-    engine-stable."""
+    engine-stable.
+
+    The shingle relation is checkpoint-materialized (five consumers:
+    sizes, frequencies, the ranked index, and both verification
+    sides) and its measured count pins every corpus-proportional
+    attachment through sized_side — plan-time stats on derived
+    relations underestimate (round-12 implicit-broadcast audit), so
+    broadcast below the ceiling, sort-merge past it."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     sh = df.select(
         id_col,
         F.explode(word_shingles(F.col(text_col), shingle_k))
-        .alias("shingle"))
+        .alias("shingle")).localCheckpoint()
+    n_sh = sh.count()  # cheap: checkpoint-materialized
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     ranked = (
-        sh.join(freq, "shingle")
-        .join(sizes, id_col)
+        sh.join(sized_side(freq, n_sh), "shingle")
+        .join(sized_side(sizes, n_sh), id_col)
         .withColumn(
             "r",
             F.row_number().over(
@@ -656,7 +723,7 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle",
                       F.col("n").alias("n_b"))
     cand = (
-        a.join(b, "shingle")
+        a.join(sized_side(b, n_sh), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.least("n_a", "n_b")
                 >= F.lit(threshold) * F.greatest("n_a", "n_b"))
@@ -665,8 +732,8 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        cand.join(sized_side(sa, n_sh), "id_a")
+        .join(sized_side(sb, n_sh), ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common")))
     return (

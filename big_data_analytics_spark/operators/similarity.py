@@ -245,12 +245,18 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
         l2_norm(v).alias("n"),
         _table_buckets_expr(vec_sql, planes, n_tables).alias("tb"),
     ).select("id", "v", "n", "tb.table", "tb.bucket").localCheckpoint()
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    # payload-heavy rows (dim-long vectors): pin the self-join on the
+    # measured ELEMENT count — a checkpoint's size estimate once
+    # mis-broadcast a growing relation (round-12 audit / joins.py)
+    n_elems = b.count() * dim
     left = b.select("table", "bucket", F.col("id").alias("id_a"),
                     F.col("v").alias("va"), F.col("n").alias("na"))
     right = b.select("table", "bucket", F.col("id").alias("id_b"),
                      F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
-        left.join(right, ["table", "bucket"])
+        left.join(sized_side(right, n_elems), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine",

@@ -89,19 +89,20 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-12 head-50: 2 canaries + round-12 new (ir4 MAP, ev2 BLEU-2
-#: precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage rerank) +
-#: round-12 changed (gr9, whose star-contraction operator gained the
-#: exact fixed-point confirmation — also its FIRST driver row, the
-#: only registry entry with zero driver evidence after r11) +
-#: ecom_clv (the reference-parity anchor, last graded r9 — never let
-#: it go >3 rounds stale) + ir3 (changed: the fixed-size hits-join
-#: broadcast) + the final 7 r3-vintage rows + the 31 oldest
-#: r4-vintage rows in registry order (w15, bpe3, and the ir3 change,
-#: late round-12 additions, displaced sm1/sm2/sm3 to keep the head
-#: at 50). Remaining r4 backlog for round 13: sm1, sm2, sm3, sm4,
-#: mb1, ts2, ts3, st5, ml4, t13, x11, x12 — then r5 vintage. Everything below the fold re-verifies locally every
-#: pytest run via tests/test_queries_vs_duckdb.py.
+#: Round-12 head-50: 2 canaries + 7 new (ir4 MAP, ev2 BLEU-2
+#: precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage rerank,
+#: w15 rolling 7d distinct, bpe3 fertility) + 22 changed (gr9's exact
+#: fixed-point confirmation — also its FIRST driver row — plus the
+#: implicit-broadcast-audit pins across the dedup / eval / retrieval
+#: / basket / retention / segmentation families) + ecom_clv (the
+#: reference-parity anchor, last graded r9) + the final 7 r3-vintage
+#: rows + the 11 oldest r4-vintage rows not already above. The large
+#: changed set squeezed this round's backlog burn; remaining r4
+#: backlog for round 13: st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
+#: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts2, ts3, st5, ml4,
+#: t13, x11, x12 — then r5 vintage. Everything below the fold
+#: re-verifies locally every pytest run via
+#: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
@@ -114,11 +115,33 @@ GRADE_HEAD = [
     "v10_two_stage_rerank",
     "w15_rolling_7d_distinct_users",
     "bpe3_fertility",
-    # (b cont.) round-12 changed + first-ever driver row
+    # (b cont.) round-12 changed — the implicit-broadcast audit
+    # pinned every stats-driven join of a corpus-proportional derived
+    # relation (sized_side on measured counts), touching the dedup /
+    # eval / retrieval / basket / retention / segmentation families;
+    # gr9 additionally gained the exact fixed-point confirmation
     "gr9_event_chain_components",
-    # (b cont.) round-12 changed: fixed-size broadcast on the hits
-    # join (plan-audit fix; ir4 above shares it)
+    "ir2_ndcg_eval",
     "ir3_mrr_eval",
+    "ev1_rouge_n",
+    "t15_bigram_lm_scores",
+    "d4_ngram_jaccard_pairs",
+    "d5_containment_pairs",
+    "d9_prefix_filter_jaccard",
+    "dq3_contamination_check",
+    "dq4_ngram_contamination",
+    "d6_decontaminate_train",
+    "es1_exact_substring_spans",
+    "mb1_association_rules",
+    "fj1_fuzzy_supplier_names",
+    "v4_embedding_near_dups",
+    "rt1_weekly_retention",
+    "seg1_rfm_segmentation",
+    "d2b_minhash_portable",
+    "d3b_simhash_portable",
+    "d7_incremental_dedup",
+    "cc1_dedup_clusters",
+    "cc2_canonical_selection",
     # (b cont.) reference-parity anchor re-grade (last row r9)
     "ecom_clv",
     # (c) oldest-first: the last 7 r3-vintage rows, registry order
@@ -129,38 +152,18 @@ GRADE_HEAD = [
     "rc1_hierarchy_rollup",
     "at1_time_decay_attribution",
     "bpe1_merge_steps",
-    # (c cont.) the 34 oldest r4-vintage rows, registry order
+    # (c cont.) the 11 oldest r4-vintage rows not already above
     "v5_sq_topk",
     "v6_pq_adc_topk",
     "sql1_revenue_by_state_sqlapi",
-    "d2b_minhash_portable",
-    "d7_incremental_dedup",
-    "d3b_simhash_portable",
-    "d5_containment_pairs",
     "w11_session_duration_percentiles",
     "w12_cumulative_distinct_users",
     "bm1_bitmap_segment_intersect",
-    "dq3_contamination_check",
     "ws2_reservoir_per_group",
     "gr2_triangle_count",
     "gr3_weighted_pagerank",
     "a22_corr_matrix",
-    "rt1_weekly_retention",
     "st1_chi_square_independence",
-    "st2_ab_test_proportions",
-    "ml1_ols_inference",
-    "st3_mann_whitney_u",
-    "ml2_anova_f",
-    "st4_ks_two_sample",
-    "ml3_ols_multiple",
-    "bpe2_encode",
-    "mm1_media_stats",
-    "z1_zorder_keys",
-    "mx1_mixture_budgets",
-    "sj1_salted_skew_join",
-    "cp1_corpus_clean_audit",
-    "bl1_bloom_semi_join",
-    "cc1_dedup_clusters",
 ]
 
 

@@ -68,21 +68,32 @@ def fj1_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure overhead (~2× at sf0.1, traded and kept); |s|+1 variant
     rows per distinct string shuffle on the variant hash, and the
     quadratic step only ever happens within one variant bucket."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    n_sup = sup.count()  # metadata count; bounds every ks payload
     names = (sup.groupBy("s_name")
              .agg(F.sort_array(F.collect_list("s_suppkey")).alias("ks"))
              .localCheckpoint())
+    # measured pins (round-12 implicit-broadcast audit: name/variant
+    # relations grow with the supplier dimension, and derived-relation
+    # stats mis-broadcast): variant rows = Σ(len+1), one cheap agg
+    # over the checkpointed names
+    n_var = int(names.agg(
+        F.sum(F.length("s_name") + 1).alias("v")).collect()[0]["v"] or 0)
     keyed = names.select("s_name", F.explode(_variants("s_name")).alias("v"))
     right = keyed.withColumnRenamed("s_name", "r_name")
-    npairs = (keyed.join(right, "v")
+    npairs = (keyed.join(sized_side(right, n_var), "v")
               .where(F.col("s_name") < F.col("r_name"))
               .select("s_name", "r_name").distinct()
               .where(F.levenshtein("s_name", "r_name") <= 1))
     cross = (npairs
-             .join(names.select("s_name", F.col("ks").alias("ka")),
+             .join(sized_side(
+                 names.select("s_name", F.col("ks").alias("ka")), n_sup),
                    "s_name")
-             .join(names.select(F.col("s_name").alias("r_name"),
-                                F.col("ks").alias("kb")), "r_name")
+             .join(sized_side(
+                 names.select(F.col("s_name").alias("r_name"),
+                              F.col("ks").alias("kb")), n_sup), "r_name")
              .select("s_name", "r_name",
                      F.explode("ka").alias("k_a"), "kb")
              .select("s_name", "r_name", "k_a",

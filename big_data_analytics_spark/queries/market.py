@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 #: The distinct (basket, item) and (user, item, qty) relations feed
@@ -86,21 +87,32 @@ def mb1_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ``baskets`` is one distinct (shuffle on the pair
     key); the self-join re-uses the order-key exchange on both sides;
     pair counts partial-aggregate before the (part_a, part_b)
-    shuffle. Item counts join the (already tiny, HAVING-pruned) pair
-    relation — with AQE these become broadcasts of the pair side at
-    any corpus size, never of the item side. The one-row order total
-    is an explicit broadcast. All ratios derive from exact integer
-    counts, so both engines emit identical doubles; ordering is the
-    strict total order (pair_n DESC, part_a, part_b)."""
+    shuffle. The one-row order total is an explicit broadcast. All
+    ratios derive from exact integer counts, so both engines emit
+    identical doubles; ordering is the strict total order
+    (pair_n DESC, part_a, part_b).
+
+    PINNED (round-12 implicit-broadcast audit): plan-time stats on
+    the checkpointed basket relation UNDERESTIMATE, and the observed
+    10× plan broadcast the FACT-SIZED basket side of the self-join
+    (and the part-keyed item counts) — the exact class the round-10
+    explicit-broadcast audit pinned, hiding in stats-driven joins.
+    The basket side now goes through sized_side on its measured count
+    (cheap: the relation is checkpoint-materialized) and the item
+    counts on the part table's metadata count — broadcast below the
+    5M ceiling (today's plan, unchanged), co-partitioned sort-merge
+    past it (the documented shape)."""
     baskets = _cached(
         spark, sf_dir, "baskets",
         lambda: load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct())
+    n_baskets = baskets.count()  # cheap: checkpoint-materialized
+    n_parts = load_table(spark, sf_dir, "part").count()  # metadata
     tot = baskets.agg(
         F.countDistinct("l_orderkey").alias("n_orders"))
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = baskets.alias("a")
-    b = baskets.alias("b")
+    b = sized_side(baskets.alias("b"), n_baskets)
     pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                     & (F.col("a.l_partkey") < F.col("b.l_partkey")))
              .groupBy(F.col("a.l_partkey").alias("part_a"),
@@ -113,7 +125,8 @@ def mb1_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n").alias("nb"))
     pn = F.col("pair_n").cast("double")
     no = F.col("n_orders").cast("double")
-    out = (pairs.join(ia, "part_a").join(ib, "part_b")
+    out = (pairs.join(sized_side(ia, n_parts), "part_a")
+           .join(sized_side(ib, n_parts), "part_b")
            .crossJoin(F.broadcast(tot))
            .select(
                "part_a", "part_b", "pair_n",

@@ -315,9 +315,19 @@ def seg1_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "f")
     m = stitched_ntile(cust, 5, "monetary", ["o_custkey"], out="m") \
         .select("o_custkey", "m")
+    # customer-sized relations throughout: pin the three quintile
+    # attachments on the measured aggregate count (cheap — cust is
+    # checkpoint-materialized) instead of derived-relation stats,
+    # which mis-broadcast the monetary projection at the 10× audit;
+    # past the ceiling these become the co-partitioned merges the
+    # docstring describes
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    n_cust = cust.count()
     scored = (cust.select("o_custkey", "monetary")
-              .join(r, "o_custkey").join(f, "o_custkey")
-              .join(m, "o_custkey"))
+              .join(sized_side(r, n_cust), "o_custkey")
+              .join(sized_side(f, n_cust), "o_custkey")
+              .join(sized_side(m, n_cust), "o_custkey"))
     seg = (F.when((F.col("r") >= 4) & (F.col("f") >= 4)
                   & (F.col("m") >= 4), "champion")
            .when((F.col("r") >= 4) & (F.col("f") >= 3), "loyal")

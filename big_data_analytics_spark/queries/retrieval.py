@@ -174,8 +174,10 @@ def ir2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rides ir1's inverted-index pipeline (postings-bounded
     shuffle, broadcast df/stats); the two top-{TOP} cuts are
     TakeOrderedAndProject (per-partition heaps, no global sort), the
-    relevance join touches only the {TOP} ranked docs, and the
-    rank-aligned ideal join is {TOP}×{TOP}-bounded broadcast."""
+    relevance join broadcasts the {TOP}-row RANKED side (the
+    postings-bounded rel relation is the probe side — it grows with
+    the corpus), and the rank-aligned ideal join is
+    {TOP}×{TOP}-bounded broadcast."""
     tf, scored = _tf_and_scored(spark, sf_dir)
     rel = (tf.groupBy("doc_id")
            .agg(F.countDistinct("token").cast("long").alias("rel")))
@@ -199,8 +201,12 @@ def ir2_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (ln(CAST({rk_col} + 1 AS DOUBLE)) / ln(2.0)))"
             " AS BIGINT)")
 
-    return (ranked
-            .join(F.broadcast(rel), "doc_id")
+    # broadcast the FIXED side: ranked is exactly TOP rows by
+    # construction; rel is postings-bounded and GROWS with the corpus
+    # (the round-12 audit caught the original broadcast(rel) shipping
+    # the whole relevance relation to ship a 10-row join)
+    return (rel
+            .join(F.broadcast(ranked), "doc_id")
             .join(F.broadcast(ideal), "rk")
             .select(F.col("rk").alias("rank"), "doc_id", "bm25", "rel",
                     _gain("rel", "rk").alias("gain_q"),

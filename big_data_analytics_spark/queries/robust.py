@@ -196,15 +196,23 @@ def rt1_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, so a single exchange serves the cohort assignment and
     the distinct; the final (cohort, offset) count is matrix-sized.
     Week indexing is integer days-since-epoch-anchor arithmetic —
-    no timezone/week-start semantics to diverge between engines."""
+    no timezone/week-start semantics to diverge between engines.
+    The cohort relation is USER-sized (grows with the corpus), so its
+    attachment is pinned on the events table's metadata count rather
+    than left to derived-relation stats, which mis-broadcast it at
+    the 10× audit — broadcast below the ceiling, else the
+    co-partitioned merge this docstring always claimed."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()  # parquet metadata; bounds distinct users
     weeks = ev.select(
         "user_id",
         F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
         .cast("long").alias("wk"))
     cohorts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     activity = (
-        weeks.join(cohorts, "user_id")
+        weeks.join(sized_side(cohorts, n_ev), "user_id")
         .select("user_id", "cohort_wk",
                 (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
         .distinct()

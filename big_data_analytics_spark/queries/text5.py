@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _K = 8  # window length in tokens (Lee et al. use 50 BPE tokens; the
@@ -97,9 +98,10 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence count is a PARTIAL-AGGREGATED groupBy filtered to
     cnt >= 2 BEFORE joining back, so the join's probe side is the
     checkpoint and its build side is only the duplicated k-grams
-    (near-dup density, not corpus size — AQE sees the real
-    post-checkpoint sizes and broadcasts the dup set when small,
-    skew-splits when not). The island merge runs inside a
+    (near-dup density, not corpus size — and since boilerplate-heavy
+    corpora push that density toward corpus size, the dup set is
+    checkpointed, COUNTED, and pinned through sized_side rather than
+    left to plan-time stats). The island merge runs inside a
     per-document window over just the duplicated positions.
 
     REJECTED ALTERNATIVE (A/B'd at sf0.1): a window COUNT over
@@ -133,11 +135,19 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "p",
         F.array_join(F.slice("t", F.col("p") + 1, _K), " ")
         .alias("kgram")).localCheckpoint()
+    # the dup set is density-bounded, not corpus-bounded — but on
+    # boilerplate-heavy corpora it can approach corpus size, and the
+    # round-12 implicit-broadcast audit showed plan-time stats can't
+    # be trusted on derived relations: checkpoint (the join reuses the
+    # aggregation anyway), measure, pin (broadcast below the ceiling,
+    # sort-merge past it)
     dup_kgrams = (kg.groupBy("kgram")
                   .agg(F.count(F.lit(1)).alias("cnt"))
                   .filter(F.col("cnt") >= 2)
-                  .select("kgram"))
-    dup = kg.join(dup_kgrams, "kgram").select("doc_id", "p")
+                  .select("kgram")
+                  .localCheckpoint())
+    dup = (kg.join(sized_side(dup_kgrams, dup_kgrams.count()), "kgram")
+           .select("doc_id", "p"))
     seq_w = Window.partitionBy("doc_id").orderBy("p")
     isl = (dup.withColumn("prev", F.lag("p").over(seq_w))
            .withColumn(
@@ -153,10 +163,12 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("long").alias("n_dup_positions"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("covered").cast("long").alias("covered_tokens"))
+    # per_doc is doc-proportional: pin on the table's metadata count
+    n_docs = docs.count()
     return (docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
-        .join(per_doc, "doc_id", "left")
+        .join(sized_side(per_doc, n_docs), "doc_id", "left")
         .select(
             "doc_id", "n_tokens",
             F.coalesce("n_dup_positions", F.lit(0)).cast("long")
