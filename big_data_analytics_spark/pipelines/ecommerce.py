@@ -102,10 +102,16 @@ def clv(users: DataFrame, transactions: DataFrame,
     """
     spend = user_spend(transactions)
     metrics = user_session_metrics(sessions)
+    # USER-sized aggregates (grow with the corpus): pin on the fact
+    # tables' metadata counts — an upper bound on distinct users with
+    # no FK assumption — instead of derived-relation stats, which
+    # mis-broadcast them at the round-12 10× audit. Broadcast below
+    # the ceiling (today's plan), co-partitioned merge past it.
+    n_tx, n_ss = transactions.count(), sessions.count()
     return (
         users.select("user_id")
-        .join(spend, "user_id", "left")
-        .join(metrics, "user_id", "left")
+        .join(sized_side(spend, n_tx), "user_id", "left")
+        .join(sized_side(metrics, n_ss), "user_id", "left")
         .na.fill({"total_spent": 0.0, "session_count": 0, "total_duration": 0})
         .withColumn(
             "engagement_score",

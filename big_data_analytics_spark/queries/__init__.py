@@ -96,12 +96,13 @@ def query(name: str, oracle: Optional[str] = None):
 #: implicit-broadcast-audit pins across the dedup / eval / retrieval
 #: / basket / retention / segmentation families) + ecom_clv (the
 #: reference-parity anchor, last graded r9) + the final 7 r3-vintage
-#: rows + the 11 oldest r4-vintage rows not already above. The large
-#: changed set squeezed this round's backlog burn; remaining r4
-#: backlog for round 13: st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
-#: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts2, ts3, st5, ml4,
-#: t13, x11, x12 — then r5 vintage. Everything below the fold
-#: re-verifies locally every pytest run via
+#: rows + the 7 oldest r4-vintage rows not already above (j2, t8,
+#: ivm1, ts2 — late pin changes — displaced gr2/gr3/a22/st1). The
+#: large changed set squeezed this round's backlog burn; remaining r4
+#: backlog for round 13: gr2, gr3, a22, st1, st2, ml1, st3, ml2,
+#: st4, ml3, bpe2, mm1, z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4,
+#: ts3, st5, ml4, t13, x11, x12 — then r5 vintage. Everything below
+#: the fold re-verifies locally every pytest run via
 #: tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
@@ -142,6 +143,10 @@ GRADE_HEAD = [
     "d7_incremental_dedup",
     "cc1_dedup_clusters",
     "cc2_canonical_selection",
+    "j2_customer_order_stats",
+    "t8_repetition_signals",
+    "ivm1_retractable_view",
+    "ts2_hourly_gap_fill",
     # (b cont.) reference-parity anchor re-grade (last row r9)
     "ecom_clv",
     # (c) oldest-first: the last 7 r3-vintage rows, registry order
@@ -152,7 +157,7 @@ GRADE_HEAD = [
     "rc1_hierarchy_rollup",
     "at1_time_decay_attribution",
     "bpe1_merge_steps",
-    # (c cont.) the 11 oldest r4-vintage rows not already above
+    # (c cont.) the 7 oldest r4-vintage rows not already above
     "v5_sq_topk",
     "v6_pq_adc_topk",
     "sql1_revenue_by_state_sqlapi",
@@ -160,10 +165,6 @@ GRADE_HEAD = [
     "w12_cumulative_distinct_users",
     "bm1_bitmap_segment_intersect",
     "ws2_reservoir_per_group",
-    "gr2_triangle_count",
-    "gr3_weighted_pagerank",
-    "a22_corr_matrix",
-    "st1_chi_square_independence",
 ]
 
 

@@ -518,7 +518,13 @@ def ivm1_retractable_view(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
                  cust.c_nationkey == nation.n_nationkey)
            .select("c_custkey", F.col("n_name").alias("nation")))
-    return (merged.join(
+    # the merged view is customer-keyed and GROWS; post-agg stats
+    # mis-broadcast it at the round-12 10× audit, violating the
+    # shuffle-on-the-view-key contract above — pin on the orders
+    # metadata count (strict upper bound on view keys)
+    from big_data_analytics_spark.operators.joins import sized_side
+
+    return (sized_side(merged, orders.count()).join(
         dim,
         merged.o_custkey == dim.c_custkey)
         .select(

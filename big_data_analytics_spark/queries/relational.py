@@ -161,15 +161,21 @@ def j2_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-then-left-join (pre-aggregation shrinks the probe side
     before the join — at 100 TB this is the difference between joining
     the raw fact table and joining one row per customer)."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("order_count"),
         money_sum("o_totalprice").alias("total_spent"),
     )
+    # customer-keyed aggregate GROWS with the data; post-agg stats
+    # mis-broadcast it (round-12 implicit-broadcast audit) — pin on
+    # the orders metadata count (strict upper bound, no FK assumption)
     return (
         customer.select("c_custkey", "c_mktsegment")
-        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .join(sized_side(per_cust, orders.count()),
+              customer.c_custkey == per_cust.o_custkey, "left")
         .drop("o_custkey")
         .na.fill({"order_count": 0, "total_spent": 0.0})
     )

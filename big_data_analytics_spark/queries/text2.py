@@ -163,8 +163,10 @@ def t8_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_bigram_count"))
     )
+    # per-doc aggregate grows with the corpus; post-agg stats
+    # mis-broadcast (round-12 audit) — pin on the table metadata count
     joined = (
-        base.join(top, "doc_id", "left")
+        base.join(sized_side(top, d.count()), "doc_id", "left")
         .na.fill({"top_bigram_count": 0})
         .withColumn(
             "top_bigram_frac",

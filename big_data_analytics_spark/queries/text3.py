@@ -214,7 +214,10 @@ def bpe3_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     size(split(...)) — JVM-side, no explode: the per-doc counts
     reduce before the language rollup, so the exchange carries
     |docs| narrow rows, not tokens."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # parquet metadata; pins the doc-keyed join
     _, encoded = _bpe_steps(docs.select("doc_id", "text"))
     orig = docs.select(
         "doc_id", "lang",
@@ -225,7 +228,7 @@ def bpe3_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " "),
                         lambda x: x.contains("+"))).cast("long")
         .alias("m"))
-    return (orig.join(enc, "doc_id")
+    return (orig.join(sized_side(enc, n_docs), "doc_id")
             .groupBy("lang")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("w").cast("long").alias("words"),

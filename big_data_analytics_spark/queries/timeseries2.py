@@ -88,7 +88,10 @@ def ts2_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression written identically in both engines (same IEEE op
     order), then fixed-pointed per row with floor(x+0.5) so the
     per-user SUM is an order-independent integer."""
+    from big_data_analytics_spark.operators.joins import sized_side
+
     ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()  # parquet metadata; bounds the hourly aggregate
     known = (ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
@@ -99,7 +102,10 @@ def ts2_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
         .alias("h"))
-    joined = (grid.join(known, ["user_id", "h"], "left")
+    # the hourly aggregate GROWS with the data; post-agg stats
+    # mis-broadcast it at the round-12 10× audit — pin so the join
+    # stays the co-partitioned left join the docstring describes
+    joined = (grid.join(sized_side(known, n_ev), ["user_id", "h"], "left")
               .select("user_id", "h",
                       (F.unix_timestamp("h") / 3600).cast("long")
                       .alias("hi"),
