@@ -116,6 +116,16 @@ GRADE_HEAD = [
     "v10_two_stage_rerank",
     "w15_rolling_7d_distinct_users",
     "bpe3_fertility",
+    # (b cont.) round-12 late batch: WER/CER + chrF complete the
+    # generation-eval suite (ROUGE/BLEU/chrF/WER), Kneser-Ney upgrades
+    # the LM surface, ir5 exports retrieval training negatives, gov1
+    # opens the governance surface — each with an oracle AND a pure-
+    # python recount (tests/test_r12b_groundtruth.py)
+    "ev3_token_edit_distance",
+    "ev4_chrf",
+    "t17_kneser_ney_bigram",
+    "ir5_hard_negatives",
+    "gov1_k_anonymity",
     # (b cont.) round-12 changed — the implicit-broadcast audit
     # pinned every stats-driven join of a corpus-proportional derived
     # relation (sized_side on measured counts), touching the dedup /
@@ -157,14 +167,11 @@ GRADE_HEAD = [
     "rc1_hierarchy_rollup",
     "at1_time_decay_attribution",
     "bpe1_merge_steps",
-    # (c cont.) the 7 oldest r4-vintage rows not already above
+    # (c cont.) the 2 oldest r4-vintage rows not already above (the
+    # late-batch additions displaced sql1/w11/w12/bm1/ws2 back into
+    # the round-13 backlog)
     "v5_sq_topk",
     "v6_pq_adc_topk",
-    "sql1_revenue_by_state_sqlapi",
-    "w11_session_duration_percentiles",
-    "w12_cumulative_distinct_users",
-    "bm1_bitmap_segment_intersect",
-    "ws2_reservoir_per_group",
 ]
 
 
@@ -226,6 +233,7 @@ def load_all() -> dict[str, Query]:
         monitoring,
         ann_eval,
         evals,
+        governance,
     )
     missing = [n for n in GRADE_HEAD if n not in REGISTRY]
     if missing:

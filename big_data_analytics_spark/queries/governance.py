@@ -1,0 +1,66 @@
+"""Data-governance checks a training-data platform runs before a
+corpus or customer extract leaves the pipeline: k-anonymity over
+quasi-identifier combinations (gov1). Reference parity: none — the
+reference repo has no governance surface; this is LLM-pipeline
+extension surface (privacy review of exported training extracts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.queries import query
+
+_K_ANON = 5                  # the k in k-anonymity
+_RISK_Q = 1_000_000_000      # re-identification risk grid (1/n)
+
+
+@query(
+    "gov1_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) >= {_K_ANON} AS is_k_anonymous,
+           CAST({_RISK_Q} // COUNT(*) AS BIGINT) AS risk_q
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def gov1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer extract under the quasi-
+    identifier tuple (nation, market segment, account-balance
+    band-of-1000) — the standard privacy pre-flight for any table
+    that leaves the platform: a record is k-anonymous iff at least k
+    records share its full quasi-identifier combination, so every
+    equivalence class with n < {K} marks rows an adversary could
+    re-identify by joining public attributes. Emits every class with
+    its size, the k={K} verdict, and the worst-case re-identification
+    probability 1/n floor-quantized to the 1e-9 grid (integer
+    division — no IEEE anywhere). The consumer's suppression list is
+    the is_k_anonymous = false classes; generalization tuning (wider
+    bands) re-runs the same query with a different band width.
+
+    Scale shape: one map-side-combinable groupBy on three bounded-
+    cardinality derived keys (|nations| x |segments| x |bands| —
+    thousands of classes regardless of row count), so the exchange
+    carries only partial counts: the A1 aggregation shape. At 100 TB
+    this is a single scan with a constant-size shuffle; the band
+    derivation is a codegen'd floor, and no join, window, or
+    data-sized relation appears anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        .alias("bal_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("c_nationkey", "c_mktsegment", "bal_band", "n",
+                (F.col("n") >= _K_ANON).alias("is_k_anonymous"),
+                F.expr(f"{_RISK_Q} div n").cast("long")
+                .alias("risk_q")))
+
+
+gov1_k_anonymity.__doc__ = gov1_k_anonymity.__doc__.format(K=_K_ANON)

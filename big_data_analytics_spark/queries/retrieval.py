@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
 _TERMS = ("hash", "join", "scan")
@@ -492,3 +493,116 @@ def ir4_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ir4_map_eval.__doc__ = ir4_map_eval.__doc__.format(
     TOP=_MRR_TOP, TN=_TITLE_N)
+
+
+_NEG_K = 10  # hard negatives mined per query term
+
+
+@query(
+    "ir5_hard_negatives",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl
+    ), tf AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, UNNEST(toks) AS token
+            FROM docs)
+        WHERE token IN ({_TERMS_SQL})
+        GROUP BY doc_id, dl, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+        SELECT tf.token, tf.doc_id,
+               CAST(FLOOR(
+                   ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (CAST(tf AS DOUBLE) * ({_K1} + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + {_K1} * (1.0 - {_B}
+                                 + {_B} * CAST(dl AS DOUBLE)
+                                   / (CAST(sdl AS DOUBLE)
+                                      / CAST(n AS DOUBLE))))
+                   * {_RR_Q}) AS BIGINT) AS s_q
+        FROM tf JOIN df USING (token), stats
+    ), rel AS (
+        SELECT d.doc_id, t.token
+        FROM docs d, (SELECT UNNEST([{_TERMS_SQL}]) AS token) t
+        WHERE list_contains(d.toks[1:{_TITLE_N}], t.token)
+    ), neg AS (
+        SELECT s.token, s.doc_id, s.s_q,
+               ROW_NUMBER() OVER (PARTITION BY s.token
+                                  ORDER BY s.s_q DESC, s.doc_id)
+                   AS neg_rank
+        FROM scored s LEFT JOIN rel r
+          ON r.token = s.token AND r.doc_id = s.doc_id
+        WHERE r.doc_id IS NULL
+    )
+    SELECT token AS term, CAST(neg_rank AS BIGINT) AS neg_rank,
+           doc_id, s_q
+    FROM neg WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def ir5_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    query term, the top-{K} HIGHEST-BM25-scoring documents that are
+    NOT relevant (ir3's title-match ground truth) — exactly the
+    triplet-loss negatives an embedding team mines from a lexical
+    ranker ("looks right to BM25, is wrong by the labels"), and the
+    fifth leg of the retrieval family (ir1 ranks, ir2/ir3/ir4 grade,
+    ir5 exports training pairs). Deterministic output: score
+    quantized on the 1e-9 grid, ties break on doc_id, binary
+    relevance identical to ir3/ir4 so the family shares one ground
+    truth.
+
+    Scale shape: rides the ir1 inverted-index pattern (postings-only
+    explode, |terms|-row df + 1-row stats broadcasts). The relevance
+    EXCLUSION is a left-anti join keyed (token, doc_id) with the rel
+    side measured-pinned (bound = |terms| x docs metadata count —
+    rel is corpus-proportional, the audited class); the per-term
+    top-{K} is row_number + filter, planned as WindowGroupLimit
+    (per-partition local top-{K} before the per-term exchange — the
+    o2g/ir3 shape). Nothing touches the corpus after the postings
+    explode."""
+    raw = load_table(spark, sf_dir, "documents")
+    ndocs = raw.count()  # parquet metadata count — the cheap measure
+    docs = raw.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("dl").cast("long").alias("sdl"))
+    tf = (docs.select("doc_id", F.size("toks").alias("dl"),
+                      F.explode("toks").alias("token"))
+          .filter(F.col("token").isin(*_TERMS))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count("*").alias("tf")))
+    dfr = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = F.col("n").cast("double")
+    idf = F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    term_score = (idf * (tfd * (_K1 + 1.0))
+                  / (tfd + _K1 * (1.0 - _B
+                                  + _B * F.col("dl").cast("double")
+                                  / (F.col("sdl").cast("double") / nd))))
+    scored = (tf.join(F.broadcast(dfr), "token")
+              .crossJoin(F.broadcast(stats))
+              .select("token", "doc_id",
+                      F.floor(term_score * _RR_Q).cast("long").alias("s_q")))
+    rel = (docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(t) for t in _TERMS])).alias("token"),
+        F.slice("toks", 1, _TITLE_N).alias("title"))
+        .filter(F.expr("array_contains(title, token)"))
+        .select("doc_id", "token"))
+    neg = scored.join(sized_side(rel, len(_TERMS) * ndocs),
+                      ["token", "doc_id"], "left_anti")
+    w = Window.partitionBy("token").orderBy(F.desc("s_q"), F.asc("doc_id"))
+    return (neg.withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= _NEG_K)
+            .select(F.col("token").alias("term"),
+                    F.col("neg_rank").cast("long").alias("neg_rank"),
+                    "doc_id", "s_q"))
+
+
+ir5_hard_negatives.__doc__ = ir5_hard_negatives.__doc__.format(K=_NEG_K)

@@ -1170,3 +1170,59 @@ def test_w15_two_phase_distinct_no_expand(spark):
     assert plan.count("partial_count(distinct") == 2
     assert "Expand" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ev3_arrow_kernel_and_jvm_levenshtein(spark):
+    """ev3: exactly ONE Arrow-batched python stage (the token-DP
+    kernel, MapInPandas) — the char distance and every quantized
+    column must stay JVM-side, so a second python eval node means a
+    relational column leaked into the kernel. The pair join sides are
+    filtered base-scan projections (the stats-reliable class), so no
+    pin is asserted."""
+    plan = _plan(spark, "ev3_token_edit_distance")
+    assert plan.count("MapInPandas") == 1
+    assert "levenshtein" in plan  # JVM-side char distance
+    assert "BatchEvalPython" not in plan  # no row-at-a-time tier
+
+
+def test_ev4_overlap_joins_pinned_broadcast(spark):
+    """ev4: both char-gram overlap joins ride the measured pin
+    (sized_side on the char-count bound) — below the ceiling at the
+    plan fixture they must be broadcast, never stats-planned SMJ (the
+    audited post-explode underestimate class)."""
+    plan = _plan(spark, "ev4_chrf")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_t17_single_bigram_materialization(spark):
+    """t17: the bigram relation is checkpoint-materialized ONCE (all
+    three aggregates and the B count read the checkpoint scan — a
+    second explode in the plan means the reuse regressed), and both
+    vocab-keyed attachments ride the measured pin (broadcast below
+    the ceiling)."""
+    plan = _plan(spark, "t17_kneser_ney_bigram")
+    assert plan.count("Generate explode") == 0  # reads the checkpoint
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_ir5_window_group_limit_and_pinned_anti_join(spark):
+    """ir5: the per-term top-K must prune partition-locally
+    (WindowGroupLimit — the ir3/o2g shape) and the relevance
+    exclusion must plan as a broadcast anti-join at the plan fixture
+    (the rel side is measured-pinned on |terms| x docs)."""
+    plan = _plan(spark, "ir5_hard_negatives")
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gov1_single_aggregation_no_join(spark):
+    """gov1: one map-side-combinable aggregation over bounded-
+    cardinality derived keys — any join or window in the plan means
+    the audit regressed to a per-row formulation."""
+    plan = _plan(spark, "gov1_k_anonymity")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -1,0 +1,209 @@
+"""Independent imperative recounts for the round-12 second-batch
+queries (ORACLE INDEPENDENCE policy, queries/__init__.py): ev3 WER /
+CER, ev4 chrF, t17 Kneser-Ney, ir5 hard negatives, gov1 k-anonymity.
+Each re-derives the answer from the raw parquet in plain Python
+(dicts, loops, the textbook O(n*m) DP — no numpy vectorization, no
+SQL, no coded-string trick), so a shared Spark/oracle formulation bug
+cannot hash-match green. ev3's oracle is additionally independent by
+construction (byte-levenshtein over per-pair coded strings vs the
+implementation's numpy DP), but the recount still guards the CODING
+itself.
+"""
+
+import math
+from collections import Counter
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def doc_rows():
+    return duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+
+
+def _lev(a, b):
+    """Textbook O(n*m) Levenshtein, plain nested loops."""
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+def test_ev3_matches_pure_python_dp(spark, doc_rows):
+    from big_data_analytics_spark.queries.evals import (
+        ev3_token_edit_distance,
+    )
+
+    docs = {int(d): t for d, t in doc_rows}
+    want = {}
+    for d, rtext in docs.items():
+        if d % 2 != 0 or (d + 1) not in docs:
+            continue
+        ctext = docs[d + 1]
+        ref, cand = rtext.split(" "), ctext.split(" ")
+        td = _lev(ref, cand)
+        cd = _lev(rtext, ctext)
+        want[d] = (len(ref), len(cand), len(rtext), td, cd,
+                   math.floor(1e9 * td / len(ref)),
+                   math.floor(1e9 * cd / len(rtext)))
+
+    got = {int(r["pair_id"]): (
+        int(r["ref_len"]), int(r["cand_len"]), int(r["ref_chars"]),
+        int(r["tok_dist"]), int(r["char_dist"]),
+        int(r["wer_q"]), int(r["cer_q"]))
+        for r in ev3_token_edit_distance(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ev4_matches_pure_python_recount(spark, doc_rows):
+    from big_data_analytics_spark.queries.evals import ev4_chrf
+
+    docs = {int(d): t.replace(" ", "") for d, t in doc_rows}
+
+    def grams(s, n):
+        return Counter(s[i:i + n] for i in range(len(s) - n + 1))
+
+    want = {}
+    for d, rs in docs.items():
+        if d % 2 != 0 or (d + 1) not in docs:
+            continue
+        cs = docs[d + 1]
+        o2 = sum((grams(rs, 2) & grams(cs, 2)).values())
+        o3 = sum((grams(rs, 3) & grams(cs, 3)).values())
+        tr2, tc2 = max(len(rs) - 1, 0), max(len(cs) - 1, 0)
+        tr3, tc3 = max(len(rs) - 2, 0), max(len(cs) - 2, 0)
+        f2 = 0 if tr2 + tc2 == 0 else math.floor(1e9 * 2 * o2 / (tr2 + tc2))
+        f3 = 0 if tr3 + tc3 == 0 else math.floor(1e9 * 2 * o3 / (tr3 + tc3))
+        want[d] = (o2, tr2, tc2, o3, tr3, tc3, f2, f3)
+
+    got = {int(r["pair_id"]): (
+        int(r["o2"]), int(r["tr2"]), int(r["tc2"]),
+        int(r["o3"]), int(r["tr3"]), int(r["tc3"]),
+        int(r["chrf2_q"]), int(r["chrf3_q"]))
+        for r in ev4_chrf(spark, SF).collect()}
+    assert got == want
+
+
+def test_t17_matches_textbook_kneser_ney(spark, doc_rows):
+    """Recount with exact rational arithmetic (fractions.Fraction) on
+    the TEXTBOOK interpolated-KN formula — not the single-rational
+    rearrangement both the Spark plan and the oracle evaluate — so an
+    algebra slip in the rearrangement cannot match green."""
+    from big_data_analytics_spark.queries.text6 import (
+        t17_kneser_ney_bigram,
+    )
+
+    c12 = Counter()
+    for _, text in doc_rows:
+        ts = text.split(" ")
+        c12.update(zip(ts, ts[1:]))
+    c1 = Counter()
+    n_fw1 = Counter()
+    n_pw2 = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n_fw1[w1] += 1
+        n_pw2[w2] += 1
+    b = len(c12)
+    d = Fraction(3, 4)
+
+    want = {}
+    for (w1, w2), c in c12.items():
+        p = (Fraction(max(Fraction(c) - d, 0), c1[w1])
+             + d * Fraction(n_fw1[w1], c1[w1]) * Fraction(n_pw2[w2], b))
+        want[(w1, w2)] = (c, c1[w1], n_fw1[w1], n_pw2[w2],
+                          (10 ** 9 * p.numerator) // p.denominator)
+
+    got = {(r["w1"], r["w2"]): (
+        int(r["c12"]), int(r["c1"]), int(r["n_fw1"]), int(r["n_pw2"]),
+        int(r["pkn_q"]))
+        for r in t17_kneser_ney_bigram(spark, SF).collect()}
+    assert got == want
+    # interpolated KN must sum to 1 over each observed context's
+    # continuations PLUS the backoff mass — spot-check the rational
+    # probabilities of one context sum to <= 1
+    some_w1 = next(iter(c1))
+    s = sum(Fraction(max(Fraction(c) - d, 0), c1[w1])
+            + d * Fraction(n_fw1[w1], c1[w1]) * Fraction(n_pw2[w2], b)
+            for (w1, w2), c in c12.items() if w1 == some_w1)
+    assert s <= 1
+
+
+def test_ir5_matches_pure_python_recount(spark, doc_rows):
+    from big_data_analytics_spark.queries.retrieval import (
+        _B,
+        _K1,
+        _NEG_K,
+        _TERMS,
+        _TITLE_N,
+        ir5_hard_negatives,
+    )
+
+    docs = {int(d): t.split(" ") for d, t in doc_rows}
+    n = len(docs)
+    sdl = sum(len(t) for t in docs.values())
+    tf = {}
+    for d, toks in docs.items():
+        c = Counter(toks)
+        for term in _TERMS:
+            if c[term]:
+                tf[(term, d)] = c[term]
+    df = Counter(term for term, _ in tf)
+
+    want = {}
+    for term in _TERMS:
+        idf = math.log((float(n) - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+        rel = {d for d, toks in docs.items() if term in toks[:_TITLE_N]}
+        scored = []
+        for (t, d), f in tf.items():
+            if t != term or d in rel:
+                continue
+            dl = len(docs[d])
+            s = (idf * (float(f) * (_K1 + 1.0))
+                 / (float(f) + _K1 * (1.0 - _B
+                                      + _B * float(dl)
+                                      / (float(sdl) / float(n)))))
+            scored.append((-math.floor(s * 1e9), d))
+        scored.sort()
+        for rk, (neg_s, d) in enumerate(scored[:_NEG_K], start=1):
+            want[(term, rk)] = (d, -neg_s)
+
+    got = {(r["term"], int(r["neg_rank"])): (int(r["doc_id"]),
+                                             int(r["s_q"]))
+           for r in ir5_hard_negatives(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_gov1_matches_pure_python_recount(spark):
+    from big_data_analytics_spark.queries.governance import (
+        _K_ANON,
+        gov1_k_anonymity,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal "
+        f"FROM '{SF}/customer.parquet'").fetchall()
+    classes = Counter(
+        (int(nk), seg, math.floor(float(bal) / 1000.0))
+        for nk, seg, bal in rows)
+
+    want = {k: (c, c >= _K_ANON, 10 ** 9 // c)
+            for k, c in classes.items()}
+    got = {(int(r["c_nationkey"]), r["c_mktsegment"],
+            int(r["bal_band"])): (int(r["n"]), bool(r["is_k_anonymous"]),
+                                  int(r["risk_q"]))
+           for r in gov1_k_anonymity(spark, SF).collect()}
+    assert got == want
+    assert any(not v[1] for v in want.values()) or len(want) > 0
