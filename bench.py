@@ -160,6 +160,13 @@ EXTENDED = [
     # ir3 is a light variant of ir1/ir2 and lives in BENCH_FULL detail
     "gr8_kcore",
     "ev1_rouge_n",
+    # round 12: the Arrow-kernel pair-compute shape — a corpus-
+    # proportional pair join feeding a compute-bound mapInPandas DP
+    # (token Levenshtein); no other entry tracks a python-kernel
+    # stage on a data-sized relation (x13's UDTF is a fixed-size
+    # fixture). ev4/t17/ir5/gov1 are light variants of tracked
+    # shapes and live in BENCH_FULL detail + SCALE.md probes.
+    "ev3_token_edit_distance",
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
@@ -187,10 +194,11 @@ HEADLINE = CORE + EXTENDED
 #: mechanically: value - new_entries_total is the like-for-like
 #: comparison with the PREVIOUS round's BENCH file (VERDICT r9 #7).
 #: Maintained each round: replace with the round's additions.
-#: Round 12 adds no HEADLINE entries (ir4/ev2/t16/v10 are light
-#: variants of tracked shapes and live in BENCH_FULL detail; mm11 is
-#: a constant-size fixture → FIXED), so this is empty.
-ROUND_NEW: frozenset = frozenset()
+#: Round 12's early batch added no HEADLINE entries (ir4/ev2/t16/v10
+#: are light variants of tracked shapes and live in BENCH_FULL
+#: detail; mm11 is a constant-size fixture → FIXED); the late batch
+#: added the Arrow-kernel pair-compute shape (ev3).
+ROUND_NEW: frozenset = frozenset({"ev3_token_edit_distance"})
 
 #: FROZEN: the exact 45-query headline graded in rounds 6-7
 #: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
@@ -211,7 +219,9 @@ R7_SET = frozenset(CORE) | (frozenset(EXTENDED)
                                # landed — caught comparing r9/r10
                                # sums; now pinned by name)
                                "gr8_kcore",
-                               "ev1_rouge_n"}
+                               "ev1_rouge_n",
+                               # round-12 addition, same freeze rule
+                               "ev3_token_edit_distance"}
                             - ROUND_NEW)
 
 #: Queries whose one-off build cost (quantizer fit, signatures, BPE

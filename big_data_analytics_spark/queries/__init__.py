@@ -126,6 +126,9 @@ GRADE_HEAD = [
     "t17_kneser_ney_bigram",
     "ir5_hard_negatives",
     "gov1_k_anonymity",
+    "d10_exact_substring_cut",
+    # (es1, also re-graded this round via the pin batch above, had its
+    # body refactored into the shared _dup_spans helper for d10)
     # (b cont.) round-12 changed — the implicit-broadcast audit
     # pinned every stats-driven join of a corpus-proportional derived
     # relation (sized_side on measured counts), touching the dedup /
@@ -167,11 +170,10 @@ GRADE_HEAD = [
     "rc1_hierarchy_rollup",
     "at1_time_decay_attribution",
     "bpe1_merge_steps",
-    # (c cont.) the 2 oldest r4-vintage rows not already above (the
-    # late-batch additions displaced sql1/w11/w12/bm1/ws2 back into
-    # the round-13 backlog)
+    # (c cont.) the oldest r4-vintage row not already above (the
+    # late-batch additions displaced sql1/w11/w12/bm1/ws2/v6 back
+    # into the round-13 backlog)
     "v5_sq_topk",
-    "v6_pq_adc_topk",
 ]
 
 

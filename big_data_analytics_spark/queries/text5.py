@@ -31,6 +31,48 @@ _K = 8  # window length in tokens (Lee et al. use 50 BPE tokens; the
         # fixture docs are 10-100 words, so 8 keeps spans observable)
 
 
+def _dup_spans(spark: SparkSession, sf_dir: str):
+    """Shared es1/d10 pipeline: (docs, spans) where spans has one row
+    per maximal duplicated span — (doc_id, island, n_pos, start, fin)
+    with [start, fin] the 0-based covered token range. Plan shape and
+    the checkpoint/pin discipline are documented on es1 (the original
+    consumer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # spread only when under-split (see es1's A/B note)
+    para = spark.sparkContext.defaultParallelism
+    if toks.rdd.getNumPartitions() < para:
+        toks = toks.repartition(para)
+    pos = (toks.filter(F.size("t") >= _K)
+           .select("doc_id", "t",
+                   F.explode(F.sequence(
+                       F.lit(0), F.size("t") - _K)).alias("p")))
+    kg = pos.select(
+        "doc_id", "p",
+        F.array_join(F.slice("t", F.col("p") + 1, _K), " ")
+        .alias("kgram")).localCheckpoint()
+    dup_kgrams = (kg.groupBy("kgram")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .filter(F.col("cnt") >= 2)
+                  .select("kgram")
+                  .localCheckpoint())
+    dup = (kg.join(sized_side(dup_kgrams, dup_kgrams.count()), "kgram")
+           .select("doc_id", "p"))
+    seq_w = Window.partitionBy("doc_id").orderBy("p")
+    isl = (dup.withColumn("prev", F.lag("p").over(seq_w))
+           .withColumn(
+               "island",
+               F.sum(F.when(F.col("prev").isNull()
+                            | (F.col("p") - F.col("prev") > _K), 1)
+                     .otherwise(0))
+               .over(seq_w.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.min("p").alias("start"),
+        (F.max("p") + _K - 1).alias("fin"))
+    return docs, spans
+
+
 @query(
     "es1_exact_substring_spans",
     oracle=f"""
@@ -113,53 +155,18 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The mergeable-count path caps per-key state at one long
     per map task. At 100 TB the kgram key becomes a 128-bit
     fingerprint; the checkpoint becomes a shuffle-stage reuse."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    # The k-gram build (array_join over an interpreted slice, after a
-    # ~tokens-per-doc explode) inherits the SCAN's split count; when
-    # the corpus arrives as fewer splits than cores the whole
-    # amplified stage serializes (A/B at a 50k-doc corpus on one
-    # split: 5.4 -> 3.7 s warm repartitioned; at sf0.1 the same
+    # shared pipeline (see _dup_spans): the k-gram checkpoint, the
+    # counted-and-pinned dup set (the dup set is density-bounded, not
+    # corpus-bounded — but boilerplate-heavy corpora push it toward
+    # corpus size and plan-time stats can't be trusted on derived
+    # relations, so: checkpoint, measure, pin), the under-split
+    # repartition guard (A/B at a 50k-doc corpus on one split:
+    # 5.4 -> 3.7 s warm repartitioned; at sf0.1 the same
     # unconditional repartition is a net LOSS, 1.5 -> 2.1 s — the
-    # ml17/ml14 counter-lesson). Spread only when under-split: at
-    # production scale the scan yields >= cores splits and this is a
-    # no-op.
-    para = spark.sparkContext.defaultParallelism
-    if toks.rdd.getNumPartitions() < para:
-        toks = toks.repartition(para)
-    pos = (toks.filter(F.size("t") >= _K)
-           .select("doc_id", "t",
-                   F.explode(F.sequence(
-                       F.lit(0), F.size("t") - _K)).alias("p")))
-    kg = pos.select(
-        "doc_id", "p",
-        F.array_join(F.slice("t", F.col("p") + 1, _K), " ")
-        .alias("kgram")).localCheckpoint()
-    # the dup set is density-bounded, not corpus-bounded — but on
-    # boilerplate-heavy corpora it can approach corpus size, and the
-    # round-12 implicit-broadcast audit showed plan-time stats can't
-    # be trusted on derived relations: checkpoint (the join reuses the
-    # aggregation anyway), measure, pin (broadcast below the ceiling,
-    # sort-merge past it)
-    dup_kgrams = (kg.groupBy("kgram")
-                  .agg(F.count(F.lit(1)).alias("cnt"))
-                  .filter(F.col("cnt") >= 2)
-                  .select("kgram")
-                  .localCheckpoint())
-    dup = (kg.join(sized_side(dup_kgrams, dup_kgrams.count()), "kgram")
-           .select("doc_id", "p"))
-    seq_w = Window.partitionBy("doc_id").orderBy("p")
-    isl = (dup.withColumn("prev", F.lag("p").over(seq_w))
-           .withColumn(
-               "island",
-               F.sum(F.when(F.col("prev").isNull()
-                            | (F.col("p") - F.col("prev") > _K), 1)
-                     .otherwise(0))
-               .over(seq_w.rowsBetween(Window.unboundedPreceding, 0))))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.count(F.lit(1)).alias("n_pos"),
-        (F.max("p") - F.min("p") + _K).alias("covered"))
-    per_doc = spans.groupBy("doc_id").agg(
+    # ml17/ml14 counter-lesson), and the island merge.
+    docs, spans = _dup_spans(spark, sf_dir)
+    per_doc = spans.withColumn(
+        "covered", F.col("fin") - F.col("start") + 1).groupBy("doc_id").agg(
         F.sum("n_pos").cast("long").alias("n_dup_positions"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("covered").cast("long").alias("covered_tokens"))
@@ -177,4 +184,118 @@ def es1_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_spans"),
             F.coalesce("covered_tokens", F.lit(0)).cast("long")
             .alias("covered_tokens"))
+        .orderBy("doc_id"))
+
+
+@query(
+    "d10_exact_substring_cut",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, t,
+               unnest(range(len(t) - {_K} + 1)) AS p
+        FROM toks WHERE len(t) >= {_K}
+    ), kg AS (
+        SELECT doc_id, p,
+               array_to_string(t[p + 1 : p + {_K}], ' ') AS kgram
+        FROM pos
+    ), dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   COUNT(*) OVER (PARTITION BY kgram) AS cnt
+            FROM kg
+        ) WHERE cnt >= 2
+    ), isl AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev IS NULL OR p - prev > {_K}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, p,
+                   LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dup
+        )
+    ), spans AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) + {_K} - 1 AS e
+        FROM isl GROUP BY doc_id, island
+    ), kept AS (
+        SELECT tk.doc_id, u.i, tk.t[u.i] AS tok
+        FROM toks tk, unnest(range(1, len(tk.t) + 1)) AS u(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tk.doc_id
+              AND u.i - 1 BETWEEN s.s AND s.e)
+    ), clean AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    ), nsp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.kept_tokens, 0) AS kept_tokens,
+           CAST(len(tk.t) AS BIGINT) - COALESCE(c.kept_tokens, 0)
+               AS cut_tokens,
+           COALESCE(n.n_spans, 0) AS n_spans,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM toks tk
+    LEFT JOIN clean c USING (doc_id)
+    LEFT JOIN nsp n USING (doc_id)
+    ORDER BY tk.doc_id
+    """,
+)
+def d10_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT — es1 finds the maximal duplicated spans;
+    d10 performs the rewrite Lee et al.'s pipeline actually ships:
+    every document re-emitted with its duplicated spans removed
+    (tokens whose position falls in any span union are dropped, the
+    remainder re-joined). This is the operator that turns span
+    DETECTION into a training-ready corpus — per doc: original/kept/
+    cut token counts, span count, and the cleaned text itself (the
+    graded column — a hash mismatch anywhere in the reconstruction
+    surfaces as a text diff).
+
+    Plan shape: rides _dup_spans (one k-gram explode checkpoint, the
+    counted-and-pinned dup set, the per-doc island merge — es1's
+    audited dataflow), then ONE new doc-keyed join: spans collapse to
+    a per-doc array<struct<start, fin>> (span count per doc is
+    small — bounded by n_tokens / {_K}), measured-pinned on the docs
+    metadata count, and the cut itself is a codegen'd higher-order
+    filter (positions surviving `NOT exists(spans, covering)`) — 
+    O(n_tokens x n_spans/doc) per document, no per-position join, no
+    second exchange. At 100 TB the rewrite costs the es1 detection
+    plus one doc-keyed broadcast-or-merge join."""
+    docs, spans = _dup_spans(spark, sf_dir)
+    span_arr = (spans.groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("start", "fin"))).alias("spans"),
+                    F.count(F.lit(1)).cast("long").alias("n_spans")))
+    n_docs = docs.count()
+    kept = F.expr(
+        "filter(ts, p -> NOT exists(spans, "
+        "sp -> p.i >= sp.start AND p.i <= sp.fin))")
+    return (docs.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), "
+               "(x, i) -> struct(x as tok, i as i))").alias("ts"))
+        .join(sized_side(span_arr, n_docs), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.when(F.col("spans").isNull(), F.col("ts"))
+            .otherwise(kept).alias("kept_ts"))
+        .select(
+            "doc_id", "n_tokens",
+            F.size("kept_ts").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept_ts")).cast("long")
+            .alias("cut_tokens"),
+            "n_spans",
+            F.array_join(F.expr("transform(kept_ts, p -> p.tok)"), " ")
+            .alias("clean_text"))
         .orderBy("doc_id"))

@@ -1226,3 +1226,14 @@ def test_gov1_single_aggregation_no_join(spark):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_d10_single_doc_keyed_cut_join(spark):
+    """d10: the rewrite adds exactly ONE doc-keyed join over es1's
+    detection dataflow (the span-array attachment, measured-pinned)
+    and performs the cut as a codegen'd higher-order filter — a
+    python eval node or a per-position join means the cut regressed
+    out of the JVM."""
+    plan = _plan(spark, "d10_exact_substring_cut")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan

@@ -207,3 +207,44 @@ def test_gov1_matches_pure_python_recount(spark):
            for r in gov1_k_anonymity(spark, SF).collect()}
     assert got == want
     assert any(not v[1] for v in want.values()) or len(want) > 0
+
+
+def test_d10_matches_pure_python_cut(spark, doc_rows):
+    """Naive restatement: for every position, literally collect its
+    8-gram into a corpus-wide Counter, mark positions whose 8-gram
+    occurs >= 2 times, expand each marked position to K covered
+    token indices, cut the union, and rebuild the text."""
+    from big_data_analytics_spark.queries.text5 import (
+        _K,
+        d10_exact_substring_cut,
+    )
+
+    docs = {int(d): t.split(" ") for d, t in doc_rows}
+    gram_count = Counter()
+    for toks in docs.values():
+        for p in range(len(toks) - _K + 1):
+            gram_count[tuple(toks[p:p + _K])] += 1
+
+    want = {}
+    for d, toks in docs.items():
+        covered = set()
+        dup_pos = [p for p in range(len(toks) - _K + 1)
+                   if gram_count[tuple(toks[p:p + _K])] >= 2]
+        for p in dup_pos:
+            covered.update(range(p, p + _K))
+        # span count = islands of dup positions with gap > K
+        n_spans, prev = 0, None
+        for p in dup_pos:
+            if prev is None or p - prev > _K:
+                n_spans += 1
+            prev = p
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        want[d] = (len(toks), len(kept), len(toks) - len(kept),
+                   n_spans, " ".join(kept))
+
+    got = {int(r["doc_id"]): (
+        int(r["n_tokens"]), int(r["kept_tokens"]), int(r["cut_tokens"]),
+        int(r["n_spans"]), r["clean_text"])
+        for r in d10_exact_substring_cut(spark, SF).collect()}
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # fixture has cuts
