@@ -320,36 +320,58 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_lev_batches(
         batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched token-level Levenshtein kernel for ev3: per pair,
-    the classic O(n*m) DP with the inner loop vectorized over the
-    candidate axis (substitution/deletion elementwise; the insertion
-    recurrence cur[j] = min_k<=j (base[k] + j - k) via
-    j + cummin(base - j), which removes the sequential scan). Tokens
-    are remapped to per-pair integer codes with np.unique first so the
-    comparison row is an int equality, not string compares. Pure
-    passthrough otherwise — every relational column is computed
-    JVM-side before/after this map."""
+    """Arrow-batched token-level Levenshtein kernel for ev3,
+    vectorized along BOTH free axes of the DP: within a row the
+    insertion recurrence cur[j] = min_k<=j (base[k] + j - k) becomes
+    j + cummin(base - j) (removing the sequential scan), and across
+    the BATCH every pair advances its DP row in the same numpy call —
+    one (rows, max_m+1) matrix per token position instead of one
+    ~max_m vector op per pair per position. The cross-pair form is
+    what makes the kernel scale: the per-pair loop spent ~3 us of
+    numpy dispatch per (pair, position) and clocked 18.9 s at the 10x
+    fixture; this form runs the same fixture in ~3 s (A/B in
+    SCALE.md). Tokens are batch-factorized to int codes once
+    (pd.factorize over the concatenated batch vocabulary); rows
+    shorter than the batch maximum freeze behind an active mask, and
+    padded candidate cells never corrupt real cells because the DP
+    only reads leftward/upward. Pure passthrough otherwise — every
+    relational column is computed JVM-side before/after this map."""
     for pdf in batches:
-        out = np.zeros(len(pdf), dtype=np.int64)
-        for r, (a_l, b_l) in enumerate(zip(pdf["rts"], pdf["cts"])):
-            a = np.asarray(a_l, dtype=object)
-            b = np.asarray(b_l, dtype=object)
-            n, m = len(a), len(b)
-            if n == 0 or m == 0:
-                out[r] = n or m
-                continue
-            _, codes = np.unique(np.concatenate([a, b]),
-                                 return_inverse=True)
-            ca, cb = codes[:n], codes[n:]
-            jm = np.arange(m + 1, dtype=np.int64)
-            prev = jm.copy()
-            base = np.empty(m + 1, dtype=np.int64)
-            for i in range(1, n + 1):
-                base[0] = i
-                np.minimum(prev[:-1] + (ca[i - 1] != cb),
-                           prev[1:] + 1, out=base[1:])
-                prev = jm + np.minimum.accumulate(base - jm)
-            out[r] = prev[m]
+        rows = len(pdf)
+        if rows == 0:
+            yield pdf.assign(tok_dist=np.array([], dtype=np.int64))[
+                ["pair_id", "ref_len", "cand_len", "ref_chars",
+                 "char_dist", "tok_dist"]]
+            continue
+        a_lists = [np.asarray(x, dtype=object) for x in pdf["rts"]]
+        b_lists = [np.asarray(x, dtype=object) for x in pdf["cts"]]
+        n_arr = np.array([len(x) for x in a_lists], dtype=np.int64)
+        m_arr = np.array([len(x) for x in b_lists], dtype=np.int64)
+        codes, _ = pd.factorize(np.concatenate(a_lists + b_lists))
+        bounds = np.cumsum(np.concatenate([n_arr, m_arr]))
+        max_n, max_m = int(n_arr.max()), int(m_arr.max())
+        a_mat = np.full((rows, max_n), -1, dtype=np.int64)
+        b_mat = np.full((rows, max_m), -2, dtype=np.int64)
+        start = 0
+        for r, end in enumerate(bounds[:rows]):
+            a_mat[r, :end - start] = codes[start:end]
+            start = end
+        for r, end in enumerate(bounds[rows:]):
+            b_mat[r, :end - start] = codes[start:end]
+            start = end
+        jm = np.arange(max_m + 1, dtype=np.int64)
+        prev = np.broadcast_to(jm, (rows, max_m + 1)).copy()
+        base = np.empty((rows, max_m + 1), dtype=np.int64)
+        for i in range(1, max_n + 1):
+            active = n_arr >= i
+            if not active.any():
+                break
+            np.minimum(prev[:, :-1] + (a_mat[:, i - 1, None] != b_mat),
+                       prev[:, 1:] + 1, out=base[:, 1:])
+            base[:, 0] = i
+            cur = jm + np.minimum.accumulate(base - jm, axis=1)
+            prev = np.where(active[:, None], cur, prev)
+        out = prev[np.arange(rows), m_arr]
         yield pd.DataFrame({
             "pair_id": pdf["pair_id"], "ref_len": pdf["ref_len"],
             "cand_len": pdf["cand_len"], "ref_chars": pdf["ref_chars"],
@@ -446,7 +468,24 @@ def ev3_token_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("cts"),
         F.size("ts").cast("long").alias("cand_len"),
         F.col("text").alias("ctext"))
-    pairs = (ref.join(cand, "pair_id")
+    pairs = ref.join(cand, "pair_id").select(
+        "pair_id", "ref_len", "cand_len", "ref_chars",
+        "rtext", "ctext", "rts", "cts")
+    # the pair join is broadcast, so the compute stages inherit the
+    # SCAN's split count — 2 splits at the 10x fixture, serializing
+    # ~1.9e10 char-DP cells (JVM levenshtein is O(chars^2) per pair)
+    # plus the token kernel onto 2 cores (es1's under-split hazard;
+    # measured 16.6 s warm at 10x). The repartition must sit BELOW
+    # both distance computations: Catalyst keeps the levenshtein
+    # projection above the exchange only if it is added after — with
+    # the guard correctly placed both distances fan out to all cores
+    # (3.4 s warm at 10x, the A/B in SCALE.md). No-op whenever the
+    # scan already yields >= cores splits (sf0.1 and any production
+    # layout).
+    para = spark.sparkContext.defaultParallelism
+    if pairs.rdd.getNumPartitions() < para:
+        pairs = pairs.repartition(para)
+    pairs = (pairs
              .withColumn("char_dist",
                          F.levenshtein("rtext", "ctext").cast("long"))
              .select("pair_id", "ref_len", "cand_len", "ref_chars",
@@ -552,6 +591,13 @@ def ev4_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bound = _chargram_row_bound(raw)
     docs = raw.select(
         "doc_id", F.regexp_replace("text", " ", "").alias("s"))
+    # char-gram extraction amplifies each doc ~n_chars x 2; the
+    # explode stages inherit the scan's split count (2 at the 10x
+    # fixture), serializing the map side of both gram counts (es1's
+    # under-split hazard). Spread only when under-split.
+    para = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
 
     def grams(n: int) -> DataFrame:
         return (docs.filter(F.length("s") >= n)
