@@ -279,7 +279,15 @@ def d10_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.expr(
         "filter(ts, p -> NOT exists(spans, "
         "sp -> p.i >= sp.start AND p.i <= sp.fin))")
-    return (docs.select(
+    # the cut side is the raw docs scan: when span_arr broadcasts,
+    # the tokenize + higher-order filter inherit the scan's split
+    # count (2 at the 10x fixture — the ev3 hazard); spread only
+    # when under-split
+    cut_side = docs.select("doc_id", "text")
+    para = spark.sparkContext.defaultParallelism
+    if cut_side.rdd.getNumPartitions() < para:
+        cut_side = cut_side.repartition(para)
+    return (cut_side.select(
         "doc_id",
         F.expr("transform(split(text, ' '), "
                "(x, i) -> struct(x as tok, i as i))").alias("ts"))
