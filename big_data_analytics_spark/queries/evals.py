@@ -118,6 +118,12 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bound = _ngram_row_bound(raw)
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
+    # n-gram extraction amplifies each doc ~2x tokens; the explode
+    # stages inherit the scan's split count (2 at the 10x fixture) —
+    # the ev3/ev4 under-split hazard. Spread only when under-split.
+    para = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
            .agg(F.count(F.lit(1)).cast("long").alias("c")))
@@ -261,6 +267,12 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bound = _ngram_row_bound(raw)
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
+    # n-gram extraction amplifies each doc ~2x tokens; the explode
+    # stages inherit the scan's split count (2 at the 10x fixture) —
+    # the ev3/ev4 under-split hazard. Spread only when under-split.
+    para = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
            .agg(F.count(F.lit(1)).cast("long").alias("c")))
