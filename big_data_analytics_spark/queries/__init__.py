@@ -127,6 +127,9 @@ GRADE_HEAD = [
     "ir5_hard_negatives",
     "gov1_k_anonymity",
     "d10_exact_substring_cut",
+    "t18_textrank_keywords",
+    "fs2_chi2_token_selection",
+    "gov2_l_diversity",
     # (es1, also re-graded this round via the pin batch above, had its
     # body refactored into the shared _dup_spans helper for d10)
     # (b cont.) round-12 changed — the implicit-broadcast audit
@@ -162,18 +165,15 @@ GRADE_HEAD = [
     "ts2_hourly_gap_fill",
     # (b cont.) reference-parity anchor re-grade (last row r9)
     "ecom_clv",
-    # (c) oldest-first: the last 7 r3-vintage rows, registry order
+    # (c) oldest-first: r3-vintage rows in the remaining slots. The
+    # 16-query late batch squeezed the backlog burn — at1/bpe1 (r3)
+    # and v5/sql1/w11/w12/bm1/ws2/v6 (r4) wait for round 13; policy
+    # order is explicit that new/changed outrank oldest-first.
     "sk6_hll_intersection",
     "t12_token_entropy",
     "inc1_incremental_rollup",
     "df1_snapshot_diff",
     "rc1_hierarchy_rollup",
-    "at1_time_decay_attribution",
-    "bpe1_merge_steps",
-    # (c cont.) the oldest r4-vintage row not already above (the
-    # late-batch additions displaced sql1/w11/w12/bm1/ws2/v6 back
-    # into the round-13 backlog)
-    "v5_sq_topk",
 ]
 
 

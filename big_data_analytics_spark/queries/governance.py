@@ -64,3 +64,64 @@ def gov1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 gov1_k_anonymity.__doc__ = gov1_k_anonymity.__doc__.format(K=_K_ANON)
+
+
+_L_DIVERSE = 3  # the l in l-diversity
+
+
+@query(
+    "gov2_l_diversity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(SUM(seg_n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           COUNT(*) >= {_L_DIVERSE} AS is_l_diverse,
+           CAST(FLOOR({_RISK_Q} * MAX(seg_n) / SUM(seg_n)) AS BIGINT)
+               AS max_seg_share_q
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def gov2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the standard strengthening of k-anonymity
+    (Machanavajjhala et al. 2007): a quasi-identifier class can be
+    large (k-anonymous) yet still leak the SENSITIVE attribute if
+    every member shares one value, so each (nation, balance-band)
+    class is graded on how many distinct market segments (the
+    sensitive attribute here) it contains and on the dominant
+    segment's share (the homogeneity-attack success probability,
+    floor-quantized to the 1e-9 grid). Classes with l_distinct <
+    {L} need generalization or suppression before export.
+
+    Scale shape: two chained map-side-combinable aggregations — per
+    (class, segment) counts, then the per-class rollup (COUNT = the
+    distinct-segment count because the first groupBy already
+    deduplicated) — over bounded-cardinality keys; no join, no
+    window, no DISTINCT Expand. The gov1 shape with one extra
+    combine level."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = (cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        .alias("bal_band"),
+        "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("seg_n")))
+    return (cls.groupBy("c_nationkey", "bal_band")
+            .agg(F.sum("seg_n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("l_distinct"),
+                 F.max("seg_n").alias("max_seg"))
+            .select("c_nationkey", "bal_band", "n", "l_distinct",
+                    (F.col("l_distinct") >= _L_DIVERSE)
+                    .alias("is_l_diverse"),
+                    F.floor(F.lit(_RISK_Q) * F.col("max_seg")
+                            / F.col("n")).cast("long")
+                    .alias("max_seg_share_q")))
+
+
+gov2_l_diversity.__doc__ = gov2_l_diversity.__doc__.format(L=_L_DIVERSE)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
+from big_data_analytics_spark.operators.graph import pagerank
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 
@@ -219,3 +220,230 @@ def t17_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"      * cast({n_types} as decimal(38,0))) as long)")
     return joined.select("w1", "w2", "c12", "c1", "n_fw1", "n_pw2",
                          pkn.alias("pkn_q"))
+
+
+_TR_ITER = 3    # fixed PageRank rounds (bounded => oracle-unrollable)
+_TR_TOP = 30    # keywords reported
+_TR_W = 2       # co-occurrence window: tokens within +/- _TR_W
+
+
+def _textrank_oracle() -> str:
+    body = f"""
+    WITH d AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ), pr AS (
+        SELECT ts[u.i] AS a, ts[u.i + 1] AS b
+        FROM d, unnest(range(1, len(ts))) AS u(i)
+        UNION ALL
+        SELECT ts[u.i] AS a, ts[u.i + 2] AS b
+        FROM d, unnest(range(1, len(ts) - 1)) AS u(i)
+    ), edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst FROM pr WHERE a <> b
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pr WHERE a <> b)
+        GROUP BY src, dst
+    ), outw AS (
+        SELECT src, SUM(w) AS sw FROM edges GROUP BY src
+    ), ew AS (
+        SELECT e.src, e.dst, e.w, o.sw FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), r0 AS (
+        SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    )"""
+    prev = "r0"
+    for i in range(1, _TR_ITER + 1):
+        body += f""", r{i} AS (
+        SELECT nodes.node,
+               CAST(150000 + ((85 * COALESCE(inf.inflow, 0)) // 100)
+                    AS BIGINT) AS rank
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rank * e.w) // e.sw) AS inflow
+            FROM ew e JOIN {prev} r ON e.src = r.node
+            GROUP BY e.dst
+        ) inf USING (node)
+    )"""
+        prev = f"r{i}"
+    body += f"""
+    SELECT node AS token, rank AS rank_micro
+    FROM {prev}
+    ORDER BY rank DESC, node ASC
+    LIMIT {_TR_TOP}
+    """
+    return body
+
+
+@query("t18_textrank_keywords", oracle=_textrank_oracle())
+def t18_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    whole corpus: weighted PageRank on the word co-occurrence graph
+    (tokens within a +/-{W}-token window, weight = corpus-wide
+    co-occurrence count, self-loops dropped), top-{TOP} tokens by
+    rank — the unsupervised keyword/keyphrase primitive an annotation
+    or curriculum pipeline runs per slice. The graph composition is
+    the point: the same integer micro-unit PageRank that ranks
+    co-purchase parts (gr3) ranks vocabulary here, so the operator
+    library composes across domains (text x graph).
+
+    Scale shape: the edge build is one corpus-proportional pass — the
+    in-array window-pair transform (t14's adjacent-pair build
+    generalized to offsets 1..{W}) explodes to ~2x{W} pairs per token
+    with map-side combine onto the VOCABULARY-sized (src, dst, w)
+    relation; the under-split guard spreads the explode when the scan
+    arrives in fewer splits than cores (the ev3/ev4 hazard). The
+    PageRank rounds then run on the vocab-sized graph through
+    operators/graph.py:pagerank (node-count-guarded broadcast vs
+    shuffle strategy, one distributed aggregation per round). At
+    100 TB the corpus pass dominates and parallelizes per-doc; the
+    iteration cost is independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("ts"))
+    para = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
+
+    def offs(o: int) -> DataFrame:
+        return (docs.filter(F.size("ts") > o)
+                .select(F.explode(F.expr(
+                    f"transform(slice(ts, 1, size(ts) - {o}), "
+                    f"(x, i) -> struct(x as a, ts[i + {o}] as b))"))
+                    .alias("p"))
+                .select("p.a", "p.b")
+                .filter(F.col("a") != F.col("b")))
+
+    prs = offs(1).union(offs(2))
+    edges = (prs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(prs.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst")))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    ranks = pagerank(edges, weight="w", iterations=_TR_ITER,
+                     assume_distinct=True)
+    return (ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(_TR_TOP)
+            .select(F.col("node").alias("token"),
+                    F.col("rank").alias("rank_micro")))
+
+
+t18_textrank_keywords.__doc__ = t18_textrank_keywords.__doc__.format(
+    W=_TR_W, TOP=_TR_TOP)
+
+
+_CHI_TOP = 15           # selected tokens reported per language
+_CHI_Q = 1_000_000      # chi-square micro-unit grid
+
+
+@query(
+    "fs2_chi2_token_selection",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d),
+    nc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        FROM d GROUP BY lang
+    ), a AS (
+        SELECT lang, u.tok, CAST(COUNT(*) AS BIGINT) AS a
+        FROM d, unnest(ts) AS u(tok) GROUP BY lang, u.tok
+    ), tot AS (
+        SELECT tok, CAST(SUM(a) AS BIGINT) AS df FROM a GROUP BY tok
+    ), cells AS (
+        SELECT a.lang, a.tok, a.a,
+               t.df - a.a AS b,
+               c.n_lang - a.a AS c,
+               n.nt - c.n_lang - (t.df - a.a) AS dd,
+               n.nt AS nt
+        FROM a JOIN tot t USING (tok) JOIN nc c USING (lang), n
+    ), scored AS (
+        SELECT lang, tok, a, b, c, dd,
+               CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST((CAST({_CHI_Q} AS HUGEINT) * nt
+                               * (a * dd - b * c) * (a * dd - b * c))
+                              // (CAST(a + b AS HUGEINT) * (c + dd)
+                                  * (a + c) * (b + dd)) AS BIGINT)
+               END AS chi2_q
+        FROM cells
+    )
+    SELECT lang, tok, a AS n_in_class, b AS n_out_class, chi2_q,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY chi2_q DESC, tok) AS rk
+        FROM scored)
+    WHERE rk <= {_CHI_TOP}
+    """,
+)
+def fs2_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token selection per language — the classic
+    supervised vocabulary-selection statistic (Yang & Pedersen 1997):
+    for token t and class c, the 2x2 document-frequency contingency
+    (A = docs in c containing t, B = out-of-class docs containing t,
+    C/D their complements) scores chi2 = N(AD-BC)^2 /
+    ((A+B)(C+D)(A+C)(B+D)); the top-{TOP} tokens per language are the
+    features a language-ID or quality classifier would train on, and
+    complements fs1's unsupervised mutual-information scoring. The
+    whole statistic is ONE exact rational per (lang, token),
+    floor-quantized to the 1e-6 grid in 128-bit integer arithmetic
+    (Spark DECIMAL(38,0) div / DuckDB HUGEINT //, the t17
+    discipline — int64 would overflow Q*N^5 past ~3e4 docs, decimal
+    holds to ~3e7 docs per scored slice; degenerate margins report 0
+    by convention).
+
+    Scale shape: per-doc DISTINCT tokens (array_distinct in-array,
+    before the explode — document frequency, not term frequency),
+    one map-side-combinable count onto the (lang, token) relation;
+    the per-token totals are vocab-proportional and checkpoint-
+    counted for the measured pin (the audited derived-relation
+    class); the class-size relation is |langs| rows (fixed,
+    broadcast). The per-language top-{TOP} is row_number + filter =
+    WindowGroupLimit. At 100 TB: one corpus explode, one vocab-keyed
+    join, constant-size everything else."""
+    raw = load_table(spark, sf_dir, "documents")
+    docs = raw.select(
+        "doc_id", "lang",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"))
+    para = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < para:
+        docs = docs.repartition(para)
+    n_total = raw.count()
+    nc = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang"))
+    a_rel = (docs.select("lang", F.explode("ts").alias("tok"))
+             .groupBy("lang", "tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("a"))
+             .localCheckpoint())
+    tot = (a_rel.groupBy("tok")
+           .agg(F.sum("a").cast("long").alias("df"))
+           .localCheckpoint())
+    cells = (a_rel.join(sized_side(tot, tot.count()), "tok")
+             .join(F.broadcast(nc), "lang")
+             .select(
+                 "lang", "tok", "a",
+                 (F.col("df") - F.col("a")).alias("b"),
+                 (F.col("n_lang") - F.col("a")).alias("c"),
+                 (F.lit(n_total) - F.col("n_lang")
+                  - (F.col("df") - F.col("a"))).alias("dd")))
+    chi2 = F.expr(
+        f"CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0 "
+        f"THEN 0L ELSE cast((cast({_CHI_Q} as decimal(38,0)) "
+        f" * {n_total} * (a * dd - b * c) * (a * dd - b * c)) "
+        f"div (cast(a + b as decimal(38,0)) * (c + dd) * (a + c) "
+        f"     * (b + dd)) as long) END")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("chi2_q"), F.asc("tok"))
+    return (cells.withColumn("chi2_q", chi2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _CHI_TOP)
+            .select("lang", "tok",
+                    F.col("a").alias("n_in_class"),
+                    F.col("b").alias("n_out_class"),
+                    "chi2_q",
+                    F.col("rk").cast("long").alias("rk")))
+
+
+fs2_chi2_token_selection.__doc__ = fs2_chi2_token_selection.__doc__.format(
+    TOP=_CHI_TOP)

@@ -1237,3 +1237,63 @@ def test_d10_single_doc_keyed_cut_join(spark):
     plan = _plan(spark, "d10_exact_substring_cut")
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_t18_in_array_pair_build_no_self_join(spark):
+    """t18: the co-occurrence edge build must be the in-array
+    window-pair transform (Generate explodes), never a positional
+    self-join of the token relation. The pagerank operator
+    materializes its rounds, so the RESULT plan only shows the
+    rank scan + top-K cut (asserted TakeOrderedAndProject — no
+    global sort); the edge-build shape is asserted on the
+    pre-pagerank relation, rebuilt here exactly as the query builds
+    it."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.catalog import load_table
+
+    plan = _plan(spark, "t18_textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        F.split(F.col("text"), " ").alias("ts"))
+
+    def offs(o):
+        return (docs.filter(F.size("ts") > o)
+                .select(F.explode(F.expr(
+                    f"transform(slice(ts, 1, size(ts) - {o}), "
+                    f"(x, i) -> struct(x as a, ts[i + {o}] as b))"))
+                    .alias("p"))
+                .select("p.a", "p.b"))
+
+    prs = offs(1).union(offs(2))
+    edges = (prs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(prs.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst")))
+             .groupBy("src", "dst").count())
+    eplan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in eplan
+    assert "Join" not in eplan  # in-array build, no token self-join
+
+
+def test_fs2_window_group_limit_pinned_vocab_join(spark):
+    """fs2: the per-language top-K must prune partition-locally
+    (WindowGroupLimit); the vocab-keyed per-token-totals join rides
+    the checkpoint-count pin (broadcast at the fixture, never a
+    stats-planned SMJ); per-doc dedup is in-array array_distinct
+    (no Expand)."""
+    plan = _plan(spark, "fs2_chi2_token_selection")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+
+
+def test_gov2_two_level_aggregate_no_expand(spark):
+    """gov2: distinct-segment counting must ride the two-level
+    groupBy (the first aggregate dedups), never a COUNT DISTINCT
+    Expand; no joins anywhere."""
+    plan = _plan(spark, "gov2_l_diversity")
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2

@@ -248,3 +248,114 @@ def test_d10_matches_pure_python_cut(spark, doc_rows):
         for r in d10_exact_substring_cut(spark, SF).collect()}
     assert got == want
     assert any(v[2] > 0 for v in want.values())  # fixture has cuts
+
+
+def test_t18_matches_pure_python_pagerank(spark, doc_rows):
+    """Textbook integer-micro-unit weighted PageRank over a dict-built
+    co-occurrence graph — no DataFrame, no unrolled SQL."""
+    from big_data_analytics_spark.queries.text6 import (
+        _TR_ITER,
+        _TR_TOP,
+        t18_textrank_keywords,
+    )
+
+    w = Counter()
+    for _, text in doc_rows:
+        ts = text.split(" ")
+        for i, a in enumerate(ts):
+            for o in (1, 2):
+                if i + o < len(ts) and a != ts[i + o]:
+                    w[(a, ts[i + o])] += 1
+                    w[(ts[i + o], a)] += 1
+    sw = Counter()
+    out_edges = {}
+    for (s, d_), c in w.items():
+        sw[s] += c
+        out_edges.setdefault(s, []).append((d_, c))
+    nodes = sorted(sw)
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(_TR_ITER):
+        inflow = {n: 0 for n in nodes}
+        for s in nodes:
+            for d_, c in out_edges[s]:
+                inflow[d_] += (rank[s] * c) // sw[s]
+        rank = {n: 150_000 + (85 * inflow[n]) // 100 for n in nodes}
+    want = sorted(((r, n) for n, r in rank.items()),
+                  key=lambda t: (-t[0], t[1]))[:_TR_TOP]
+    want = [(n, r) for r, n in want]
+
+    got = [(r["token"], int(r["rank_micro"]))
+           for r in t18_textrank_keywords(spark, SF).collect()]
+    assert got == want
+
+
+def test_fs2_matches_pure_python_chi2(spark):
+    """Exact-Fraction chi-square on dict-built contingency tables —
+    no rearrangement shared with the engines' single-rational form."""
+    from big_data_analytics_spark.queries.text6 import (
+        _CHI_TOP,
+        fs2_chi2_token_selection,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'").fetchall()
+    n_total = len(rows)
+    by_lang = Counter(lang for lang, _ in rows)
+    in_class = Counter()
+    df_tok = Counter()
+    for lang, text in rows:
+        for tok in set(text.split(" ")):
+            in_class[(lang, tok)] += 1
+            df_tok[tok] += 1
+
+    scored = {}
+    for (lang, tok), a in in_class.items():
+        b = df_tok[tok] - a
+        c = by_lang[lang] - a
+        d = n_total - by_lang[lang] - b
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        if den == 0:
+            chi_q = 0
+        else:
+            num = n_total * (a * d - b * c) ** 2
+            chi_q = (10 ** 6 * num) // den
+        scored.setdefault(lang, []).append((-chi_q, tok, a, b))
+
+    want = {}
+    for lang, lst in scored.items():
+        lst.sort()
+        for rk, (neg_q, tok, a, b) in enumerate(lst[:_CHI_TOP], start=1):
+            want[(lang, rk)] = (tok, a, b, -neg_q)
+
+    got = {(r["lang"], int(r["rk"])): (
+        r["tok"], int(r["n_in_class"]), int(r["n_out_class"]),
+        int(r["chi2_q"]))
+        for r in fs2_chi2_token_selection(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_gov2_matches_pure_python_recount(spark):
+    from big_data_analytics_spark.queries.governance import (
+        _L_DIVERSE,
+        gov2_l_diversity,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal "
+        f"FROM '{SF}/customer.parquet'").fetchall()
+    segs = {}
+    for nk, seg, bal in rows:
+        k = (int(nk), math.floor(float(bal) / 1000.0))
+        segs.setdefault(k, Counter())[seg] += 1
+
+    want = {}
+    for k, c in segs.items():
+        n = sum(c.values())
+        want[k] = (n, len(c), len(c) >= _L_DIVERSE,
+                   math.floor(1e9 * max(c.values()) / n))
+    got = {(int(r["c_nationkey"]), int(r["bal_band"])): (
+        int(r["n"]), int(r["l_distinct"]), bool(r["is_l_diverse"]),
+        int(r["max_seg_share_q"]))
+        for r in gov2_l_diversity(spark, SF).collect()}
+    assert got == want
