@@ -77,7 +77,12 @@ def query(name: str, oracle: Optional[str] = None):
 #: references in tests/test_graph.py. Round-10 additions recount in
 #: tests/test_r10_groundtruth.py; round-12 (ir4/ev2/t16/v10/w15) in
 #: tests/test_r12_groundtruth.py (mm11's oracle is independent by
-#: construction — closed-form generation schedule vs real decode).
+#: construction — closed-form generation schedule vs real decode);
+#: the round-12 late batch (ev3/ev4/t17/ir5/gov1/gov2/d10/t18/fs2)
+#: in tests/test_r12b_groundtruth.py — ev3's oracle is additionally
+#: independent by construction (coded-string byte levenshtein vs
+#: numpy DP), as is sm12's (batch SQL restatement vs the engine's
+#: chained incremental execution, the sm2/sm11 class).
 #:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
@@ -89,21 +94,25 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-12 head-50: 2 canaries + 7 new (ir4 MAP, ev2 BLEU-2
-#: precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage rerank,
-#: w15 rolling 7d distinct, bpe3 fertility) + 22 changed (gr9's exact
-#: fixed-point confirmation — also its FIRST driver row — plus the
-#: implicit-broadcast-audit pins across the dedup / eval / retrieval
-#: / basket / retention / segmentation families) + ecom_clv (the
-#: reference-parity anchor, last graded r9) + the final 7 r3-vintage
-#: rows + the 7 oldest r4-vintage rows not already above (j2, t8,
-#: ivm1, ts2 — late pin changes — displaced gr2/gr3/a22/st1). The
-#: large changed set squeezed this round's backlog burn; remaining r4
-#: backlog for round 13: gr2, gr3, a22, st1, st2, ml1, st3, ml2,
-#: st4, ml3, bpe2, mm1, z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4,
-#: ts3, st5, ml4, t13, x11, x12 — then r5 vintage. Everything below
-#: the fold re-verifies locally every pytest run via
-#: tests/test_queries_vs_duckdb.py.
+#: Round-12 head-50: 2 canaries + 17 new (early batch: ir4 MAP, ev2
+#: BLEU-2 precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage
+#: rerank, w15 rolling 7d distinct, bpe3 fertility; late batch: ev3
+#: WER/CER, ev4 chrF, t17 Kneser-Ney, ir5 hard negatives, gov1
+#: k-anonymity, d10 ExactSubstr cut, t18 TextRank, fs2 chi-square
+#: selection, gov2 l-diversity, sm12 chained stream windows) + 26
+#: changed (gr9's exact fixed-point confirmation — also its FIRST
+#: driver row — plus the implicit-broadcast-audit pins across the
+#: dedup / eval / retrieval / basket / retention / segmentation
+#: families; es1 additionally refactored into _dup_spans; ev1/ev2
+#: gained the under-split spread) + ecom_clv (the reference-parity
+#: anchor, last graded r9) + 4 r3-vintage rows. The 17-query new set
+#: squeezed the backlog burn — policy order is explicit that
+#: new/changed outrank oldest-first — leaving for round 13: r3 rows
+#: rc1, at1, bpe1; then the r4 backlog v5, v6, sql1, w11, w12, bm1,
+#: ws2, gr2, gr3, a22, st1, st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
+#: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts3, st5, ml4, t13,
+#: x11, x12 — then r5 vintage. Everything below the fold re-verifies
+#: locally every pytest run via tests/test_queries_vs_duckdb.py.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
@@ -130,6 +139,7 @@ GRADE_HEAD = [
     "t18_textrank_keywords",
     "fs2_chi2_token_selection",
     "gov2_l_diversity",
+    "sm12_stream_chained_windows",
     # (es1, also re-graded this round via the pin batch above, had its
     # body refactored into the shared _dup_spans helper for d10)
     # (b cont.) round-12 changed — the implicit-broadcast audit
@@ -167,13 +177,12 @@ GRADE_HEAD = [
     "ecom_clv",
     # (c) oldest-first: r3-vintage rows in the remaining slots. The
     # 16-query late batch squeezed the backlog burn — at1/bpe1 (r3)
-    # and v5/sql1/w11/w12/bm1/ws2/v6 (r4) wait for round 13; policy
+    # and rc1+v5/sql1/w11/w12/bm1/ws2/v6 wait for round 13; policy
     # order is explicit that new/changed outrank oldest-first.
     "sk6_hll_intersection",
     "t12_token_entropy",
     "inc1_incremental_rollup",
     "df1_snapshot_diff",
-    "rc1_hierarchy_rollup",
 ]
 
 

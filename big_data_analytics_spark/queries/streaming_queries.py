@@ -992,3 +992,74 @@ def sm11_stream_cusum(spark: SparkSession, sf_dir: str,
                  .alias("cusum_peak_cents"),
                  F.max_by("first_alarm_event_id", "n_events")
                  .cast("long").alias("first_alarm_event_id")))
+
+
+@query(
+    "sm12_stream_chained_windows",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), wm AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) AS w FROM events
+    ), daily AS (
+        SELECT date_trunc('day', h) AS d, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MAX(n) AS BIGINT) AS peak_hour_events
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+           n_hours, n_events, peak_hour_events
+    FROM daily, wm WHERE d + INTERVAL 1 DAY <= w
+    """,
+)
+def sm12_stream_chained_windows(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query — the
+    multiple-stateful-operator capability (Spark 3.5+/4.x): an hourly
+    tumbling-window count per event type feeds a SECOND windowed
+    aggregation (daily rollup of the hourly rows via
+    ``window(window_time(...))``) inside the same incremental plan.
+    This is the streaming form of a tiered rollup (raw -> hourly ->
+    daily) that previously required two jobs with an intermediate
+    sink; no other sm entry exercises operator chaining. Emits per
+    closed day and type: hours seen, total events, and the peak
+    hour's count (the intra-day burst statistic a rate-limiter or
+    capacity planner reads).
+
+    Append-mode contract (the sm2 discipline, stated by the oracle):
+    a daily row is emitted iff the final watermark — max event time
+    truncated to whole milliseconds, delay 0 — has passed the day's
+    end; its hourly inputs are then complete by construction (every
+    hour of a closed day closed first), and the time-range-ordered
+    4-file source keeps the watermark monotone so nothing is dropped
+    as late (the sm1/sm2 fixture property). Days still open at the
+    fixture's edge stay in state, exactly as an unbounded deployment
+    would hold them.
+
+    Scale shape: state is two keyed stores — (hour, type) pre-
+    eviction and (day, type) — both bounded by the watermark horizon,
+    never by stream length; each micro-batch partial-aggregates
+    map-side before either store. The chain saves the intermediate
+    sink's full write/read round-trip at any scale."""
+    root = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    hourly = (src.withWatermark("ts", "0 seconds")
+              .groupBy(F.window("ts", "1 hour").alias("hw"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    daily = (hourly
+             .groupBy(F.window(F.window_time("hw"), "1 day").alias("dw"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+                  F.sum("n").cast("long").alias("n_events"),
+                  F.max("n").cast("long").alias("peak_hour_events")))
+    qname = _run_to_memory(daily, "append", "sm12_mem")
+    return spark.table(qname).select(
+        F.date_format(F.col("dw.start"), "yyyy-MM-dd").alias("day"),
+        "event_type", "n_hours", "n_events", "peak_hour_events")
