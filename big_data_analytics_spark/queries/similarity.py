@@ -811,3 +811,175 @@ def v10_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 v10_two_stage_rerank.__doc__ = v10_two_stage_rerank.__doc__.format(
     TD=_TRUNC_D, FD=64, C=_CAND_C, K=TOP_K)
+
+
+# --------------------------------------------------------------------
+# V11 — MMR-diversified top-k: relevance candidates, then the greedy
+# maximal-marginal-relevance selection, fully unrolled (no driver loop).
+# --------------------------------------------------------------------
+_MMR_CAND = 16   # relevance candidates per query entering the greedy
+_MMR_K = 5       # diversified picks per query
+
+
+def _mmr_oracle() -> str:
+    body = f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id >= {N_QUERY_VECS}),
+         rel AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv,
+               ROUND(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS rel
+        FROM q, c
+    ), cand AS (
+        SELECT query_id, neighbor_id, cv, rel
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rel DESC, neighbor_id) AS crn
+              FROM rel)
+        WHERE crn <= {_MMR_CAND}
+    ), ps AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               ROUND(list_dot_product(a.cv, b.cv)
+                     / (sqrt(list_dot_product(a.cv, a.cv))
+                        * sqrt(list_dot_product(b.cv, b.cv))), 6) AS s
+        FROM cand a JOIN cand b USING (query_id)
+        WHERE a.neighbor_id <> b.neighbor_id
+    ), p1 AS (
+        SELECT query_id, neighbor_id, rel, CAST(1 AS BIGINT) AS mmr_round,
+               rel AS mmr_score
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rel DESC, neighbor_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ), s1 AS (SELECT query_id, neighbor_id FROM p1)"""
+    for r in range(2, _MMR_K + 1):
+        body += f""", ms{r} AS (
+        SELECT ps.query_id, ps.a_id, MAX(ps.s) AS ms
+        FROM ps JOIN s{r - 1} sel
+          ON sel.query_id = ps.query_id AND sel.neighbor_id = ps.b_id
+        GROUP BY ps.query_id, ps.a_id
+    ), p{r} AS (
+        SELECT query_id, neighbor_id, rel,
+               CAST({r} AS BIGINT) AS mmr_round, score AS mmr_score
+        FROM (SELECT c.query_id, c.neighbor_id, c.rel,
+                     c.rel - m.ms AS score,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY c.query_id
+                         ORDER BY c.rel - m.ms DESC, c.neighbor_id) AS rn
+              FROM cand c JOIN ms{r} m
+                ON m.query_id = c.query_id AND m.a_id = c.neighbor_id
+              WHERE NOT EXISTS (
+                    SELECT 1 FROM s{r - 1} sx
+                    WHERE sx.query_id = c.query_id
+                      AND sx.neighbor_id = c.neighbor_id))
+        WHERE rn = 1
+    ), s{r} AS (
+        SELECT query_id, neighbor_id FROM s{r - 1}
+        UNION ALL SELECT query_id, neighbor_id FROM p{r}
+    )"""
+    body += """
+    SELECT query_id, neighbor_id, rel, mmr_round, mmr_score FROM p1"""
+    for r in range(2, _MMR_K + 1):
+        body += f"""
+    UNION ALL
+    SELECT query_id, neighbor_id, rel, mmr_round, mmr_score FROM p{r}"""
+    return body
+
+
+@query("v11_mmr_diversified", oracle=_mmr_oracle())
+def v11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): per query, take the top-{C} cosine-relevance
+    candidates, then greedily pick {K} results where each pick
+    maximizes rel(d) - max_sim(d, already-picked) — the redundancy-
+    penalized objective every RAG / search-results-page pipeline uses
+    to avoid returning {K} near-duplicates (λ = 0.5 up to the
+    monotone x2 scaling, which keeps the score an EXACT double
+    difference of two 6-dp-rounded cosines — no second rounding, so
+    no engine-boundary hazard). Round 1's score is the bare
+    relevance; ties break on neighbor_id everywhere.
+
+    Scale shape: the greedy recursion is bounded (k = {K}), so it
+    UNROLLS into the plan — no driver loop, no collect anywhere
+    (contrast v9, where k picks from the whole corpus force a
+    1-row-per-round driver argmax). The data-sized stage is the
+    relevance scan (WindowGroupLimit top-{C} per query); the
+    candidate relation and the |C|^2-per-query pairwise-sim relation
+    are then localCheckpoint-materialized ONCE (constant size per
+    query — without the pin each of the {K} rounds would re-run the
+    corpus crossJoin), and every greedy round is a query-keyed join +
+    1-row window over constant-size inputs. At 100 TB: one corpus
+    scoring pass + k constant-cost rounds, embarrassingly parallel
+    across queries."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+
+    def cos(a, b):
+        return F.round(
+            _dot(F.col(a), F.col(b))
+            / (F.sqrt(_dot(F.col(a), F.col(a)))
+               * F.sqrt(_dot(F.col(b), F.col(b)))), 6)
+
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("neighbor_id"))
+    cand_full = (c.crossJoin(F.broadcast(q))
+                 .select("query_id", "neighbor_id", "cv",
+                         cos("qv", "cv").alias("rel"))
+                 .withColumn("crn", F.row_number().over(w_rel))
+                 .filter(F.col("crn") <= _MMR_CAND))
+    a = cand_full.select("query_id", F.col("neighbor_id").alias("a_id"),
+                         F.col("cv").alias("av"))
+    b = cand_full.select("query_id", F.col("neighbor_id").alias("b_id"),
+                         F.col("cv").alias("bv"))
+    psim = (a.join(b, "query_id")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("query_id", "a_id", "b_id", cos("av", "bv").alias("s"))
+            .localCheckpoint())
+    cand = cand_full.select(
+        "query_id", "neighbor_id", "rel").localCheckpoint()
+
+    pick = (cand.withColumn("rn", F.row_number().over(w_rel))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "neighbor_id", "rel",
+                    F.lit(1).cast("long").alias("mmr_round"),
+                    F.col("rel").alias("mmr_score")))
+    out = pick
+    sel = pick.select("query_id", "neighbor_id")
+    for r in range(2, _MMR_K + 1):
+        # every relation in a greedy round is FIXED-size by
+        # construction (<= C x |queries|, both constants) — broadcast
+        # unconditionally; checkpoint-scan stats otherwise plan SMJs
+        # over 48-row relations (the audited derived-relation class)
+        ms = (psim.join(
+            F.broadcast(sel.withColumnRenamed("neighbor_id", "b_id")),
+            ["query_id", "b_id"])
+              .groupBy("query_id", "a_id").agg(F.max("s").alias("ms")))
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id"))
+        pick = (cand.join(F.broadcast(sel),
+                          ["query_id", "neighbor_id"], "left_anti")
+                .join(F.broadcast(ms),
+                      (F.col("neighbor_id") == F.col("a_id"))
+                      & (cand["query_id"] == ms["query_id"]))
+                .drop(ms["query_id"]).drop("a_id")
+                .withColumn("score", F.col("rel") - F.col("ms"))
+                .withColumn("rn", F.row_number().over(w_sc))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "neighbor_id", "rel",
+                        F.lit(r).cast("long").alias("mmr_round"),
+                        F.col("score").alias("mmr_score")))
+        out = out.union(pick)
+        sel = sel.union(pick.select("query_id", "neighbor_id"))
+    return out
+
+
+v11_mmr_diversified.__doc__ = v11_mmr_diversified.__doc__.format(
+    C=_MMR_CAND, K=_MMR_K)

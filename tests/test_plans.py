@@ -1297,3 +1297,15 @@ def test_gov2_two_level_aggregate_no_expand(spark):
     assert "Expand" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_v11_unrolled_greedy_no_corpus_recompute(spark):
+    """v11: the greedy rounds must read the two localCheckpoint pins
+    (candidate + pairwise-sim relations) — a crossJoin or Window over
+    the corpus appearing more than once in the final plan means a
+    round re-derived the scoring pass. The result plan unions the
+    k picks; no python eval."""
+    plan = _plan(spark, "v11_mmr_diversified")
+    assert "BroadcastNestedLoopJoin" not in plan  # corpus cross not re-run
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan

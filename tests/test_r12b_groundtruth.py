@@ -359,3 +359,62 @@ def test_gov2_matches_pure_python_recount(spark):
         int(r["max_seg_share_q"]))
         for r in gov2_l_diversity(spark, SF).collect()}
     assert got == want
+
+
+def test_v11_matches_pure_python_mmr(spark):
+    """Imperative greedy MMR over dict-built cosine tables."""
+    from big_data_analytics_spark.queries.similarity import (
+        _MMR_CAND,
+        _MMR_K,
+        N_QUERY_VECS,
+        v11_mmr_diversified,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {int(i): [float(x) for x in v] for i, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def round6(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def cos(a, b):
+        return round6(dot(a, b) / (math.sqrt(dot(a, a))
+                                   * math.sqrt(dot(b, b))))
+
+    want = {}
+    for qid in range(N_QUERY_VECS):
+        qv = vecs[qid]
+        scored = sorted(
+            ((-cos(qv, cv), nid) for nid, cv in vecs.items()
+             if nid >= N_QUERY_VECS))
+        cand = [(nid, -neg) for neg, nid in scored[:_MMR_CAND]]
+        sel = []
+        for r in range(1, _MMR_K + 1):
+            best = None
+            for nid, rel in cand:
+                if nid in (s for s, _, _ in sel):
+                    continue
+                if r == 1:
+                    score = rel
+                else:
+                    ms = max(cos(vecs[nid], vecs[s])
+                             for s, _, _ in sel)
+                    score = rel - ms
+                key = (-score, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, rel, score)
+            sel.append((best[1], best[2], best[3]))
+            want[(qid, r)] = (best[1], best[2], best[3])
+
+    got = {(int(r["query_id"]), int(r["mmr_round"])): (
+        int(r["neighbor_id"]), float(r["rel"]), float(r["mmr_score"]))
+        for r in v11_mmr_diversified(spark, SF).collect()}
+    assert got == want
+    assert len(got) == N_QUERY_VECS * _MMR_K
