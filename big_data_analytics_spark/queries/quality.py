@@ -354,3 +354,60 @@ def d6_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_train, n_removed, n_clean)],
         "n_train long, n_removed long, n_clean long")
+
+
+_BENF_Q = 1_000_000_000  # share quantization grid
+
+
+@query(
+    "dq5_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(l_extendedprice * 100 AS BIGINT) AS c FROM lineitem
+    ), digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM digits)
+    SELECT d AS first_digit, n,
+           CAST(FLOOR({_BENF_Q} * n / t) AS BIGINT) AS share_q,
+           CAST(FLOOR({_BENF_Q} * ln(1.0 + 1.0 / d) / ln(10.0))
+               AS BIGINT) AS benford_q,
+           CAST(FLOOR({_BENF_Q} * n / t)
+                - FLOOR({_BENF_Q} * ln(1.0 + 1.0 / d) / ln(10.0))
+               AS BIGINT) AS dev_q
+    FROM digits, tot
+    """,
+)
+def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over extended prices — the
+    classic fraud / synthetic-data / unit-mixup detector the data-
+    quality family (dq1–dq4) lacks: naturally occurring multi-scale
+    amounts follow P(d) = log10(1 + 1/d), and a slice whose leading-
+    digit distribution deviates hard was truncated, generated, or
+    re-scaled. Emits per digit the observed count, the observed and
+    Benford-expected shares floor-quantized to the 1e-9 grid, and the
+    signed deviation. The digit is extracted from the integer-cents
+    string (the money.py convention), so both engines see identical
+    text — no float formatting anywhere.
+
+    Scale shape: one map-side-combinable groupBy onto <= 9 rows; the
+    expected-share column is a constant expression per digit. A
+    single scan, constant exchange — runs at any corpus size for the
+    cost of reading one column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    digits = (li.select(F.substring(F.col("c").cast("string"), 1, 1)
+                        .cast("long").alias("d"))
+              .groupBy("d")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = digits.agg(F.sum("n").cast("long").alias("t"))
+    benford = F.floor(F.lit(_BENF_Q)
+                      * F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+                      ).cast("long")
+    share = F.floor(F.lit(_BENF_Q) * F.col("n") / F.col("t")).cast("long")
+    return (digits.crossJoin(F.broadcast(tot))
+            .select(F.col("d").alias("first_digit"), "n",
+                    share.alias("share_q"),
+                    benford.alias("benford_q"),
+                    (share - benford).alias("dev_q")))

@@ -323,3 +323,150 @@ def bm1_bitmap_segment_intersect(spark: SparkSession,
         F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
         .cast("long").alias("n_union"),
     )
+
+
+# --------------------------------------------------------------------
+# sk7 — KMV (theta) sketch: distinct estimates with EXACT set algebra
+# (union + direct intersection), every estimate an integer rational.
+# --------------------------------------------------------------------
+_KMV_K = 64            # sketch size (k minimum values)
+_KMV_BITS = 48         # md5-derived hash width: (K-1)*2^48 fits int64
+_KMV_MAX = 1 << _KMV_BITS
+
+
+@query(
+    "sk7_kmv_theta_ops",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                   ::BIGINT AS h,
+               user_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), a AS (SELECT DISTINCT h, user_id FROM h WHERE event_type = 'view'),
+       b AS (SELECT DISTINCT h, user_id FROM h
+             WHERE event_type = 'purchase'),
+       ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+                              AS rn FROM (SELECT DISTINCT h FROM a))
+               WHERE rn <= {_KMV_K}),
+       skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+                              AS rn FROM (SELECT DISTINCT h FROM b))
+               WHERE rn <= {_KMV_K}),
+       sku AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+                              AS rn FROM (SELECT DISTINCT h FROM a
+                                          UNION SELECT DISTINCT h FROM b))
+               WHERE rn <= {_KMV_K}),
+       rho AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS r FROM sku
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ), est AS (
+        -- exact mode below capacity: a sketch holding n < K hashes
+        -- IS the distinct set, so the estimate is n itself
+        SELECT 'view' AS nm,
+               CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                    ELSE ({_KMV_K} - 1) * {_KMV_MAX} // MAX(h) END AS e,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ska
+        UNION ALL
+        SELECT 'purchase',
+               CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                    ELSE ({_KMV_K} - 1) * {_KMV_MAX} // MAX(h) END,
+               COUNT(*) FROM skb
+        UNION ALL
+        SELECT 'union',
+               CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)
+                    ELSE ({_KMV_K} - 1) * {_KMV_MAX} // MAX(h) END,
+               COUNT(*) FROM sku
+    )
+    SELECT 'view' AS set_name,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM a)
+               AS exact_n,
+           (SELECT CAST(e AS BIGINT) FROM est WHERE nm = 'view') AS est_n
+    UNION ALL
+    SELECT 'purchase',
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM b),
+           (SELECT CAST(e AS BIGINT) FROM est WHERE nm = 'purchase')
+    UNION ALL
+    SELECT 'union',
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)),
+           (SELECT CAST(e AS BIGINT) FROM est WHERE nm = 'union')
+    UNION ALL
+    SELECT 'intersection',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT user_id FROM a
+                INTERSECT SELECT DISTINCT user_id FROM b)),
+           (SELECT CAST((SELECT r FROM rho)
+                        * (SELECT e FROM est WHERE nm = 'union')
+                        // (SELECT cnt FROM est WHERE nm = 'union')
+                   AS BIGINT))
+    """,
+)
+def sk7_kmv_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta sketch set algebra — the sketch family sk1/sk6
+    lack: HLL cannot intersect directly (sk6's inclusion-exclusion
+    compounds error), while a K-minimum-values sketch supports DIRECT
+    union and intersection estimates (Beyer et al. 2007 / the theta-
+    sketch framework): keep the K smallest of a uniform 48-bit
+    md5-derived hash; est(X) = (K-1)*2^48 / kth_min; union sketch =
+    K smallest of the merged k-sets; intersection via the matching
+    fraction rho/K of the union sketch scaled by est(union). Every
+    hash is md5-derived (the d2b portable-hash family) and every
+    estimate is ONE exact integer floor division, so the whole sketch
+    pipeline — not just the exact side — hash-grades across engines;
+    exact counts ride along per the sk-family convention.
+
+    Scale shape: per-side distinct hashing partial-aggregates
+    map-side; each k-set is TakeOrderedAndProject({K}) — no global
+    sort, K rows to the driver side of nothing (the sketches stay
+    relations; joins against them broadcast K-row sides). Merging
+    sketches touches 2K rows regardless of data size — the reason a
+    theta sketch is THE 100 TB distinct-set-algebra tool (kilobytes
+    exchanged, exact-error-bounded estimates, mergeable across
+    partitions/days)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase"))
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16, 10).cast("long"))
+    sides = ev.select("event_type", "user_id", h.alias("h"))
+    a = sides.filter(F.col("event_type") == "view").select(
+        "user_id", "h").distinct()
+    b = sides.filter(F.col("event_type") == "purchase").select(
+        "user_id", "h").distinct()
+
+    def ksmall(df: DataFrame) -> DataFrame:
+        return (df.select("h").distinct()
+                .orderBy(F.asc("h")).limit(_KMV_K))
+
+    ska, skb = ksmall(a), ksmall(b)
+    sku = ksmall(a.select("h").union(b.select("h")))
+
+    def est(sk: DataFrame) -> tuple[int, int]:
+        row = sk.agg(F.count(F.lit(1)).alias("n"),
+                     F.max("h").alias("m")).collect()[0]
+        n, kth = int(row["n"]), int(row["m"])
+        # exact mode below capacity: n < K hashes IS the distinct set
+        if n < _KMV_K:
+            return n, n
+        return (_KMV_K - 1) * _KMV_MAX // kth, n
+
+    rho = (sku.join(F.broadcast(ska), "h", "left_semi")
+           .join(F.broadcast(skb), "h", "left_semi").count())
+    est_u, cnt_u = est(sku)
+    inter_est = rho * est_u // cnt_u
+    exact_a = a.count()
+    exact_b = b.count()
+    exact_u = a.select("user_id").union(b.select("user_id")) \
+        .distinct().count()
+    exact_i = (a.select("user_id")
+               .join(b.select("user_id"), "user_id", "left_semi")
+               .distinct().count())
+    return spark.createDataFrame(
+        [("view", exact_a, est(ska)[0]),
+         ("purchase", exact_b, est(skb)[0]),
+         ("union", exact_u, est_u),
+         ("intersection", exact_i, inter_est)],
+        "set_name string, exact_n long, est_n long")
+
+
+sk7_kmv_theta_ops.__doc__ = sk7_kmv_theta_ops.__doc__.format(K=_KMV_K)

@@ -1309,3 +1309,36 @@ def test_v11_unrolled_greedy_no_corpus_recompute(spark):
     assert "BroadcastNestedLoopJoin" not in plan  # corpus cross not re-run
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sk7_ksets_take_ordered(spark):
+    """sk7: every k-set must cut via TakeOrderedAndProject (no global
+    sort of the hash sets) and the sketch-membership joins must
+    broadcast the K-row sides."""
+    plan = _plan(spark, "sk7_kmv_theta_ops")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    # plan of the RESULT is a local relation; assert the k-set shape
+    # on the sketch relation built the same way
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.queries.sketches import _KMV_K
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    h = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16, 10).cast("long"))
+    ks = (ev.filter(F.col("event_type") == "view")
+          .select(h.alias("h")).distinct()
+          .orderBy(F.asc("h")).limit(_KMV_K))
+    kplan = ks._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in kplan
+    assert "Sort " not in kplan.replace("TakeOrderedAndProject", "")
+
+
+def test_dq5_single_aggregate_constant_output(spark):
+    """dq5: one combiner aggregation onto <= 9 digit rows; the totals
+    attach via a broadcast-scalar cross, never a shuffle join."""
+    plan = _plan(spark, "dq5_benford_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 4

@@ -418,3 +418,91 @@ def test_v11_matches_pure_python_mmr(spark):
         for r in v11_mmr_diversified(spark, SF).collect()}
     assert got == want
     assert len(got) == N_QUERY_VECS * _MMR_K
+
+
+def test_sk7_matches_pure_python_kmv(spark):
+    """Imperative KMV: hashlib md5, heapq-free sorted k-sets."""
+    import hashlib
+
+    from big_data_analytics_spark.queries.sketches import (
+        _KMV_K,
+        _KMV_MAX,
+        sk7_kmv_theta_ops,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_type, user_id FROM '{SF}/events.parquet' "
+        f"WHERE event_type IN ('view', 'purchase')").fetchall()
+
+    def h(u):
+        return int(hashlib.md5(str(int(u)).encode()).hexdigest()[:12], 16)
+
+    a_users = {int(u) for t, u in rows if t == "view"}
+    b_users = {int(u) for t, u in rows if t == "purchase"}
+    ha = {h(u) for u in a_users}
+    hb = {h(u) for u in b_users}
+    ska = sorted(ha)[:_KMV_K]
+    skb = sorted(hb)[:_KMV_K]
+    sku = sorted(ha | hb)[:_KMV_K]
+    rho = sum(1 for x in sku if x in set(ska) and x in set(skb))
+
+    def est(ks):
+        if len(ks) < _KMV_K:
+            return len(ks)
+        return (_KMV_K - 1) * _KMV_MAX // ks[-1]
+
+    want = {
+        "view": (len(a_users), est(ska)),
+        "purchase": (len(b_users), est(skb)),
+        "union": (len(a_users | b_users), est(sku)),
+        "intersection": (len(a_users & b_users),
+                         rho * est(sku) // len(sku)),
+    }
+    got = {r["set_name"]: (int(r["exact_n"]), int(r["est_n"]))
+           for r in sk7_kmv_theta_ops(spark, SF).collect()}
+    assert got == want
+    # at this fixture every sketch is in exact mode -> estimates exact
+    for name, (exact, est_v) in got.items():
+        assert est_v == exact, (name, exact, est_v)
+
+
+def test_dq5_matches_pure_python_recount(spark):
+    from big_data_analytics_spark.queries.quality import (
+        dq5_benford_audit,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(l_extendedprice * 100 AS BIGINT) "
+        f"FROM '{SF}/lineitem.parquet'").fetchall()
+    counts = Counter(int(str(c)[0]) for (c,) in rows)
+    total = sum(counts.values())
+    want = {}
+    for d, n in counts.items():
+        share = math.floor(1e9 * n / total)
+        benford = math.floor(1e9 * math.log(1 + 1 / d) / math.log(10))
+        want[d] = (n, share, benford, share - benford)
+    got = {int(r["first_digit"]): (
+        int(r["n"]), int(r["share_q"]), int(r["benford_q"]),
+        int(r["dev_q"]))
+        for r in dq5_benford_audit(spark, SF).collect()}
+    assert got == want
+
+
+def test_sk7_estimates_within_band_when_full(spark):
+    """At sf0.01 (150 distinct users per type) every sketch is FULL,
+    so the estimation formula path — the one the driver gate
+    hash-checks — must also actually estimate well: KMV at K=64 has
+    ~1/sqrt(62) ~ 12.7% relative std error; assert a 3-sigma band."""
+    from big_data_analytics_spark.queries.sketches import (
+        sk7_kmv_theta_ops,
+    )
+
+    rows = {r["set_name"]: (int(r["exact_n"]), int(r["est_n"]))
+            for r in sk7_kmv_theta_ops(
+                spark, "/root/testdata/sf0.01").collect()}
+    for name in ("view", "purchase", "union"):
+        exact, est = rows[name]
+        assert abs(est - exact) <= 0.4 * exact, (name, exact, est)
+    exact_i, est_i = rows["intersection"]
+    # intersection compounds union + matching-fraction error
+    assert abs(est_i - exact_i) <= max(0.5 * exact_i, 10), rows
