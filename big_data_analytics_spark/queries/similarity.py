@@ -921,6 +921,12 @@ def v11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    # the broadcast crossJoin keeps the corpus scan's partitioning —
+    # the ev3-class under-split hazard (2 splits at the 10x fixture)
+    # on the one data-sized stage; spread only when under-split
+    para = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < para:
+        c = c.repartition(para)
 
     def cos(a, b):
         return F.round(
