@@ -532,3 +532,100 @@ def ivm1_retractable_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("long").alias("n_orders"),
             F.col("revenue_cents").cast("long").alias("revenue_cents"))
         .orderBy("c_custkey"))
+
+
+_MK_Q = 1_000_000_000  # absorption-probability micro-grid
+_MK_STEPS = 6          # bounded journey horizon
+
+
+def _at2_oracle() -> str:
+    body = f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS s, nxt AS d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ordered
+        WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+        GROUP BY 1, 2
+    ), outc AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM trans GROUP BY s
+    ), v0 AS (
+        SELECT s AS state, CAST(0 AS BIGINT) AS v FROM outc
+        UNION ALL SELECT 'purchase', {_MK_Q}
+    )"""
+    prev = "v0"
+    for i in range(1, _MK_STEPS + 1):
+        body += f""", v{i} AS (
+        SELECT o.s AS state,
+               CAST((SELECT SUM(CAST(t.c AS HUGEINT) * pv.v)
+                     FROM trans t JOIN {prev} pv ON pv.state = t.d
+                     WHERE t.s = o.s) // o.cs AS BIGINT) AS v
+        FROM outc o
+        UNION ALL SELECT 'purchase', {_MK_Q}
+    )"""
+        prev = f"v{i}"
+    body += f"""
+    SELECT t.s, t.d, t.c,
+           CAST({_MK_Q} * t.c // o.cs AS BIGINT) AS p_q,
+           o.cs AS n_out,
+           (SELECT v FROM {prev} WHERE state = t.s) AS conv{_MK_STEPS}_q
+    FROM trans t JOIN outc o USING (s)
+    """
+    return body
+
+
+@query("at2_markov_journey", oracle=_at2_oracle())
+def at2_markov_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain journey analysis — the model-based attribution
+    layer over at1's heuristic decay: per-user event sequences become
+    a first-order transition matrix over the event-type states
+    (purchase absorbing: transitions out of a purchase start a new
+    journey and are excluded), and each transient state is scored
+    with its {S}-step absorption probability into purchase — the
+    "how close is this touchpoint to converting" statistic that
+    removal-effect attribution builds on. Emits every observed
+    transition with its exact count, 1e-9-grid probability, the
+    state's out-degree mass, and the state's conv{S}_q.
+
+    The absorption recursion v_t+1(s) = sum_d c(s,d) * v_t(d) / c(s)
+    (floor at each round, v(purchase) = Q fixed) runs on the
+    |event_types|^2-row transition matrix — FIXED-size by
+    construction — so the implementation collects those ~25 exact
+    counts once (the ml sufficient-stats convention) and iterates in
+    exact integer arithmetic driver-side, while the ORACLE runs the
+    same recursion as {S} unrolled SQL rounds in 128-bit arithmetic:
+    two independent formulations by construction (the sm2/ev3
+    class). The one data-sized stage is the LEAD window + transition
+    count — one user-keyed exchange with map-side combine onto the
+    bounded matrix; at 100 TB nothing else grows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.select("user_id", "event_type", "ts", "event_id")
+             .withColumn("d", F.lead("event_type").over(w))
+             .filter(F.col("d").isNotNull()
+                     & (F.col("event_type") != "purchase"))
+             .groupBy(F.col("event_type").alias("s"), "d")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    rows = trans.collect()  # bounded: |event_types|^2 exact counts
+    c = {(r["s"], r["d"]): int(r["c"]) for r in rows}
+    cs: dict = {}
+    for (s, _d), n in c.items():
+        cs[s] = cs.get(s, 0) + n
+    v = {s: 0 for s in cs}
+    v["purchase"] = _MK_Q
+    for _ in range(_MK_STEPS):
+        v = {**{s: sum(n * v.get(d, 0) for (s2, d), n in c.items()
+                       if s2 == s) // cs[s] for s in cs},
+             "purchase": _MK_Q}
+    out = [(s, d, n, _MK_Q * n // cs[s], cs[s], v[s])
+           for (s, d), n in c.items()]
+    return spark.createDataFrame(
+        out, f"s string, d string, c long, p_q long, n_out long, "
+             f"conv{_MK_STEPS}_q long")
+
+
+at2_markov_journey.__doc__ = at2_markov_journey.__doc__.format(
+    S=_MK_STEPS)

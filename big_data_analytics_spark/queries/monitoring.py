@@ -813,3 +813,124 @@ def oc1_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.max("live").cast("long").alias("max_concurrent")))
     return (n_sessions.crossJoin(F.broadcast(first))
             .select("n_sessions", "max_concurrent", "first_peak_us"))
+
+
+# --------------------------------------------------------------------
+# cal2 — Brier score + Murphy decomposition (REL - RES + UNC)
+# --------------------------------------------------------------------
+
+_BRIER_Q = 1_000_000  # component micro-grid (1e-6 of a Brier unit)
+
+
+@query(
+    "cal2_brier_decomposition",
+    oracle=f"""
+    WITH r AS (
+        SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS dc,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ), bins AS (
+        SELECT dc, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM r GROUP BY dc
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(pos) AS BIGINT) AS post,
+               CAST(FLOOR({_BRIER_Q} * SUM(pos) / SUM(n)) AS BIGINT)
+                   AS obar_q
+        FROM bins
+    ), q AS (
+        SELECT b.dc, b.n, b.pos,
+               dc * 10000 AS pb_q,
+               CAST(FLOOR({_BRIER_Q} * b.pos / b.n) AS BIGINT) AS ob_q
+        FROM bins b
+    ), terms AS (
+        -- divide the squared micro-gap by the grid FIRST: n * d^2
+        -- would overflow int64 past ~1e7 rows per bin
+        SELECT
+            CAST(SUM(n * ((pb_q - ob_q) * (pb_q - ob_q) // {_BRIER_Q})
+                     // nt) AS BIGINT) AS rel_q,
+            CAST(SUM(n * ((ob_q - obar_q) * (ob_q - obar_q)
+                          // {_BRIER_Q}) // nt) AS BIGINT) AS res_q,
+            CAST(SUM(pos * (dc - 100) * (dc - 100)
+                     + (n - pos) * dc * dc) AS BIGINT) AS brier_raw
+        FROM q, tot
+    )
+    SELECT t.nt AS n_rows, t.obar_q,
+           CAST(CAST({_BRIER_Q} AS HUGEINT) * tm.brier_raw
+                // (10000 * t.nt) AS BIGINT) AS brier_q,
+           tm.rel_q, tm.res_q,
+           CAST(t.obar_q * ({_BRIER_Q} - t.obar_q) // {_BRIER_Q}
+               AS BIGINT) AS unc_q,
+           CAST(CAST({_BRIER_Q} AS HUGEINT) * tm.brier_raw
+                // (10000 * t.nt)
+                - (tm.rel_q - tm.res_q
+                   + t.obar_q * ({_BRIER_Q} - t.obar_q) // {_BRIER_Q})
+               AS BIGINT) AS decomp_gap_q
+    FROM tot t, terms tm
+    """,
+)
+def cal2_brier_decomposition(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition — the one-number
+    upgrade over cal1's reliability diagram: treating the discount
+    (in cents, an exact 1e-2-grid forecast) as the predicted return
+    probability and returnflag = 'R' as the outcome, Brier =
+    reliability - resolution + uncertainty, where reliability
+    punishes mis-calibration, resolution rewards bins that separate
+    outcomes, and uncertainty is the outcome's intrinsic variance.
+    A scoring pipeline alerts on reliability drift (cal1 shows WHERE,
+    cal2 gives the tracked scalar).
+
+    Portability: per-bin rates are floor-quantized to the 1e-6 grid
+    FIRST, each decomposition term is one integer floor expression
+    over those quantized values (order-free sums — the ml9
+    discipline), and the raw Brier is an exact integer count
+    formula: sum over bins of pos*(dc-100)^2 + (n-pos)*dc^2 in
+    1e-4 units. The decomposition identity then holds only up to
+    quantization; decomp_gap_q REPORTS that gap explicitly (a few
+    micro-units, identical on both engines) rather than hiding it.
+
+    Scale shape: one map-side-combinable groupBy onto <= 11 discount
+    bins; everything after is constant work on the bin relation. A
+    single scan at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+        .alias("dc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"))
+    bins = (li.groupBy("dc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("pos")))
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("pos").cast("long").alias("post"),
+        F.floor(F.lit(_BRIER_Q) * F.sum("pos") / F.sum("n"))
+        .cast("long").alias("obar_q"))
+    q = (bins.crossJoin(F.broadcast(tot))
+         .select("dc", "n", "pos", "nt", "obar_q",
+                 (F.col("dc") * 10000).alias("pb_q"),
+                 F.floor(F.lit(_BRIER_Q) * F.col("pos") / F.col("n"))
+                 .cast("long").alias("ob_q")))
+    terms = q.agg(
+        # grid-divide the squared micro-gap first (int64 headroom at
+        # any bin size; mirrored in the oracle)
+        F.sum(F.expr(f"n * ((pb_q - ob_q) * (pb_q - ob_q) "
+                     f"div {_BRIER_Q}) div nt")).cast("long")
+        .alias("rel_q"),
+        F.sum(F.expr(f"n * ((ob_q - obar_q) * (ob_q - obar_q) "
+                     f"div {_BRIER_Q}) div nt")).cast("long")
+        .alias("res_q"),
+        F.sum(F.expr("pos * (dc - 100) * (dc - 100) "
+                     "+ (n - pos) * dc * dc")).cast("long")
+        .alias("brier_raw"))
+    brier_q = F.expr(
+        f"cast({_BRIER_Q} as decimal(38,0)) * brier_raw "
+        f"div (10000 * nt)")
+    unc_q = F.expr(f"obar_q * ({_BRIER_Q} - obar_q) div {_BRIER_Q}")
+    return (tot.crossJoin(F.broadcast(terms))
+            .select(F.col("nt").alias("n_rows"), "obar_q",
+                    brier_q.cast("long").alias("brier_q"),
+                    "rel_q", "res_q",
+                    unc_q.cast("long").alias("unc_q"),
+                    (brier_q - (F.col("rel_q") - F.col("res_q") + unc_q))
+                    .cast("long").alias("decomp_gap_q")))

@@ -1342,3 +1342,32 @@ def test_dq5_single_aggregate_constant_output(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_at2_transition_count_combines_mapside(spark):
+    """at2: the one data-sized stage (LEAD + transition count) must
+    partial-aggregate; the driver-side solve reads only the bounded
+    matrix (result plan is a local relation)."""
+    from pyspark.sql import Window, functions as F
+
+    from big_data_analytics_spark.catalog import load_table
+
+    plan = _plan(spark, "at2_markov_journey")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    ev = load_table(spark, SF_CORRECT, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.select("user_id", "event_type", "ts", "event_id")
+             .withColumn("d", F.lead("event_type").over(w))
+             .filter(F.col("d").isNotNull()
+                     & (F.col("event_type") != "purchase"))
+             .groupBy(F.col("event_type").alias("s"), "d").count())
+    tplan = trans._jdf.queryExecution().executedPlan().toString()
+    assert tplan.count("HashAggregate") >= 2
+
+
+def test_cal2_single_bin_aggregate(spark):
+    """cal2: one combiner aggregation onto <= 11 bins; totals and
+    terms attach broadcast-scalar; no shuffle joins."""
+    plan = _plan(spark, "cal2_brier_decomposition")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

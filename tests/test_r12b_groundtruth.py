@@ -506,3 +506,82 @@ def test_sk7_estimates_within_band_when_full(spark):
     exact_i, est_i = rows["intersection"]
     # intersection compounds union + matching-fraction error
     assert abs(est_i - exact_i) <= max(0.5 * exact_i, 10), rows
+
+
+def test_at2_matches_pure_python_markov(spark):
+    """Third formulation: dict-built transitions + Fraction-exact
+    absorption recursion, floored per round like both engines."""
+    from big_data_analytics_spark.queries.cdc import (
+        _MK_Q,
+        _MK_STEPS,
+        at2_markov_journey,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, event_type, ts, event_id "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = {}
+    for u, t, ts, eid in rows:
+        by_user.setdefault(int(u), []).append(t)
+    c = Counter()
+    for seq in by_user.values():
+        for s, d in zip(seq, seq[1:]):
+            if s != "purchase":
+                c[(s, d)] += 1
+    cs = Counter()
+    for (s, _d), n in c.items():
+        cs[s] += n
+    v = {s: 0 for s in cs}
+    v["purchase"] = _MK_Q
+    for _ in range(_MK_STEPS):
+        v = {**{s: sum(n * v.get(d, 0) for (s2, d), n in c.items()
+                       if s2 == s) // cs[s] for s in cs},
+             "purchase": _MK_Q}
+    want = {(s, d): (n, _MK_Q * n // cs[s], cs[s], v[s])
+            for (s, d), n in c.items()}
+    got = {(r["s"], r["d"]): (int(r["c"]), int(r["p_q"]),
+                              int(r["n_out"]),
+                              int(r[f"conv{_MK_STEPS}_q"]))
+           for r in at2_markov_journey(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
+    # absorption probabilities are probabilities
+    assert all(0 <= t[3] <= _MK_Q for t in got.values())
+
+
+def test_cal2_matches_pure_python_recount(spark):
+    from big_data_analytics_spark.queries.monitoring import (
+        _BRIER_Q,
+        cal2_brier_decomposition,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT), "
+        f"CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        f"FROM '{SF}/lineitem.parquet'").fetchall()
+    bins = {}
+    for dc, y in rows:
+        n, pos = bins.get(int(dc), (0, 0))
+        bins[int(dc)] = (n + 1, pos + int(y))
+    nt = sum(n for n, _ in bins.values())
+    post = sum(p for _, p in bins.values())
+    obar_q = math.floor(_BRIER_Q * post / nt)
+    rel_q = res_q = brier_raw = 0
+    for dc, (n, pos) in bins.items():
+        pb_q = dc * 10000
+        ob_q = math.floor(_BRIER_Q * pos / n)
+        rel_q += n * ((pb_q - ob_q) ** 2 // _BRIER_Q) // nt
+        res_q += n * ((ob_q - obar_q) ** 2 // _BRIER_Q) // nt
+        brier_raw += pos * (dc - 100) ** 2 + (n - pos) * dc * dc
+    brier_q = _BRIER_Q * brier_raw // (10000 * nt)
+    unc_q = obar_q * (_BRIER_Q - obar_q) // _BRIER_Q
+    want = (nt, obar_q, brier_q, rel_q, res_q, unc_q,
+            brier_q - (rel_q - res_q + unc_q))
+    r = cal2_brier_decomposition(spark, SF).collect()[0]
+    got = (int(r["n_rows"]), int(r["obar_q"]), int(r["brier_q"]),
+           int(r["rel_q"]), int(r["res_q"]), int(r["unc_q"]),
+           int(r["decomp_gap_q"]))
+    assert got == want
+    # the identity holds up to quantization: gap within 100 micro-units
+    assert abs(got[6]) <= 100
