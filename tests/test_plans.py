@@ -1371,3 +1371,15 @@ def test_cal2_single_bin_aggregate(spark):
     plan = _plan(spark, "cal2_brier_decomposition")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ts8_pairs_on_daily_rollup_not_events(spark):
+    """ts8: the pair self-join must expand the DAILY rollup (bounded
+    by calendar length per user), never raw events — the join inputs
+    must both be aggregates (partial+final around the rollup), and
+    the median is one per-user window."""
+    plan = _plan(spark, "ts8_theil_sen_trend")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan

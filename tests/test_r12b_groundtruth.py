@@ -585,3 +585,41 @@ def test_cal2_matches_pure_python_recount(spark):
     assert got == want
     # the identity holds up to quantization: gap within 100 micro-units
     assert abs(got[6]) <= 100
+
+
+def test_ts8_matches_pure_python_theil_sen(spark):
+    """Imperative Theil-Sen: dict-built daily series, explicit pair
+    loop, sorted-list lower median."""
+    from big_data_analytics_spark.queries.timeseries_queries import (
+        _SEN_Q,
+        ts8_theil_sen_trend,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id, date_trunc('day', ts), "
+        f"CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'").fetchall()
+    daily = {}
+    for u, d, c in rows:
+        daily.setdefault(int(u), Counter())[d] += int(c)
+
+    want = {}
+    for u, series in daily.items():
+        days = sorted(series)
+        slopes = []
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                dv = series[days[j]] - series[days[i]]
+                dd = (days[j] - days[i]).days
+                slopes.append(math.floor(_SEN_Q * dv / dd))
+        if not slopes:
+            continue
+        slopes.sort()
+        want[u] = (len(days), len(slopes),
+                   slopes[(len(slopes) + 1) // 2 - 1])
+
+    got = {int(r["user_id"]): (int(r["n_days"]), int(r["n_pairs"]),
+                               int(r["sen_slope_q"]))
+           for r in ts8_theil_sen_trend(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
