@@ -34,6 +34,7 @@ from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 from big_data_analytics_spark.streaming.events import (
     daily_event_counts,
+    dedup_events_within_watermark,
     session_windows,
     user_lifetime_stats_stateful,
     view_purchase_interval_join,
@@ -1063,3 +1064,49 @@ def sm12_stream_chained_windows(spark: SparkSession,
     return spark.table(qname).select(
         F.date_format(F.col("dw.start"), "yyyy-MM-dd").alias("day"),
         "event_type", "n_hours", "n_events", "peak_hour_events")
+
+
+@query(
+    "sm13_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sm13_stream_dedup_within_watermark(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """sm3's exactly-once ingest rebuilt on the PRODUCTION state
+    mechanism: ``dropDuplicatesWithinWatermark`` (via
+    streaming/events.py:dedup_events_within_watermark) keeps per-key
+    dedup state only until the watermark passes the key's event time
+    plus the delay, so state is bounded by (key arrival rate x
+    redelivery horizon) instead of growing with the key space forever
+    like sm3's plain dropDuplicates — THE difference between a
+    backfill-only plan and one that survives an unbounded Kafka
+    deployment. The 45-day delay covers the fixture's full
+    redelivery (the doubled source replays every event after the
+    first pass completes), so the contract is the same as sm3's:
+    every event counted ONCE, which the batch oracle states. Three
+    stateful operators' worth of plumbing (watermark -> keyed dedup
+    state -> running aggregate), complete mode, 8 micro-batches.
+
+    At 100 TB the delay shrinks to the actual redelivery horizon
+    (minutes-hours) and state stays kilobytes per key-arrival-window;
+    the first driver row for the operator that was previously only
+    documented as the production swap-in."""
+    root = _events_stream_dir_ordered(spark, sf_dir, copies=2)
+    schema = spark.read.parquet(str(root / "data")).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(root / "data")))
+    deduped = dedup_events_within_watermark(src, watermark="45 days")
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.floor(F.col("value") * 10000.0 + 0.5)).cast("double")
+         / 10000.0).alias("value_sum"))
+    qname = _run_to_memory(agg, "complete", "sm13_mem")
+    return spark.table(qname)
