@@ -94,7 +94,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-12 head-50: 2 canaries + 24 new (early batch: ir4 MAP, ev2
+#: Round-12 head-50: 2 canaries + 25 new (early batch: ir4 MAP, ev2
 #: BLEU-2 precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage
 #: rerank, w15 rolling 7d distinct, bpe3 fertility; late batch: ev3
 #: WER/CER, ev4 chrF, t17 Kneser-Ney, ir5 hard negatives, gov1
@@ -102,7 +102,8 @@ def query(name: str, oracle: Optional[str] = None):
 #: selection, gov2 l-diversity, sm12 chained stream windows, v11
 #: MMR diversified top-k, sk7 KMV/theta set algebra, dq5 Benford
 #: audit, at2 Markov journeys, cal2 Brier decomposition,
-#: ts8 Theil-Sen robust trend, sm13 bounded-state stream dedup) + 25 (ivm1 joins j2/t8 below the
+#: ts8 Theil-Sen robust trend, sm13 bounded-state stream dedup, gr10 seeded harmonic
+#: centrality) + 24 (ivm1 joins j2/t8 below the
 #: fold — pin-only, locally gate-verified)
 #: changed (gr9's exact fixed-point confirmation — also its FIRST
 #: driver row — plus the implicit-broadcast-audit pins across the
@@ -112,7 +113,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: anchor, last graded r9) + 4 r3-vintage rows. The 17-query new set
 #: squeezed the backlog burn — policy order is explicit that
 #: new/changed outrank oldest-first — leaving for round 13: r3 rows
-#: sk6, t12, inc1, df1, rc1, at1, bpe1; then j2, t8, ivm1 (pin re-grades), the r4 backlog v5, v6, sql1, w11, w12, bm1,
+#: sk6, t12, inc1, df1, rc1, at1, bpe1; then j2, t8, ivm1, ts2 (pin re-grades), the r4 backlog v5, v6, sql1, w11, w12, bm1,
 #: ws2, gr2, gr3, a22, st1, st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
 #: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts3, st5, ml4, t13,
 #: x11, x12 — then r5 vintage. Everything below the fold re-verifies
@@ -151,6 +152,7 @@ GRADE_HEAD = [
     "cal2_brier_decomposition",
     "ts8_theil_sen_trend",
     "sm13_stream_dedup_within_watermark",
+    "gr10_harmonic_centrality",
     # (es1, also re-graded this round via the pin batch above, had its
     # body refactored into the shared _dup_spans helper for d10)
     # (b cont.) round-12 changed — the implicit-broadcast audit
@@ -184,7 +186,8 @@ GRADE_HEAD = [
     # both locally gate-verified — yield their slots so the
     # reference-parity anchor and the oldest r3 row stay inside the
     # graded 50; they rejoin the round-13 head)
-    "ts2_hourly_gap_fill",
+    # (ts2, graded green in r11 pre-pin and locally gate-verified,
+    # joins the pin re-grade backlog with j2/t8/ivm1)
     # (b cont.) reference-parity anchor re-grade (last row r9)
     "ecom_clv",
     # (c) oldest-first: r3-vintage rows in the remaining slots. The

@@ -1016,3 +1016,90 @@ def gr9_event_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_star(edges)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+_HC_Q = 1_000_000_000  # harmonic-contribution micro-grid
+_HC_HOPS = 3           # bounded traversal horizon (the gr4 contract)
+
+
+def _harmonic_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), seeds AS (
+        SELECT DISTINCT src AS seed FROM edges WHERE src < 10
+    ), reach(seed, node, hops) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT r.seed, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hops < {_HC_HOPS}
+    ), dist AS (
+        SELECT seed, node, MIN(hops) AS d
+        FROM reach GROUP BY seed, node
+    )
+    SELECT node AS l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds,
+           CAST(SUM({_HC_Q} // d) AS BIGINT) AS harm_q
+    FROM dist WHERE d >= 1
+    GROUP BY node
+    """
+
+
+@query("gr10_harmonic_centrality", oracle=_harmonic_oracle())
+def gr10_harmonic_centrality(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Harmonic centrality from a seed set over the co-purchase
+    graph: harm(v) = sum over seeds s of 1/d(s, v) within a bounded
+    {H}-hop horizon — the landmark-based centrality a recommender or
+    curation pipeline actually computes at scale (exact closeness
+    needs all-pairs distances; seeded harmonic with a hop cap is the
+    standard approximation, and unreachable/far nodes contribute 0
+    naturally instead of breaking the mean like closeness). Each
+    contribution is the exact integer floor(Q / d) on the 1e-9 grid,
+    so the sum is order-free and engine-exact; also emits how many
+    seeds reach each node.
+
+    Scale shape: multi-source semi-naive BFS — the frontier carries
+    (seed, node) PAIRS (state <= |seeds| x |nodes|, |seeds| a
+    constant 10 here / a sampled landmark set in production), each
+    hop one shuffled-hash join against the session-cached edge
+    relation with the frontier side built (the gr4 pin — plan-time
+    stats once broadcast the growing edge relation), the known-set
+    anti-join pinned via sized_side on the measured |seeds| x node
+    count bound, and per-hop localCheckpoints keep lineage flat. The
+    final rollup is one map-side-combinable aggregate on node. At
+    100 TB: {H} bounded supersteps, each edge-partitioned — the gr4
+    cost times the landmark count."""
+    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    n_nodes = edges.select("src").distinct().count()
+    seeds = (edges.select(F.col("src").alias("seed")).distinct()
+             .filter(F.col("seed") < 10))
+    known = seeds.select(
+        "seed", F.col("seed").alias("node"),
+        F.lit(0).alias("hops")).localCheckpoint()
+    frontier = known.select("seed", "node")
+    for h in range(1, _HC_HOPS + 1):
+        nxt = (edges.join(
+            frontier.withColumnRenamed("node", "src")
+            .hint("SHUFFLE_HASH"), "src")
+            .select("seed", F.col("dst").alias("node")).distinct()
+            .join(_sized_side(known.select("seed", "node"),
+                              10 * n_nodes),
+                  ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(h).alias("hops"))
+            .localCheckpoint())
+        known = known.unionByName(nxt)
+        frontier = nxt.select("seed", "node")
+    return (known.filter(F.col("hops") >= 1)
+            .groupBy(F.col("node").alias("l_partkey"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seeds"),
+                 F.sum(F.expr(f"{_HC_Q} div hops")).cast("long")
+                 .alias("harm_q")))
+
+
+gr10_harmonic_centrality.__doc__ = gr10_harmonic_centrality.__doc__.format(
+    H=_HC_HOPS)

@@ -1383,3 +1383,27 @@ def test_ts8_pairs_on_daily_rollup_not_events(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_gr10_frontier_join_is_shuffled_hash(spark):
+    """gr10: every hop's frontier join must build the bounded
+    (seed, node) frontier side via shuffled-hash — a broadcast of the
+    growing edge relation is the gr4 failure class. The final plan
+    reads the per-hop checkpoints, so the hop shape is asserted on a
+    rebuilt first hop."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.queries.graph_queries import (
+        _weighted_edges,
+    )
+
+    plan = _plan(spark, "gr10_harmonic_centrality")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    edges = _weighted_edges(spark, SF_CORRECT).select("src", "dst")
+    seeds = (edges.select(F.col("src").alias("seed")).distinct()
+             .filter(F.col("seed") < 10))
+    frontier = seeds.select("seed", F.col("seed").alias("src"))
+    hop = edges.join(frontier.hint("SHUFFLE_HASH"), "src")
+    hplan = hop._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in hplan
+    assert "BuildRight" in hplan

@@ -623,3 +623,51 @@ def test_ts8_matches_pure_python_theil_sen(spark):
            for r in ts8_theil_sen_trend(spark, SF).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_gr10_matches_pure_python_bfs(spark):
+    """Dict-adjacency multi-source BFS with an explicit per-seed
+    visited set — no joins, no recursion shared with either engine."""
+    from big_data_analytics_spark.queries.graph_queries import (
+        _HC_HOPS,
+        _HC_Q,
+        gr10_harmonic_centrality,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    by_order = {}
+    for o, p in rows:
+        by_order.setdefault(int(o), set()).add(int(p))
+    adj = {}
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+
+    seeds = [s for s in adj if s < 10]
+    harm = Counter()
+    nsee = Counter()
+    for s in seeds:
+        dist = {s: 0}
+        frontier = {s}
+        for h in range(1, _HC_HOPS + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d >= 1:
+                harm[v] += _HC_Q // d
+                nsee[v] += 1
+
+    want = {v: (nsee[v], harm[v]) for v in harm}
+    got = {int(r["l_partkey"]): (int(r["n_seeds"]), int(r["harm_q"]))
+           for r in gr10_harmonic_centrality(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 0
