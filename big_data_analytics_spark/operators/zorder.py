@@ -75,3 +75,50 @@ def zorder_write(df: DataFrame, path: str, a: str, b: str,
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def with_hilbert2(df, xcol: str, ycol: str, out: str = "h",
+                  bits: int = 16):
+    """Append the 2-D Hilbert-curve index of (``xcol`` & mask,
+    ``ycol`` & mask) as column ``out`` — the locality-preserving
+    alternative to :func:`morton2`: consecutive Hilbert indices are
+    ALWAYS adjacent cells (Manhattan distance 1, property-tested),
+    where Morton's bit-interleave jumps at power-of-two boundaries,
+    so Hilbert-clustered files get tighter per-file bounding boxes
+    for the same file count.
+
+    The classic xy2d recursion (flip-within-subsquare + swap, one
+    step per bit) unrolls into ``bits`` stages of pure integer
+    CASE/AND/XOR expressions. Each stage is materialized as real
+    intermediate columns — chaining the expressions directly would
+    square the expression tree per stage (hx' references hx twice)
+    and blow past the codegen limit by stage ~8. No UDF anywhere;
+    the whole encode stays in whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    df = df.withColumn("_hx", F.expr(f"{xcol} & {mask}")) \
+           .withColumn("_hy", F.expr(f"{ycol} & {mask}")) \
+           .withColumn("_hd", F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (_hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        df = (df.withColumn(
+            "_hd2", F.expr(
+                f"_hd + cast({s} as bigint) * {s} "
+                f"* ((3 * {rx}) ^ {ry})"))
+            .withColumn("_hx2", F.expr(
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {s} - 1 - _hy ELSE _hy END) "
+                f"ELSE _hx END"))
+            .withColumn("_hy2", F.expr(
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {s} - 1 - _hx ELSE _hx END) "
+                f"ELSE _hy END"))
+            .drop("_hx", "_hy", "_hd")
+            .withColumnRenamed("_hx2", "_hx")
+            .withColumnRenamed("_hy2", "_hy")
+            .withColumnRenamed("_hd2", "_hd"))
+    return (df.withColumn(out, F.col("_hd"))
+            .drop("_hx", "_hy", "_hd"))

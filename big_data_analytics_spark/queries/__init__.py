@@ -94,7 +94,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-12 head-50: 2 canaries + 25 new (early batch: ir4 MAP, ev2
+#: Round-12 head-50: 2 canaries + 26 new (early batch: ir4 MAP, ev2
 #: BLEU-2 precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage
 #: rerank, w15 rolling 7d distinct, bpe3 fertility; late batch: ev3
 #: WER/CER, ev4 chrF, t17 Kneser-Ney, ir5 hard negatives, gov1
@@ -103,7 +103,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: MMR diversified top-k, sk7 KMV/theta set algebra, dq5 Benford
 #: audit, at2 Markov journeys, cal2 Brier decomposition,
 #: ts8 Theil-Sen robust trend, sm13 bounded-state stream dedup, gr10 seeded harmonic
-#: centrality) + 24 (ivm1 joins j2/t8 below the
+#: centrality, z2 Hilbert layout keys) + 23 (ivm1 joins j2/t8 below the
 #: fold — pin-only, locally gate-verified)
 #: changed (gr9's exact fixed-point confirmation — also its FIRST
 #: driver row — plus the implicit-broadcast-audit pins across the
@@ -113,7 +113,7 @@ def query(name: str, oracle: Optional[str] = None):
 #: anchor, last graded r9) + 4 r3-vintage rows. The 17-query new set
 #: squeezed the backlog burn — policy order is explicit that
 #: new/changed outrank oldest-first — leaving for round 13: r3 rows
-#: sk6, t12, inc1, df1, rc1, at1, bpe1; then j2, t8, ivm1, ts2 (pin re-grades), the r4 backlog v5, v6, sql1, w11, w12, bm1,
+#: sk6, t12, inc1, df1, rc1, at1, bpe1; then j2, t8, ivm1, ts2, d3b (pin re-grades), the r4 backlog v5, v6, sql1, w11, w12, bm1,
 #: ws2, gr2, gr3, a22, st1, st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
 #: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts3, st5, ml4, t13,
 #: x11, x12 — then r5 vintage. Everything below the fold re-verifies
@@ -153,6 +153,7 @@ GRADE_HEAD = [
     "ts8_theil_sen_trend",
     "sm13_stream_dedup_within_watermark",
     "gr10_harmonic_centrality",
+    "z2_hilbert_keys",
     # (es1, also re-graded this round via the pin batch above, had its
     # body refactored into the shared _dup_spans helper for d10)
     # (b cont.) round-12 changed — the implicit-broadcast audit
@@ -178,7 +179,8 @@ GRADE_HEAD = [
     "rt1_weekly_retention",
     "seg1_rfm_segmentation",
     "d2b_minhash_portable",
-    "d3b_simhash_portable",
+    # (d3b, graded green in r11 pre-pin and locally gate-verified,
+    # joins the pin re-grade backlog)
     "d7_incremental_dedup",
     "cc1_dedup_clusters",
     "cc2_canonical_selection",

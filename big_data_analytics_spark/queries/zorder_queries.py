@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
-from big_data_analytics_spark.operators.zorder import morton2
+from big_data_analytics_spark.operators.zorder import morton2, with_hilbert2
 from big_data_analytics_spark.queries import query
 
 #: The operator's bit-spread doubling steps, mirrored into SQL.
@@ -86,3 +86,92 @@ def z1_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_supp"),
         )
     )
+
+
+_H_BITS = 16
+
+
+def _hilbert_sql() -> str:
+    """The operator's unrolled xy2d recursion as chained CTE stages —
+    one CTE per bit, same flip/swap CASE expressions (DuckDB xor())."""
+    mask = (1 << _H_BITS) - 1
+    body = f"""
+    WITH s{_H_BITS} AS (
+        SELECT l_partkey, l_suppkey,
+               l_partkey & {mask} AS hx,
+               l_suppkey & {mask} AS hy,
+               CAST(0 AS BIGINT) AS hd
+        FROM lineitem
+    )"""
+    prev = f"s{_H_BITS}"
+    for i in range(_H_BITS - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        body += f""", s{i} AS (
+        SELECT l_partkey, l_suppkey,
+               CASE WHEN {ry} = 0 THEN
+                    (CASE WHEN {rx} = 1 THEN {s} - 1 - hy ELSE hy END)
+                    ELSE hx END AS hx,
+               CASE WHEN {ry} = 0 THEN
+                    (CASE WHEN {rx} = 1 THEN {s} - 1 - hx ELSE hx END)
+                    ELSE hy END AS hy,
+               hd + CAST({s} AS BIGINT) * {s}
+                  * xor(3 * {rx}, {ry}) AS hd
+        FROM {prev}
+    )"""
+        prev = f"s{i}"
+    body += f"""
+    SELECT CAST(hd >> 20 AS BIGINT) AS h_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+    FROM {prev}
+    GROUP BY h_bucket
+    """
+    return body
+
+
+@query("z2_hilbert_keys", oracle=_hilbert_sql())
+def z2_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve bucket profile of (l_partkey, l_suppkey) — z1's
+    Morton layout upgraded to the curve with PROVABLE locality:
+    consecutive Hilbert indices are always Manhattan-adjacent cells
+    (property-tested on the full small grid), where Morton jumps at
+    every power-of-two boundary, so Hilbert-clustered files carry
+    tighter bounding boxes and parquet min/max skipping prunes more
+    files for the same box predicate (the layout Delta/Iceberg
+    expose as OPTIMIZE ... HILBERT where supported). Same bucket
+    profile shape as z1 so the two layouts' per-bucket bounding
+    boxes compare directly (measured comparison in SCALE.md).
+
+    Scale shape: the encode is {B} unrolled stages of integer
+    CASE/AND/XOR expressions — materialized as intermediate columns
+    so the expression tree stays LINEAR in the bit count (the naive
+    chained form squares per stage and breaks codegen by stage ~8) —
+    followed by one partial-combined aggregation; the whole thing is
+    one narrow codegen'd map, same cost class as z1."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    # the 16-stage encode is ~50 integer CASE expressions per row —
+    # per-row-heavy work that serializes on the scan's few splits
+    # (the ev3 under-split hazard; 3 tasks at sf0.1); spread only
+    # when under-split
+    para = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < para:
+        li = li.repartition(para)
+    coded = with_hilbert2(li, "l_partkey", "l_suppkey", out="h",
+                          bits=_H_BITS)
+    return (coded
+            .groupBy(F.call_function("shiftright", F.col("h"), F.lit(20))
+                     .cast("long").alias("h_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("l_partkey").cast("long").alias("min_part"),
+                 F.max("l_partkey").cast("long").alias("max_part"),
+                 F.min("l_suppkey").cast("long").alias("min_supp"),
+                 F.max("l_suppkey").cast("long").alias("max_supp")))
+
+
+z2_hilbert_keys.__doc__ = z2_hilbert_keys.__doc__.format(B=_H_BITS)

@@ -1407,3 +1407,13 @@ def test_gr10_frontier_join_is_shuffled_hash(spark):
     hplan = hop._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in hplan
     assert "BuildRight" in hplan
+
+
+def test_z2_encode_stays_codegen_single_aggregate(spark):
+    """z2: the 16-stage Hilbert encode must stay a pure codegen map
+    (no python eval, no join, no window) feeding one partial-combined
+    aggregation."""
+    plan = _plan(spark, "z2_hilbert_keys")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
