@@ -357,6 +357,18 @@ def d6_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BENF_Q = 1_000_000_000  # share quantization grid
+# floor(Q * log10(1 + 1/d)) for d = 1..9, precomputed ONCE in Python
+# and emitted as integer literals into BOTH engines' SQL — the
+# Benford shares are compile-time constants, so neither engine's
+# libm (JVM Math.log vs DuckDB's) is ever consulted at run time and
+# a 1-ulp ln() divergence at a floor boundary can't flip the grid.
+_BENF_TABLE = {
+    1: 301029995, 2: 176091259, 3: 124938736, 4: 96910013,
+    5: 79181246, 6: 66946789, 7: 57991946, 8: 51152522, 9: 45757490,
+}
+_BENF_CASE_SQL = ("CASE d " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENF_TABLE.items())
+    + " ELSE 0 END")
 
 
 @query(
@@ -371,11 +383,9 @@ _BENF_Q = 1_000_000_000  # share quantization grid
     ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM digits)
     SELECT d AS first_digit, n,
            CAST(FLOOR({_BENF_Q} * n / t) AS BIGINT) AS share_q,
-           CAST(FLOOR({_BENF_Q} * ln(1.0 + 1.0 / d) / ln(10.0))
-               AS BIGINT) AS benford_q,
+           CAST({_BENF_CASE_SQL} AS BIGINT) AS benford_q,
            CAST(FLOOR({_BENF_Q} * n / t)
-                - FLOOR({_BENF_Q} * ln(1.0 + 1.0 / d) / ln(10.0))
-               AS BIGINT) AS dev_q
+                - ({_BENF_CASE_SQL}) AS BIGINT) AS dev_q
     FROM digits, tot
     """,
 )
@@ -389,7 +399,9 @@ def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benford-expected shares floor-quantized to the 1e-9 grid, and the
     signed deviation. The digit is extracted from the integer-cents
     string (the money.py convention), so both engines see identical
-    text — no float formatting anywhere.
+    text — no float formatting anywhere, and the nine Benford shares
+    are Python-precomputed integer literals (_BENF_TABLE) so neither
+    engine evaluates ln() at run time.
 
     Scale shape: one map-side-combinable groupBy onto <= 9 rows; the
     expected-share column is a constant expression per digit. A
@@ -402,9 +414,7 @@ def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("d")
               .agg(F.count(F.lit(1)).cast("long").alias("n")))
     tot = digits.agg(F.sum("n").cast("long").alias("t"))
-    benford = F.floor(F.lit(_BENF_Q)
-                      * F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
-                      ).cast("long")
+    benford = F.expr(_BENF_CASE_SQL).cast("long")
     share = F.floor(F.lit(_BENF_Q) * F.col("n") / F.col("t")).cast("long")
     return (digits.crossJoin(F.broadcast(tot))
             .select(F.col("d").alias("first_digit"), "n",

@@ -369,7 +369,8 @@ _CHI_Q = 1_000_000      # chi-square micro-unit grid
         FROM a JOIN tot t USING (tok) JOIN nc c USING (lang), n
     ), scored AS (
         SELECT lang, tok, a, b, c, dd,
-               CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0
+               CASE WHEN (a + b) = 0 OR (c + dd) = 0
+                         OR (a + c) = 0 OR (b + dd) = 0
                     THEN CAST(0 AS BIGINT)
                     ELSE CAST((CAST({_CHI_Q} AS HUGEINT) * nt
                                * (a * dd - b * c) * (a * dd - b * c))
@@ -401,7 +402,9 @@ def fs2_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark DECIMAL(38,0) div / DuckDB HUGEINT //, the t17
     discipline — int64 would overflow Q*N^5 past ~3e4 docs, decimal
     holds to ~3e7 docs per scored slice; degenerate margins report 0
-    by convention).
+    by convention, tested per-factor — (A+B)=0 OR (C+D)=0 OR (A+C)=0
+    OR (B+D)=0 — never as an int64 margin product, which itself
+    overflows past ~1e5 docs and on DuckDB aborts the oracle).
 
     Scale shape: per-doc DISTINCT tokens (array_distinct in-array,
     before the explode — document frequency, not term frequency),
@@ -438,7 +441,8 @@ def fs2_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.lit(n_total) - F.col("n_lang")
                   - (F.col("df") - F.col("a"))).alias("dd")))
     chi2 = F.expr(
-        f"CASE WHEN (a + b) * (c + dd) * (a + c) * (b + dd) = 0 "
+        f"CASE WHEN (a + b) = 0 OR (c + dd) = 0 "
+        f"OR (a + c) = 0 OR (b + dd) = 0 "
         f"THEN 0L ELSE cast((cast({_CHI_Q} as decimal(38,0)) "
         f" * {n_total} * (a * dd - b * c) * (a * dd - b * c)) "
         f"div (cast(a + b as decimal(38,0)) * (c + dd) * (a + c) "
