@@ -94,108 +94,82 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-12 head-50: 2 canaries + 26 new (early batch: ir4 MAP, ev2
-#: BLEU-2 precision, mm11 audio VAD, t16 Zipf fit, v10 two-stage
-#: rerank, w15 rolling 7d distinct, bpe3 fertility; late batch: ev3
-#: WER/CER, ev4 chrF, t17 Kneser-Ney, ir5 hard negatives, gov1
-#: k-anonymity, d10 ExactSubstr cut, t18 TextRank, fs2 chi-square
-#: selection, gov2 l-diversity, sm12 chained stream windows, v11
-#: MMR diversified top-k, sk7 KMV/theta set algebra, dq5 Benford
-#: audit, at2 Markov journeys, cal2 Brier decomposition,
-#: ts8 Theil-Sen robust trend, sm13 bounded-state stream dedup, gr10 seeded harmonic
-#: centrality, z2 Hilbert layout keys) + 23 (ivm1 joins j2/t8 below the
-#: fold — pin-only, locally gate-verified)
-#: changed (gr9's exact fixed-point confirmation — also its FIRST
-#: driver row — plus the implicit-broadcast-audit pins across the
-#: dedup / eval / retrieval / basket / retention / segmentation
-#: families; es1 additionally refactored into _dup_spans; ev1/ev2
-#: gained the under-split spread) + ecom_clv (the reference-parity
-#: anchor, last graded r9) + 4 r3-vintage rows. The 17-query new set
-#: squeezed the backlog burn — policy order is explicit that
-#: new/changed outrank oldest-first — leaving for round 13: r3 rows
-#: sk6, t12, inc1, df1, rc1, at1, bpe1; then j2, t8, ivm1, ts2, d3b (pin re-grades), the r4 backlog v5, v6, sql1, w11, w12, bm1,
-#: ws2, gr2, gr3, a22, st1, st2, ml1, st3, ml2, st4, ml3, bpe2, mm1,
-#: z1, mx1, sj1, cp1, bl1, sm1, sm2, sm3, sm4, ts3, st5, ml4, t13,
-#: x11, x12 — then r5 vintage. Everything below the fold re-verifies
-#: locally every pytest run via tests/test_queries_vs_duckdb.py.
+#: Round-13 head-50 (THE BACKLOG-BURN ROUND, per VERDICT r12 task 1):
+#: 2 canaries + 2 changed (fs2 per-factor guard, dq5 Benford integer
+#: literals — the two r12 ADVICE items) + the ENTIRE deferred
+#: backlog: all 7 r3-vintage rows (sk6, t12, inc1, df1, rc1, at1,
+#: bpe1), all 5 pin-only re-grades (j2, t8, ivm1, ts2, d3b), and all
+#: 34 r4-vintage rows (v5 .. x12). New-query count was kept near
+#: zero by design this round so the burn completes; after this round
+#: the oldest driver-row vintage on the tree is r5. Any round-13
+#: additions displace from the r4 tail (x12 backward) and the
+#: displaced rows lead the round-14 oldest-first fill.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-12 new
-    "ir4_map_eval",
-    "ev2_bleu_precision",
-    "mm11_audio_vad",
-    "t16_zipf_fit",
-    "v10_two_stage_rerank",
-    "w15_rolling_7d_distinct_users",
-    "bpe3_fertility",
-    # (b cont.) round-12 late batch: WER/CER + chrF complete the
-    # generation-eval suite (ROUGE/BLEU/chrF/WER), Kneser-Ney upgrades
-    # the LM surface, ir5 exports retrieval training negatives, gov1
-    # opens the governance surface — each with an oracle AND a pure-
-    # python recount (tests/test_r12b_groundtruth.py)
-    "ev3_token_edit_distance",
-    "ev4_chrf",
-    "t17_kneser_ney_bigram",
-    "ir5_hard_negatives",
-    "gov1_k_anonymity",
-    "d10_exact_substring_cut",
-    "t18_textrank_keywords",
+    # (b) round-13 changed: the two ADVICE hardening fixes (fs2's
+    # per-factor zero-margin guard replaces an int64 margin product
+    # that overflowed past ~1e5 docs; dq5's Benford shares are now
+    # Python-precomputed integer literals on both engines) — graded
+    # immediately per policy
     "fs2_chi2_token_selection",
-    "gov2_l_diversity",
-    "sm12_stream_chained_windows",
-    "v11_mmr_diversified",
-    "sk7_kmv_theta_ops",
     "dq5_benford_audit",
-    "at2_markov_journey",
-    "cal2_brier_decomposition",
-    "ts8_theil_sen_trend",
-    "sm13_stream_dedup_within_watermark",
-    "gr10_harmonic_centrality",
-    "z2_hilbert_keys",
-    # (es1, also re-graded this round via the pin batch above, had its
-    # body refactored into the shared _dup_spans helper for d10)
-    # (b cont.) round-12 changed — the implicit-broadcast audit
-    # pinned every stats-driven join of a corpus-proportional derived
-    # relation (sized_side on measured counts), touching the dedup /
-    # eval / retrieval / basket / retention / segmentation families;
-    # gr9 additionally gained the exact fixed-point confirmation
-    "gr9_event_chain_components",
-    "ir2_ndcg_eval",
-    "ir3_mrr_eval",
-    "ev1_rouge_n",
-    "t15_bigram_lm_scores",
-    "d4_ngram_jaccard_pairs",
-    "d5_containment_pairs",
-    "d9_prefix_filter_jaccard",
-    "dq3_contamination_check",
-    "dq4_ngram_contamination",
-    "d6_decontaminate_train",
-    "es1_exact_substring_spans",
-    "mb1_association_rules",
-    "fj1_fuzzy_supplier_names",
-    "v4_embedding_near_dups",
-    "rt1_weekly_retention",
-    "seg1_rfm_segmentation",
-    "d2b_minhash_portable",
-    # (d3b, graded green in r11 pre-pin and locally gate-verified,
-    # joins the pin re-grade backlog)
-    "d7_incremental_dedup",
-    "cc1_dedup_clusters",
-    "cc2_canonical_selection",
-    # (j2 and t8 — pin-only plan changes with identical results,
-    # both locally gate-verified — yield their slots so the
-    # reference-parity anchor and the oldest r3 row stay inside the
-    # graded 50; they rejoin the round-13 head)
-    # (ts2, graded green in r11 pre-pin and locally gate-verified,
-    # joins the pin re-grade backlog with j2/t8/ivm1)
-    # (b cont.) reference-parity anchor re-grade (last row r9)
-    "ecom_clv",
-    # (c) oldest-first: r3-vintage rows in the remaining slots. The
-    # 16-query late batch squeezed the backlog burn — at1/bpe1 (r3)
-    # and rc1+v5/sql1/w11/w12/bm1/ws2/v6 wait for round 13; policy
-    # order is explicit that new/changed outrank oldest-first.
+    # (c) THE BACKLOG BURN — round 13 adds few queries by design so
+    # the freshness debt actually clears (VERDICT r12 task 1).
+    # First the 7 r3-vintage rows (oldest driver evidence on the
+    # tree):
+    "sk6_hll_intersection",
+    "t12_token_entropy",
+    "inc1_incremental_rollup",
+    "df1_snapshot_diff",
+    "rc1_hierarchy_rollup",
+    "at1_time_decay_attribution",
+    "bpe1_merge_steps",
+    # then the 5 pin-only re-grades (plan changed in r12's broadcast
+    # audit, results identical, locally gate-verified — now getting
+    # their post-pin driver row):
+    "j2_customer_order_stats",
+    "t8_repetition_signals",
+    "ivm1_retractable_view",
+    "ts2_hourly_gap_fill",
+    "d3b_simhash_portable",
+    # then the r4-vintage rows, oldest-first in registry order
+    # (34 slots — the full r4 list from the r12 deferral note):
+    "v5_sq_topk",
+    "v6_pq_adc_topk",
+    "sql1_revenue_by_state_sqlapi",
+    "w11_session_duration_percentiles",
+    "w12_cumulative_distinct_users",
+    "bm1_bitmap_segment_intersect",
+    "ws2_reservoir_per_group",
+    "gr2_triangle_count",
+    "gr3_weighted_pagerank",
+    "a22_corr_matrix",
+    "st1_chi_square_independence",
+    "st2_ab_test_proportions",
+    "ml1_ols_inference",
+    "st3_mann_whitney_u",
+    "ml2_anova_f",
+    "st4_ks_two_sample",
+    "ml3_ols_multiple",
+    "bpe2_encode",
+    "mm1_media_stats",
+    "z1_zorder_keys",
+    "mx1_mixture_budgets",
+    "sj1_salted_skew_join",
+    "cp1_corpus_clean_audit",
+    "bl1_bloom_semi_join",
+    "sm1_stream_daily_metrics",
+    "sm2_stream_sessions",
+    "sm3_stream_dedup_ingest",
+    "sm4_stream_stream_join",
+    "ts3_rolling_zscore",
+    "st5_welch_t_test",
+    "ml4_ridge_regression",
+    "t13_chunk_dedup",
+    "x11_grouped_streaks",
+    "x12_arrow_cents_buckets",
 ]
 
 
