@@ -324,6 +324,57 @@ def _drift_outliers(timings: dict[str, float], sf: float) -> list[str]:
     return sorted(out)
 
 
+def _freshness(registry) -> dict:
+    """Driver-evidence freshness histogram (VERDICT r12 task 5): with
+    289 registry queries and a 50-slot graded head, a full re-grade
+    cycle is ~6 rounds, so per-query driver evidence ages silently.
+    This computes, from the committed CORRECTNESS_r*.json driver
+    artifacts, each registry query's most recent green driver row and
+    returns {"hist": {"r03": n, ...}, "oldest": "r03", "oldest_n": n}
+    — the full histogram lands in BENCH_FULL.latest.json and the
+    compact oldest-vintage pair rides the printed line, so staleness
+    is visible every round without judge archaeology. Queries with no
+    driver row yet (added since the last grading run) count under
+    "never"; "never" is reported as oldest only when non-empty. The
+    four declared no-oracle queries (each with a green graded
+    deterministic twin, skipped by the rotation policy by design)
+    count under "twin" and never surface as oldest — they would
+    otherwise read as permanently-stale forever."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here,
+                                              "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in doc.items():
+            if isinstance(row, dict) and not row.get("err") and (
+                    row.get("hash_match") or row.get("rows_match")):
+                last[name] = max(last.get(name, 0), rnd)
+    hist: dict[str, int] = {}
+    for name, q in registry.items():
+        if name in last:
+            key = f"r{last[name]:02d}"
+        elif q.oracle is None:
+            key = "twin"
+        else:
+            key = "never"
+        hist[key] = hist.get(key, 0) + 1
+    graded = sorted(k for k in hist if k not in ("never", "twin"))
+    oldest = ("never" if "never" in hist else
+              (graded[0] if graded else "none"))
+    return {"hist": dict(sorted(hist.items())),
+            "oldest": oldest, "oldest_n": hist.get(oldest, 0)}
+
+
 def _run(q, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -378,6 +429,7 @@ def main() -> None:
 
     timings = {name: _best(registry[name]) for name in HEADLINE}
     fixed = {name: _best(registry[name]) for name in FIXED}
+    _fresh = _freshness(registry)
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -403,6 +455,11 @@ def main() -> None:
         # snapshots at this sf — the gr5-class single-reading anomaly,
         # self-flagged (usually [])
         "drift_outliers": _drift_outliers(timings, sf),
+        # oldest driver-evidence vintage across the registry, as
+        # "rNN:count" (full histogram in BENCH_FULL.latest.json) —
+        # the staleness debt visible per round, VERDICT r12 task 5
+        "freshness_oldest": (
+            f"{_fresh['oldest']}:{_fresh['oldest_n']}"),
         "queries": {**timings, **fixed},
         "sf": sf,
     }
@@ -418,7 +475,8 @@ def main() -> None:
     # the growing query list under the capture window.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.latest.json"), "w") as f:
-        json.dump({**summary, "cold_queries": cold}, f, indent=1)
+        json.dump({**summary, "cold_queries": cold,
+                   "freshness_hist": _fresh["hist"]}, f, indent=1)
     # the LINE carries per-query numbers for the HEADLINE set only:
     # FIXED queries are constant-size fixtures whose round-over-round
     # signal is fixed_total — their per-query detail (and everything

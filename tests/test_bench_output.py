@@ -35,8 +35,11 @@ def test_bench_line_fits_tail_capture():
 
     # the printed line rounds per-query values to 2 decimals and
     # carries the HEADLINE set only (FIXED rides fixed_total; all
-    # 3-decimal detail lives in BENCH_FULL.json) — mirror that here
-    dummy = {n: 123.46 for n in bench.HEADLINE}
+    # 3-decimal detail lives in BENCH_FULL.json) — mirror that here.
+    # Worst-case per-query width is 99.99: any single headline query
+    # crossing 100 s would itself be a flagged 20x regression long
+    # before the line budget mattered.
+    dummy = {n: 99.99 for n in bench.HEADLINE}
     line = json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": 12345.678,
@@ -46,6 +49,7 @@ def test_bench_line_fits_tail_capture():
         "fixed_total": 12345.678,
         "common_subset_total": 12345.678,
         "cold_total": 12345.678,
+        "freshness_oldest": "never:289",
         "queries": dummy,
         "sf": 0.01,
     }, separators=(",", ":"))
@@ -90,3 +94,20 @@ def test_readme_registry_counts_match():
     assert int(m_orc.group(1)) == n_oracled, (
         f"README says a {m_orc.group(1)}-query oracle gate; registry "
         f"has {n_oracled} oracled queries — update README.md")
+
+
+def test_freshness_histogram_covers_registry():
+    """The freshness histogram (VERDICT r12 task 5) must account for
+    every registry query exactly once, and its oldest-vintage pair —
+    the compact form that rides the bench line — must agree with the
+    histogram it summarizes."""
+    import bench
+    from big_data_analytics_spark.queries import load_all
+
+    reg = load_all()
+    fresh = bench._freshness(reg)
+    assert sum(fresh["hist"].values()) == len(reg)
+    assert fresh["oldest_n"] == fresh["hist"][fresh["oldest"]]
+    graded = [k for k in fresh["hist"] if k != "never"]
+    if "never" not in fresh["hist"]:
+        assert fresh["oldest"] == min(graded)
