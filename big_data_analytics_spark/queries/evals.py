@@ -26,6 +26,23 @@ from big_data_analytics_spark.queries import query
 _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
 
 
+#: (applicationId, sf_dir, kind) -> measured bound. The bound scans
+#: are cheap (~0.1 s warm: one int64 column) but eager — they run on
+#: EVERY execution of ev1/ev2/ev4, and the fixture is immutable for a
+#: session's lifetime, so memoize like the graph-family edge caches
+#: (VERDICT r12 task 3). Keyed by applicationId so a new session (new
+#: JVM, possibly regenerated fixtures) never reads a stale bound.
+_BOUND_CACHE: dict = {}
+
+
+def _cached_bound(spark: SparkSession, sf_dir: str, kind: str,
+                  compute) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _BOUND_CACHE:
+        _BOUND_CACHE[key] = compute()
+    return _BOUND_CACHE[key]
+
+
 def _ngram_row_bound(docs_raw: DataFrame) -> int:
     """Measured upper bound on the per-doc n-gram COUNT relations'
     row count, from the documents table's n_chars column (verified
@@ -115,7 +132,8 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides are corpus-proportional n-gram count relations,
     # and plan-time stats UNDERESTIMATE post-explode aggregates — the
     # 10x probe showed a ~4.5M-row relation still planning broadcast)
-    n_bound = _ngram_row_bound(raw)
+    n_bound = _cached_bound(spark, sf_dir, "ngram",
+                            lambda: _ngram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     # n-gram extraction amplifies each doc ~2x tokens; the explode
@@ -264,7 +282,8 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides are corpus-proportional n-gram count relations,
     # and plan-time stats UNDERESTIMATE post-explode aggregates — the
     # 10x probe showed a ~4.5M-row relation still planning broadcast)
-    n_bound = _ngram_row_bound(raw)
+    n_bound = _cached_bound(spark, sf_dir, "ngram",
+                            lambda: _ngram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     # n-gram extraction amplifies each doc ~2x tokens; the explode
@@ -600,7 +619,8 @@ def ev4_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ~5x token grams in row count but each row is 2-3 bytes of
     key."""
     raw = load_table(spark, sf_dir, "documents")
-    n_bound = _chargram_row_bound(raw)
+    n_bound = _cached_bound(spark, sf_dir, "chargram",
+                            lambda: _chargram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.regexp_replace("text", " ", "").alias("s"))
     # char-gram extraction amplifies each doc ~n_chars x 2; the
