@@ -430,3 +430,21 @@ def test_sm11_single_trigger_backfill_matches_incremental(spark):
     assert incremental.exceptAll(backfill).count() == 0
     assert backfill.exceptAll(incremental).count() == 0
     assert backfill.count() > 0
+
+
+def test_sm13_single_trigger_backfill_matches_incremental(spark):
+    """sm13's trigger-sizing knob (VERDICT r12 task 4): one merged
+    trigger must dedupe the doubled source identically to the graded
+    8-trigger incremental run — dropDuplicatesWithinWatermark drops
+    intra-batch duplicates exactly as it drops against carried state,
+    and the running aggregate is order-insensitive."""
+    from big_data_analytics_spark.queries.streaming_queries import (
+        sm13_stream_dedup_within_watermark,
+    )
+
+    incremental = sm13_stream_dedup_within_watermark(spark, SF_SMOKE)
+    backfill = sm13_stream_dedup_within_watermark(spark, SF_SMOKE,
+                                                  files_per_trigger=1000)
+    assert incremental.exceptAll(backfill).count() == 0
+    assert backfill.exceptAll(incremental).count() == 0
+    assert backfill.count() > 0
