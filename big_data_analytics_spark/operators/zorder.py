@@ -77,6 +77,27 @@ def zorder_write(df: DataFrame, path: str, a: str, b: str,
        .write.mode("overwrite").parquet(path))
 
 
+def hilbert_write(df: DataFrame, path: str, a: str, b: str,
+                  a_range: tuple[float, float],
+                  b_range: tuple[float, float],
+                  num_files: int = 32) -> None:
+    """Write ``df`` as ``num_files`` parquet files range-partitioned
+    and sorted by the 2-D Hilbert index of (a, b) — the z2 layout's
+    write path, symmetric to :func:`zorder_write`. Hilbert beats
+    Morton exactly when file boundaries straddle power-of-4 blocks
+    (every size-targeted compaction — see the round-12/13 SCALE.md
+    measurements), because consecutive Hilbert cells are always
+    adjacent, so each file's (a, b) bounding box stays tight and
+    parquet footer stats prune box predicates harder."""
+    tmp = (df.withColumn("__qx", quantize16(F.col(a), *a_range))
+             .withColumn("__qy", quantize16(F.col(b), *b_range)))
+    coded = with_hilbert2(tmp, "__qx", "__qy", out="__h")
+    (coded.repartitionByRange(num_files, "__h")
+          .sortWithinPartitions("__h")
+          .drop("__h", "__qx", "__qy")
+          .write.mode("overwrite").parquet(path))
+
+
 def with_hilbert2(df, xcol: str, ycol: str, out: str = "h",
                   bits: int = 16):
     """Append the 2-D Hilbert-curve index of (``xcol`` & mask,

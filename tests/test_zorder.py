@@ -77,3 +77,30 @@ def test_box_predicate_prunes_files(spark, tmp_path):
     assert sorted(r["payload"] for r in za.collect()) == \
         sorted(r["payload"] for r in xa.collect())
     assert x_touched >= 1
+
+
+def test_hilbert_write_prunes_and_is_lossless(spark, tmp_path):
+    """hilbert_write (z2's write path, round 13): the Hilbert-clustered
+    store must prune box predicates at least as well as half the file
+    count, and the layout must be semantics-free — identical box row
+    sets vs a plain store of the same data."""
+    from big_data_analytics_spark.operators.zorder import hilbert_write
+
+    n_files = 16
+    grid = spark.range(0, 40_000).select(
+        (F.col("id") * 48271 % 1000).cast("double").alias("x"),
+        (F.col("id") * 16807 % 1000).cast("double").alias("y"),
+        F.col("id").alias("payload"))
+    hpath = str(tmp_path / "hilbert")
+    hilbert_write(grid, hpath, "x", "y", (0, 1000), (0, 1000),
+                  num_files=n_files)
+    assert _files_touched(spark, hpath, 100, 160, 200, 260) \
+        <= n_files // 2
+    ha = spark.read.parquet(hpath).where(
+        F.col("x").between(100, 160) & F.col("y").between(200, 260))
+    assert sorted(r["payload"] for r in ha.collect()) == sorted(
+        r["payload"] for r in grid.where(
+            F.col("x").between(100, 160)
+            & F.col("y").between(200, 260)).collect())
+    import glob
+    assert len(glob.glob(hpath + "/*.parquet")) == n_files
