@@ -108,11 +108,13 @@ GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-13 changed: the two ADVICE hardening fixes (fs2's
+    # (b) round-13 new/changed: gov3 completes the k/l/t privacy
+    # trio; fs2/dq5 are the two ADVICE hardening fixes (fs2's
     # per-factor zero-margin guard replaces an int64 margin product
     # that overflowed past ~1e5 docs; dq5's Benford shares are now
     # Python-precomputed integer literals on both engines) — graded
     # immediately per policy
+    "gov3_t_closeness",
     "fs2_chi2_token_selection",
     "dq5_benford_audit",
     # (c) THE BACKLOG BURN — round 13 adds few queries by design so
@@ -169,7 +171,8 @@ GRADE_HEAD = [
     "ml4_ridge_regression",
     "t13_chunk_dedup",
     "x11_grouped_streaks",
-    "x12_arrow_cents_buckets",
+    # (x12, the youngest r4 row, is displaced by gov3 per the
+    # rotation note above and leads the round-14 oldest-first fill)
 ]
 
 

@@ -1,6 +1,7 @@
 """Data-governance checks a training-data platform runs before a
-corpus or customer extract leaves the pipeline: k-anonymity over
-quasi-identifier combinations (gov1). Reference parity: none — the
+corpus or customer extract leaves the pipeline — the standard
+privacy ladder over quasi-identifier classes: k-anonymity (gov1),
+l-diversity (gov2), t-closeness (gov3). Reference parity: none — the
 reference repo has no governance surface; this is LLM-pipeline
 extension surface (privacy review of exported training extracts).
 """
@@ -125,3 +126,101 @@ def gov2_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 gov2_l_diversity.__doc__ = gov2_l_diversity.__doc__.format(L=_L_DIVERSE)
+
+
+_T_CLOSE_Q = 200_000_000  # t = 0.2 on the 1e-9 grid
+
+
+@query(
+    "gov3_t_closeness",
+    oracle=f"""
+    WITH cls_seg AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM customer GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT c_nationkey, bal_band, CAST(SUM(seg_n) AS BIGINT) AS n
+        FROM cls_seg GROUP BY 1, 2
+    ), gseg AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g
+        FROM customer GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM customer),
+    terms AS (
+        SELECT u.c_nationkey, u.bal_band, u.n, t.nt,
+               ABS(COALESCE(s.seg_n, 0) * t.nt - u.g * u.n) AS term
+        FROM (SELECT cls.*, gseg.c_mktsegment, gseg.g
+              FROM cls, gseg) u
+        LEFT JOIN cls_seg s
+          ON s.c_nationkey = u.c_nationkey
+         AND s.bal_band = u.bal_band
+         AND s.c_mktsegment = u.c_mktsegment,
+        tot t
+    )
+    SELECT c_nationkey, bal_band, n,
+           CAST((CAST({_RISK_Q} AS HUGEINT) * SUM(term))
+                // (2 * n * nt) AS BIGINT) AS tvd_q,
+           (CAST({_RISK_Q} AS HUGEINT) * SUM(term))
+               // (2 * n * nt) <= {_T_CLOSE_Q} AS is_t_close
+    FROM terms GROUP BY c_nationkey, bal_band, n, nt
+    """,
+)
+def gov3_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the standard privacy
+    ladder (Li, Li & Venkatasubramanian 2007), completing gov1's
+    k-anonymity and gov2's l-diversity: a class can be large AND
+    diverse yet still leak if its sensitive-attribute DISTRIBUTION
+    differs sharply from the table's (a class that is 90% one
+    segment against a 20% global share tells an adversary plenty).
+    Each (nation, balance-band) class is scored by the distance
+    between its market-segment distribution and the global one; for
+    a categorical attribute the Earth Mover's Distance of the paper
+    reduces to total variation distance, TVD = (1/2) * sum_s
+    |p_class(s) - p_global(s)|. Computed as ONE exact rational per
+    class: sum_s |seg_n*N - g*n| / (2*n*N), floor-quantized to the
+    1e-9 grid in 128-bit arithmetic (Spark DECIMAL(38,0) div /
+    DuckDB HUGEINT //, the t17 discipline — the numerator can reach
+    Q*N^2, past int64 once N exceeds ~4e4). Segments ABSENT from a
+    class contribute their full global mass (the left join from the
+    class x segment universe), which per-class aggregation alone
+    would silently drop. Classes with tvd_q > {T} (t = 0.2) need
+    generalization before export.
+
+    Scale shape: the same bounded-cardinality aggregations as
+    gov1/gov2 (classes <= |nations| x |bands|, segments fixed at a
+    handful), one crossJoin against the BROADCAST fixed segment
+    relation and one left join back onto the per-(class, segment)
+    counts — every relation after the first scan is
+    class-proportional, never row-proportional, so at 100 TB the
+    plan is one scan + constant-size exchanges. The global-total and
+    global-segment relations are 1-row / |segments|-row broadcast
+    aggregates (the dq5 pattern — no collect, no driver round-trip)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    cls_seg = (cust.groupBy("c_nationkey", band.alias("bal_band"),
+                            "c_mktsegment")
+               .agg(F.count(F.lit(1)).cast("long").alias("seg_n")))
+    cls = (cls_seg.groupBy("c_nationkey", "bal_band")
+           .agg(F.sum("seg_n").cast("long").alias("n")))
+    glob = (cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("g")))
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    terms = (cls.crossJoin(F.broadcast(glob))
+             .crossJoin(F.broadcast(tot))
+             .join(cls_seg, ["c_nationkey", "bal_band", "c_mktsegment"],
+                   "left")
+             .select("c_nationkey", "bal_band", "n", "nt",
+                     F.abs(F.coalesce("seg_n", F.lit(0)) * F.col("nt")
+                           - F.col("g") * F.col("n")).alias("term")))
+    tvd = F.expr(
+        f"cast((cast({_RISK_Q} as decimal(38,0)) * term_sum) "
+        f"div (2 * n * nt) as long)")
+    return (terms.groupBy("c_nationkey", "bal_band", "n", "nt")
+            .agg(F.sum("term").cast("long").alias("term_sum"))
+            .select("c_nationkey", "bal_band", "n",
+                    tvd.alias("tvd_q"),
+                    (tvd <= _T_CLOSE_Q).alias("is_t_close")))
+
+
+gov3_t_closeness.__doc__ = gov3_t_closeness.__doc__.format(T=_T_CLOSE_Q)

@@ -1417,3 +1417,16 @@ def test_z2_encode_stays_codegen_single_aggregate(spark):
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_gov3_broadcast_universe_no_smj(spark):
+    """gov3: every relation after the scan is class-proportional; the
+    segment universe and the global total must arrive as BROADCAST
+    joins (fixed-cardinality sides) and the class x segment left join
+    must never fall back to sort-merge — an SMJ here means a
+    corpus-proportional shuffle was planned for a bounded relation."""
+    plan = _plan(spark, "gov3_t_closeness")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Window" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
