@@ -381,10 +381,26 @@ def _run(q, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _family(name: str) -> str:
+    """Query family = the leading letters of the first name token
+    (gr5 -> gr, ev1 -> ev, ecom_clv -> ecom): the granularity at
+    which the session-lifetime fixture caches are shared."""
+    m = re.match(r"([a-z]+)", name)
+    return m.group(1) if m else name
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # --isolate-families (or SPARK_GRAFT_ISOLATE_FAMILIES=1): evict
+    # every registered session-lifetime cache at each family boundary
+    # in the warm loop, so no query's reading depends on which family
+    # member ran first (the gr5/seg1/ecom_clv drift-triage class —
+    # VERDICT r12 task 7). Off by default: the cached steady state IS
+    # the realistic long-lived-session behavior the headline measures.
+    isolate = ("--isolate-families" in sys.argv[1:]
+               or os.environ.get("SPARK_GRAFT_ISOLATE_FAMILIES") == "1")
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -427,7 +443,16 @@ def main() -> None:
             best = min(best, _run(q, spark, sf_dir))
         return round(best, 3)
 
-    timings = {name: _best(registry[name]) for name in HEADLINE}
+    from big_data_analytics_spark.caching import evict_all
+
+    timings: dict[str, float] = {}
+    prev_family = None
+    for name in HEADLINE:
+        if isolate and _family(name) != prev_family:
+            evict_all()
+            spark.catalog.clearCache()
+        prev_family = _family(name)
+        timings[name] = _best(registry[name])
     fixed = {name: _best(registry[name]) for name in FIXED}
     _fresh = _freshness(registry)
 
@@ -463,6 +488,10 @@ def main() -> None:
         "queries": {**timings, **fixed},
         "sf": sf,
     }
+    if isolate:
+        # only stamped when on, so the default line stays in budget
+        # and any isolated snapshot is self-describing
+        summary["isolated_families"] = True
     # full detail (cold per-query breakdown included, 3-decimal
     # timings) goes to the UNTRACKED .latest file (see ARTIFACT POLICY
     # in the module docstring — the committed BENCH_FULL.json is a

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_analytics_spark.caching import register_cache
+
 
 def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -120,7 +122,7 @@ def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
 #: it dominated the warm probe path), and the parsed Column is
 #: reusable across plans within the JVM. Keyed by the SQL text —
 #: single-JVM assumption, same as the session singletons.
-_BUCKETS_EXPR_CACHE: dict[str, Column] = {}
+_BUCKETS_EXPR_CACHE: dict[str, Column] = register_cache({})
 
 
 def _table_buckets_expr(vec_sql: str, planes: list[list[float]],

@@ -33,13 +33,14 @@ from big_data_analytics_spark.operators.similarity import (
     lsh_topk,
 )
 from big_data_analytics_spark.queries import REGISTRY, query
+from big_data_analytics_spark.caching import register_cache
 
 #: Session-cached LSH index relations (the graph-module pattern): the
 #: corpus signature build — 16 tables x 4 planes of interpreted
 #: 64-wide folds, the dominant cost of every probe — is a build-once
 #: structure in production, so build it once per (session, sf_dir)
 #: and serve every probe batch from the checkpoint.
-_LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _doc_corpus_with_dups(spark: SparkSession, sf_dir: str, n: int = 100) -> DataFrame:

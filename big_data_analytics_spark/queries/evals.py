@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.caching import register_cache
 
 _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
 
@@ -32,7 +33,7 @@ _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
 #: session's lifetime, so memoize like the graph-family edge caches
 #: (VERDICT r12 task 3). Keyed by applicationId so a new session (new
 #: JVM, possibly regenerated fixtures) never reads a stale bound.
-_BOUND_CACHE: dict = {}
+_BOUND_CACHE: dict = register_cache({})
 
 
 def _cached_bound(spark: SparkSession, sf_dir: str, kind: str,

@@ -32,6 +32,7 @@ from big_data_analytics_spark.operators.graph import (
     pagerank,
 )
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.caching import register_cache
 
 _ITER = 5
 _TOPK = 20
@@ -111,7 +112,7 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 #: One edge relation per (session, sf_dir), localCheckpoint-cached so
 #: gr1/lp1/gr2/gr3 share a single build instead of four. Keyed by
 #: applicationId so a new session never sees another session's blocks.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +139,7 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: long-lived service sweeping many datasets would need an
 #: unpersist-on-displacement policy; deliberately not added while the
 #: only callers are the bench/test/driver harnesses.
-_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LABEL_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,13 +28,14 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.caching import register_cache
 
 #: The distinct (basket, item) and (user, item, qty) relations feed
 #: 3-4 downstream consumers per query; cache one localCheckpoint per
 #: (session, sf_dir) — the graph-module pattern — instead of
 #: re-persisting a fresh DataFrame on every invocation (which would
 #: accumulate cache entries across repeated calls in a long session).
-_REL_CACHE: dict[tuple[str, str, str], "DataFrame"] = {}
+_REL_CACHE: dict[tuple[str, str, str], "DataFrame"] = register_cache({})
 
 
 def _cached(spark: SparkSession, sf_dir: str, tag: str, build):

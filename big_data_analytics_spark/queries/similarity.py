@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.caching import register_cache
 
 #: vec_ids below this bound act as the "query set"; the rest are corpus.
 N_QUERY_VECS = 3
@@ -172,7 +173,7 @@ _IVF_COS = (
 #: probe + rerank only — the same amortization as the graph queries'
 #: shared edge relation. The one-off build cost stays visible in the
 #: bench's cold section.
-_IVF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 @query(
