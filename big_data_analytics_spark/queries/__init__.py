@@ -95,15 +95,15 @@ def query(name: str, oracle: Optional[str] = None):
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
 #: Round-13 head-50 (THE BACKLOG-BURN ROUND, per VERDICT r12 task 1):
-#: 2 canaries + 2 changed (fs2 per-factor guard, dq5 Benford integer
-#: literals — the two r12 ADVICE items) + the ENTIRE deferred
-#: backlog: all 7 r3-vintage rows (sk6, t12, inc1, df1, rc1, at1,
-#: bpe1), all 5 pin-only re-grades (j2, t8, ivm1, ts2, d3b), and all
-#: 34 r4-vintage rows (v5 .. x12). New-query count was kept near
-#: zero by design this round so the burn completes; after this round
-#: the oldest driver-row vintage on the tree is r5. Any round-13
-#: additions displace from the r4 tail (x12 backward) and the
-#: displaced rows lead the round-14 oldest-first fill.
+#: 2 canaries + 2 new (gov3 t-closeness, t19 Heaps-law fit) + 2
+#: changed (fs2 per-factor guard, dq5 Benford integer literals — the
+#: two r12 ADVICE items) + the deferred backlog: all 7 r3-vintage
+#: rows (sk6, t12, inc1, df1, rc1, at1, bpe1), all 5 pin-only
+#: re-grades (j2, t8, ivm1, ts2, d3b), and 32 of the 34 r4-vintage
+#: rows (v5 .. t13; x11/x12 displaced by the two new queries, lead
+#: the round-14 oldest-first fill). New-query count was kept small
+#: by design so the burn completes; after this round the oldest
+#: driver-row vintage on the tree is r4 (two rows), then r5.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
@@ -115,6 +115,7 @@ GRADE_HEAD = [
     # Python-precomputed integer literals on both engines) — graded
     # immediately per policy
     "gov3_t_closeness",
+    "t19_heaps_law",
     "fs2_chi2_token_selection",
     "dq5_benford_audit",
     # (c) THE BACKLOG BURN — round 13 adds few queries by design so
@@ -170,9 +171,9 @@ GRADE_HEAD = [
     "st5_welch_t_test",
     "ml4_ridge_regression",
     "t13_chunk_dedup",
-    "x11_grouped_streaks",
-    # (x12, the youngest r4 row, is displaced by gov3 per the
-    # rotation note above and leads the round-14 oldest-first fill)
+    # (x11 and x12, the youngest r4 rows, are displaced by gov3 and
+    # t19 per the rotation note above and lead the round-14
+    # oldest-first fill)
 ]
 
 

@@ -461,3 +461,143 @@ def fs2_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 fs2_chi2_token_selection.__doc__ = fs2_chi2_token_selection.__doc__.format(
     TOP=_CHI_TOP)
+
+
+_HEAPS_Q = 1_000_000  # element-level ln() quantization grid
+_HEAPS_D = 10         # corpus prefix checkpoints (deciles)
+
+
+@query(
+    "t19_heaps_law",
+    oracle=f"""
+    WITH mx AS (
+        SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents
+    ), toks AS (
+        SELECT lang,
+               LEAST({_HEAPS_D - 1},
+                     ({_HEAPS_D} * doc_id) // (m + 1)) AS dec,
+               u.tok
+        FROM documents, mx, unnest(string_split(text, ' ')) AS u(tok)
+    ), tok_per AS (
+        SELECT lang, dec, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM toks GROUP BY 1, 2
+    ), first_dec AS (
+        SELECT lang, tok, CAST(MIN(dec) AS BIGINT) AS d0
+        FROM toks GROUP BY 1, 2
+    ), new_types AS (
+        SELECT lang, d0 AS dec, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_dec GROUP BY 1, 2
+    ), series AS (
+        SELECT t.lang, t.dec,
+               CAST(SUM(t.n_toks) OVER w AS BIGINT) AS nk,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS vk
+        FROM tok_per t LEFT JOIN new_types n USING (lang, dec)
+        WINDOW w AS (PARTITION BY t.lang ORDER BY t.dec
+                     ROWS UNBOUNDED PRECEDING)
+    ), pts AS (
+        SELECT lang,
+               CAST(FLOOR(ln(CAST(nk AS DOUBLE)) * {_HEAPS_Q})
+                    AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(vk AS DOUBLE)) * {_HEAPS_Q})
+                    AS BIGINT) AS y,
+               nk, vk, dec
+        FROM series
+    ), s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(MAX(CASE WHEN dec = {_HEAPS_D - 1} THEN nk END)
+                    AS BIGINT) AS total_tokens,
+               CAST(MAX(CASE WHEN dec = {_HEAPS_D - 1} THEN vk END)
+                    AS BIGINT) AS vocab_size
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, n AS n_points, total_tokens, vocab_size,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE FLOOR({_HEAPS_Q}
+                           * (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)))
+                END AS BIGINT) AS beta_q
+    FROM s
+    """,
+)
+def t19_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Heaps'-law exponent — t16's companion diagnostic:
+    vocabulary size grows as V(n) ~ K * n^beta (beta ≈ 0.4–0.6 for
+    natural text), and a slice whose beta collapses toward 0 is
+    boilerplate/template-saturated (no new types arriving) while
+    beta near 1 means token-noise explosion (OCR garbage, random
+    ids) — the two corpus pathologies a Zipf slope alone can miss.
+    The (token count, vocab size) curve is sampled at {D} doc-id
+    prefix checkpoints WITHOUT any per-prefix rescan: each type's
+    first-appearance decile is one min() aggregate, new types per
+    decile roll up cumulatively, and the OLS slope of ln V on ln n
+    over the {D} points is the closed-form Sxy/Sxx rational on exact
+    integer sums (element-level ln floor-quantized to the 1e-6 grid
+    — the t16 portability discipline; beta_q is beta * 1e6).
+
+    Scale shape: ONE token explode, combined map-side straight into
+    per-(lang, decile, token) counts — the t7 vocabulary exchange
+    widened by the {D}-valued decile key, the only data-sized
+    shuffle — and localCheckpoint-materialized so BOTH rollups
+    (tokens per decile, first-decile per type) read the same
+    computed relation instead of re-running the explode (the
+    ds1/t17 discipline; the two consumers aggregate differently, so
+    ReusedExchange alone would not dedup them). Everything after is
+    <= {D} rows per language: the cumulative window, the ln
+    quantization, and the slope. At 100 TB this costs one vocabulary
+    count, same as t16 — the naive formulation (distinct count per
+    prefix) would rescan the corpus {D} times."""
+    raw = load_table(spark, sf_dir, "documents")
+    mx = raw.agg(F.max("doc_id").cast("long").alias("m"))
+    dec = F.least(F.lit(_HEAPS_D - 1),
+                  F.expr(f"({_HEAPS_D} * doc_id) div (m + 1)"))
+    toks = (raw.crossJoin(F.broadcast(mx))
+            .select("lang", dec.alias("dec"),
+                    F.explode(F.split(F.col("text"), " ")).alias("tok")))
+    cnt = (toks.groupBy("lang", "dec", "tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .localCheckpoint())
+    tok_per = (cnt.groupBy("lang", "dec")
+               .agg(F.sum("c").cast("long").alias("n_toks")))
+    new_types = (cnt.groupBy("lang", "tok")
+                 .agg(F.min("dec").cast("long").alias("d0"))
+                 .groupBy("lang", F.col("d0").alias("dec"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    w = (Window.partitionBy("lang").orderBy("dec")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    series = (tok_per.join(new_types, ["lang", "dec"], "left")
+              .select("lang", "dec",
+                      F.sum("n_toks").over(w).cast("long").alias("nk"),
+                      F.sum(F.coalesce("n_new", F.lit(0))).over(w)
+                      .cast("long").alias("vk")))
+    pts = series.select(
+        "lang", "dec", "nk", "vk",
+        F.floor(F.log(F.col("nk").cast("double")) * _HEAPS_Q)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("vk").cast("double")) * _HEAPS_Q)
+        .cast("long").alias("y"))
+    last = F.when(F.col("dec") == _HEAPS_D - 1, F.col("nk"))
+    lastv = F.when(F.col("dec") == _HEAPS_D - 1, F.col("vk"))
+    s = (pts.groupBy("lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.max(last).cast("long").alias("total_tokens"),
+              F.max(lastv).cast("long").alias("vocab_size")))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "lang", F.col("n").alias("n_points"),
+        "total_tokens", "vocab_size",
+        F.when(den == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(F.lit(_HEAPS_Q)
+                           * (num.cast("double") / den.cast("double")))
+                   .cast("long")).alias("beta_q"))
+
+
+t19_heaps_law.__doc__ = t19_heaps_law.__doc__.format(D=_HEAPS_D)

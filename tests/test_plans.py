@@ -1430,3 +1430,16 @@ def test_gov3_broadcast_universe_no_smj(spark):
     assert plan.count("BroadcastExchange") >= 2
     assert "Window" not in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_t19_single_explode_broadcast_only(spark):
+    """t19: the token explode must run ONCE — the per-(lang, decile,
+    token) count relation is localCheckpoint-materialized, so the
+    final plan reads an ExistingRDD scan and contains NO Generate at
+    all (a Generate here means a rollup re-derived the explode); the
+    decile series join is decile-cardinality, never sort-merge."""
+    plan = _plan(spark, "t19_heaps_law")
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan
+    assert "ExistingRDD" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan

@@ -52,3 +52,60 @@ def test_gov3_matches_pure_python_tvd(spark):
     # classes (a degenerate all-true fixture would not prove the
     # threshold comparison runs)
     assert len(got) > 10
+
+
+def test_t19_matches_pure_python_heaps(spark):
+    """t19: re-derive each language's Heaps curve and OLS slope from
+    the raw parquet with dicts and loops — a literal cumulative
+    vocabulary scan over doc_id order, no first-decile trick — so a
+    shared formulation bug in the decile/min(dec) derivation cannot
+    hash-match green."""
+    from big_data_analytics_spark.queries.text6 import (
+        _HEAPS_D,
+        _HEAPS_Q,
+        t19_heaps_law,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet' "
+        f"ORDER BY doc_id").fetchall()
+    m = max(d for d, _, _ in rows)
+    # literal scan: walk docs in id order, maintain per-lang seen-set
+    # and counters, snapshot at each decile boundary
+    seen: dict = {}
+    ntok: Counter = Counter()
+    vsize: Counter = Counter()
+    series: dict = {}
+    for d, lang, text in rows:
+        dec = min(_HEAPS_D - 1, (_HEAPS_D * d) // (m + 1))
+        for t in text.split(" "):
+            ntok[lang] += 1
+            if t not in seen.setdefault(lang, set()):
+                seen[lang].add(t)
+                vsize[lang] += 1
+        series.setdefault(lang, {})[dec] = (ntok[lang], vsize[lang])
+    want = {}
+    for lang, by_dec in series.items():
+        pts = []
+        for dec in sorted(by_dec):
+            nk, vk = by_dec[dec]
+            pts.append((math.floor(math.log(nk) * _HEAPS_Q),
+                        math.floor(math.log(vk) * _HEAPS_Q)))
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        beta_q = (0 if den == 0 else
+                  math.floor(_HEAPS_Q * ((n * sxy - sx * sy) / den)))
+        last = by_dec[max(by_dec)]
+        want[lang] = (n, last[0], last[1], beta_q)
+
+    got = {r["lang"]: (int(r["n_points"]), int(r["total_tokens"]),
+                       int(r["vocab_size"]), int(r["beta_q"]))
+           for r in t19_heaps_law(spark, SF).collect()}
+    assert got == want
+    # the exponent should be a real sublinear-growth reading on at
+    # least one language (0 < beta < 1e6 == 1.0)
+    assert any(0 < b < 10**6 for _, _, _, b in got.values())
