@@ -167,6 +167,10 @@ EXTENDED = [
     # fixture). ev4/t17/ir5/gov1 are light variants of tracked
     # shapes and live in BENCH_FULL detail + SCALE.md probes.
     "ev3_token_edit_distance",
+    # round 13: no additions — gov3 (bounded-cardinality aggregation,
+    # the gov1 shape) and t19 (one vocabulary exchange, the t16
+    # shape) are light variants of tracked shapes; their scaling
+    # evidence lives in SCALE.md decade probes.
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
