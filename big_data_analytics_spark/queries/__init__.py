@@ -138,7 +138,8 @@ GRADE_HEAD = [
     "ts2_hourly_gap_fill",
     "d3b_simhash_portable",
     # then the r4-vintage rows, oldest-first in registry order
-    # (34 slots — the full r4 list from the r12 deferral note):
+    # (32 slots — the r12 deferral note's r4 list minus x11/x12,
+    # displaced by the two round-13 additions):
     "v5_sq_topk",
     "v6_pq_adc_topk",
     "sql1_revenue_by_state_sqlapi",
