@@ -82,7 +82,10 @@ def query(name: str, oracle: Optional[str] = None):
 #: and v11 in tests/test_r12b_groundtruth.py — ev3's oracle is additionally
 #: independent by construction (coded-string byte levenshtein vs
 #: numpy DP), as is sm12's (batch SQL restatement vs the engine's
-#: chained incremental execution, the sm2/sm11 class).
+#: chained incremental execution, the sm2/sm11 class). Round-13
+#: additions (gov3 exact-Fraction TVD, t19 literal cumulative
+#: vocabulary scan, t20 Counter-based PMI) recount in
+#: tests/test_r13_groundtruth.py.
 #:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
@@ -95,15 +98,17 @@ def query(name: str, oracle: Optional[str] = None):
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
 #: Round-13 head-50 (THE BACKLOG-BURN ROUND, per VERDICT r12 task 1):
-#: 2 canaries + 2 new (gov3 t-closeness, t19 Heaps-law fit) + 2
+#: 2 canaries + 3 new (gov3 t-closeness, t19 Heaps-law fit, t20 PMI
+#: collocations) + 2
 #: changed (fs2 per-factor guard, dq5 Benford integer literals — the
 #: two r12 ADVICE items) + the deferred backlog: all 7 r3-vintage
 #: rows (sk6, t12, inc1, df1, rc1, at1, bpe1), all 5 pin-only
 #: re-grades (j2, t8, ivm1, ts2, d3b), and 32 of the 34 r4-vintage
-#: rows (v5 .. t13; x11/x12 displaced by the two new queries, lead
-#: the round-14 oldest-first fill). New-query count was kept small
-#: by design so the burn completes; after this round the oldest
-#: driver-row vintage on the tree is r4 (two rows), then r5.
+#: rows (v5 .. ml4; t13/x11/x12 displaced by the three new queries,
+#: lead the round-14 oldest-first fill). New-query count was kept
+#: small by design so the burn completes; after this round the
+#: oldest driver-row vintage on the tree is r4 (three rows), then
+#: r5.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
@@ -116,6 +121,7 @@ GRADE_HEAD = [
     # immediately per policy
     "gov3_t_closeness",
     "t19_heaps_law",
+    "t20_pmi_collocations",
     "fs2_chi2_token_selection",
     "dq5_benford_audit",
     # (c) THE BACKLOG BURN — round 13 adds few queries by design so
@@ -138,8 +144,8 @@ GRADE_HEAD = [
     "ts2_hourly_gap_fill",
     "d3b_simhash_portable",
     # then the r4-vintage rows, oldest-first in registry order
-    # (32 slots — the r12 deferral note's r4 list minus x11/x12,
-    # displaced by the two round-13 additions):
+    # (31 slots — the r12 deferral note's r4 list minus t13/x11/x12,
+    # displaced by the three round-13 additions):
     "v5_sq_topk",
     "v6_pq_adc_topk",
     "sql1_revenue_by_state_sqlapi",
@@ -171,10 +177,9 @@ GRADE_HEAD = [
     "ts3_rolling_zscore",
     "st5_welch_t_test",
     "ml4_ridge_regression",
-    "t13_chunk_dedup",
-    # (x11 and x12, the youngest r4 rows, are displaced by gov3 and
-    # t19 per the rotation note above and lead the round-14
-    # oldest-first fill)
+    # (t13, x11 and x12, the youngest r4 rows, are displaced by the
+    # three round-13 additions per the rotation note above and lead
+    # the round-14 oldest-first fill)
 ]
 
 

@@ -1443,3 +1443,15 @@ def test_t19_single_explode_broadcast_only(spark):
     assert "Generate" not in plan
     assert "ExistingRDD" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_t20_takeordered_pinned_joins_no_smj_fallback(spark):
+    """t20: the global top-K must plan as TakeOrderedAndProject (no
+    full sort), the checkpointed unigram relation must arrive via the
+    measured pin (ExistingRDD scan), and the scored relation's two
+    unigram joins must never fall to an unpinned sort-merge at the
+    small fixture."""
+    plan = _plan(spark, "t20_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan

@@ -109,3 +109,49 @@ def test_t19_matches_pure_python_heaps(spark):
     # the exponent should be a real sublinear-growth reading on at
     # least one language (0 < beta < 1e6 == 1.0)
     assert any(0 < b < 10**6 for _, _, _, b in got.values())
+
+
+def test_t20_matches_pure_python_pmi(spark):
+    """t20: re-derive the top collocations with Counters and
+    math.log — literal unigram/bigram tallies, the same quantized-log
+    expansion evaluated in plain Python — so a shared join or
+    normalization bug in the Spark/oracle formulation cannot
+    hash-match green."""
+    from big_data_analytics_spark.queries.text6 import (
+        _PMI_MIN_C,
+        _PMI_Q,
+        _PMI_TOP,
+        t20_pmi_collocations,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{SF}/documents.parquet'").fetchall()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n_pairs = 0
+    for (text,) in rows:
+        ts = text.split(" ")
+        uni.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+            n_pairs += 1
+    n_tok = sum(uni.values())
+
+    def q(x):
+        return math.floor(_PMI_Q * math.log(x))
+
+    scored = []
+    for (w1, w2), c12 in big.items():
+        if c12 < _PMI_MIN_C:
+            continue
+        pmi = (q(c12) + 2 * q(n_tok) - q(n_pairs)
+               - q(uni[w1]) - q(uni[w2]))
+        scored.append((w1, w2, c12, uni[w1], uni[w2], pmi))
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = scored[:_PMI_TOP]
+
+    got = [(r["w1"], r["w2"], int(r["c12"]), int(r["c1"]),
+            int(r["c2"]), int(r["pmi_q"]))
+           for r in t20_pmi_collocations(spark, SF).collect()]
+    assert got == want
+    assert len(got) == _PMI_TOP
