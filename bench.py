@@ -171,6 +171,10 @@ EXTENDED = [
     # the gov1 shape) and t19 (one vocabulary exchange, the t16
     # shape) are light variants of tracked shapes; their scaling
     # evidence lives in SCALE.md decade probes.
+    # round 14: no additions — sm14 is sm6's state-store provider
+    # swap (identical logical stream; sm1 already tracks the
+    # streaming family here); its HDFS-vs-RocksDB provider timing
+    # lives in SCALE.md's sm14 table.
 ]
 
 #: Fixed-cost queries: their fixtures are constant-size (synthetic
@@ -201,8 +205,11 @@ HEADLINE = CORE + EXTENDED
 #: Round 12's early batch added no HEADLINE entries (ir4/ev2/t16/v10
 #: are light variants of tracked shapes and live in BENCH_FULL
 #: detail; mm11 is a constant-size fixture → FIXED); the late batch
-#: added the Arrow-kernel pair-compute shape (ev3).
-ROUND_NEW: frozenset = frozenset({"ev3_token_edit_distance"})
+#: added the Arrow-kernel pair-compute shape (ev3). Rounds 13-14
+#: added none (ev3 stays pinned in the R7_SET exclusion below by
+#: name, so emptying this set cannot inflate the frozen subset —
+#: the r10 incident's fix).
+ROUND_NEW: frozenset = frozenset()
 
 #: FROZEN: the exact 45-query headline graded in rounds 6-7
 #: (BENCH_r06/r07). ``common_subset_total`` sums the current round's
@@ -326,6 +333,31 @@ def _drift_outliers(timings: dict[str, float], sf: float) -> list[str]:
         if len(past) >= 2 and t > 1.5 * statistics.median(past):
             out.append(name)
     return sorted(out)
+
+
+def _box_factor(fixed_total: float, sf: float):
+    """Box-state calibration, made machine-readable (VERDICT r13 task
+    3): the FIXED subset runs constant-size fixtures untouched since
+    round 4, so its total can only move with the MACHINE, never with
+    query code — round 13's driver box read it at 1.28x the committed
+    same-tree snapshot while every real query inflated by the same
+    factor, and the raw 71.25 s headline needed judge archaeology to
+    read as "flat". This computes ``fixed_vs_committed`` = this run's
+    fixed_total over the committed ``BENCH_FULL.json`` snapshot's (at
+    the same sf), so any future reader divides the raw headline by it
+    before comparing across rounds. Returns None when the committed
+    snapshot is absent, unparsable, at a different sf, or zero — the
+    fields are then omitted rather than guessed."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            doc = json.load(f)
+        committed = float(doc["fixed_total"])
+        if doc.get("sf") != sf or committed <= 0:
+            return None
+        return round(fixed_total / committed, 3)
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _freshness(registry) -> dict:
@@ -492,6 +524,14 @@ def main() -> None:
         "queries": {**timings, **fixed},
         "sf": sf,
     }
+    # box calibration (VERDICT r13 task 3): the FIXED subset can only
+    # move with the machine, so this run's fixed_total over the
+    # committed snapshot's IS the box factor; the normalized headline
+    # is the cross-round comparable number when the box is hot/cold
+    box = _box_factor(summary["fixed_total"], sf)
+    if box is not None:
+        summary["fixed_vs_committed"] = box
+        summary["value_box_normalized"] = round(total / box, 3)
     if isolate:
         # only stamped when on, so the default line stays in budget
         # and any isolated snapshot is self-describing
@@ -515,6 +555,14 @@ def main() -> None:
     # signal is fixed_total — their per-query detail (and everything
     # at 3 decimals) lives in BENCH_FULL.json above
     summary["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    # the box-calibration pair rides the line under COMPACT keys (the
+    # 2000-char tail budget; tests/test_bench_output.py): box ==
+    # fixed_vs_committed, norm == value / box — long self-describing
+    # names live in BENCH_FULL.latest.json above
+    if box is not None:
+        del summary["fixed_vs_committed"], summary["value_box_normalized"]
+        summary["box"] = round(box, 2)
+        summary["norm"] = round(total / box, 2)
     print(json.dumps(summary, separators=(",", ":")))
 
 

@@ -53,7 +53,11 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     of raw text at test scale. On a real cluster the scan already
     carries many partitions (sized by files.maxPartitionBytes), so
     this is a no-op there; checking via ``df.rdd.getNumPartitions``
-    would force RDD-lineage materialization just to decide."""
+    would force RDD-lineage materialization just to decide. (The
+    CONDITIONAL variant of this guard — for callers that do want the
+    partition-count check — is the shared
+    ``operators.partitioning.spread_if_undersplit``; see its module
+    docstring for the measured per-query-class opt-in rule.)"""
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
         return df
@@ -624,7 +628,9 @@ def exact_ngram_contamination(left: DataFrame, right: DataFrame,
     per consumer — and spread when the corpus scan is under-split
     (the es1/v3/v4 rule). Measured on dq4 at sf0.1 / a 10× corpus:
     4.5 → 2.4 s and 30.5 → 6.8 s warm, values identical."""
-    para = left.sparkSession.sparkContext.defaultParallelism
+    from big_data_analytics_spark.operators.partitioning import (
+        spread_if_undersplit,
+    )
 
     def ngrams(df: DataFrame, out_id: str) -> DataFrame:
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -632,8 +638,7 @@ def exact_ngram_contamination(left: DataFrame, right: DataFrame,
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
-        if df.rdd.getNumPartitions() < para:
-            df = df.repartition(para)
+        df = spread_if_undersplit(df)
         return (
             df.filter(F.size(toks) >= n)
             .select(F.col(id_col).alias(out_id),

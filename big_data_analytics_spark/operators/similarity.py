@@ -237,9 +237,10 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
         [_hyperplane("neardup", t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
     ]
-    para = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < para:
-        corpus = corpus.repartition(para)
+    from big_data_analytics_spark.operators.partitioning import (
+        spread_if_undersplit,
+    )
+    corpus = spread_if_undersplit(corpus)
     v = as_double(F.col(vec_col))
     vec_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     b = corpus.select(

@@ -97,89 +97,86 @@ def query(name: str, oracle: Optional[str] = None):
 #: registry order, skipping the four declared no-oracle queries
 #: (d2/d3/p19/f17 — each already has a green graded deterministic
 #: twin; a head slot on a rows-only check refreshes nothing).
-#: Round-13 head-50 (THE BACKLOG-BURN ROUND, per VERDICT r12 task 1):
-#: 2 canaries + 3 new (gov3 t-closeness, t19 Heaps-law fit, t20 PMI
-#: collocations) + 2
-#: changed (fs2 per-factor guard, dq5 Benford integer literals — the
-#: two r12 ADVICE items) + the deferred backlog: all 7 r3-vintage
-#: rows (sk6, t12, inc1, df1, rc1, at1, bpe1), all 5 pin-only
-#: re-grades (j2, t8, ivm1, ts2, d3b), and 32 of the 34 r4-vintage
-#: rows (v5 .. ml4; t13/x11/x12 displaced by the three new queries,
-#: lead the round-14 oldest-first fill). New-query count was kept
-#: small by design so the burn completes; after this round the
-#: oldest driver-row vintage on the tree is r4 (three rows), then
-#: r5.
+#: Round-13 head-50 (THE BACKLOG-BURN ROUND, per VERDICT r12 task 1)
+#: was: 2 canaries + 3 new (gov3, t19, t20) + 2 changed (fs2, dq5 —
+#: the two r12 ADVICE items) + all 7 r3-vintage rows + all 5
+#: pin-only re-grades + 31 of the 34 r4-vintage rows (t13/x11/x12
+#: displaced by the three new queries). All 50 came back green
+#: (CORRECTNESS_r13), leaving oldest vintage r4 (3 rows) then r5
+#: (36 rows).
+#:
+#: Round-14 head-50 (FINISH THE ROTATION, per VERDICT r13 task 1):
+#: 2 canaries + 1 new (sm14 — the RocksDB state-store swap, task 8)
+#: + 4 changed (gov3's 128-bit divisor/term promotion and fs2/ev3's
+#: migration onto the shared spread_if_undersplit helper — both
+#: plan-identical, graded as insurance; sm6's body extraction into
+#: the sm6/sm14-shared _user_totals_stream — sm6 is also r7-vintage,
+#: so its re-grade doubles as rotation) + the LAST 3 r4-vintage rows
+#: (t13, x11, x12) + ALL 36 r5-vintage rows (the ml5-ml22 cohort) +
+#: 4 r7 rows oldest-first in registry order (w10, w14, f1, f8).
+#: t19/t20's round-14 edits are docstring-only (the ADVICE 1-ulp
+#: hedge) and the other spread-helper consumers (t18, es1/d10, gm1,
+#: z2, v11, ev1/ev2/ev4, dq4-class, d3b-class) changed by the same
+#: plan-identical extraction, verified by the module oracle gates +
+#: the RoundRobinPartitioning plan guards — not re-graded beyond the
+#: fs2/ev3 representatives and the cohort members already in this
+#: head (gm1, d8). After this round the oldest vintage is r7.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-13 new/changed: gov3 completes the k/l/t privacy
-    # trio; fs2/dq5 are the two ADVICE hardening fixes (fs2's
-    # per-factor zero-margin guard replaces an int64 margin product
-    # that overflowed past ~1e5 docs; dq5's Benford shares are now
-    # Python-precomputed integer literals on both engines) — graded
-    # immediately per policy
+    # (b) round-14 new/changed
+    "sm14_stream_user_totals_rocksdb",
     "gov3_t_closeness",
-    "t19_heaps_law",
-    "t20_pmi_collocations",
     "fs2_chi2_token_selection",
-    "dq5_benford_audit",
-    # (c) THE BACKLOG BURN — round 13 adds few queries by design so
-    # the freshness debt actually clears (VERDICT r12 task 1).
-    # First the 7 r3-vintage rows (oldest driver evidence on the
-    # tree):
-    "sk6_hll_intersection",
-    "t12_token_entropy",
-    "inc1_incremental_rollup",
-    "df1_snapshot_diff",
-    "rc1_hierarchy_rollup",
-    "at1_time_decay_attribution",
-    "bpe1_merge_steps",
-    # then the 5 pin-only re-grades (plan changed in r12's broadcast
-    # audit, results identical, locally gate-verified — now getting
-    # their post-pin driver row):
-    "j2_customer_order_stats",
-    "t8_repetition_signals",
-    "ivm1_retractable_view",
-    "ts2_hourly_gap_fill",
-    "d3b_simhash_portable",
-    # then the r4-vintage rows, oldest-first in registry order
-    # (31 slots — the r12 deferral note's r4 list minus t13/x11/x12,
-    # displaced by the three round-13 additions):
-    "v5_sq_topk",
-    "v6_pq_adc_topk",
-    "sql1_revenue_by_state_sqlapi",
-    "w11_session_duration_percentiles",
-    "w12_cumulative_distinct_users",
-    "bm1_bitmap_segment_intersect",
-    "ws2_reservoir_per_group",
-    "gr2_triangle_count",
-    "gr3_weighted_pagerank",
-    "a22_corr_matrix",
-    "st1_chi_square_independence",
-    "st2_ab_test_proportions",
-    "ml1_ols_inference",
-    "st3_mann_whitney_u",
-    "ml2_anova_f",
-    "st4_ks_two_sample",
-    "ml3_ols_multiple",
-    "bpe2_encode",
-    "mm1_media_stats",
-    "z1_zorder_keys",
-    "mx1_mixture_budgets",
-    "sj1_salted_skew_join",
-    "cp1_corpus_clean_audit",
-    "bl1_bloom_semi_join",
-    "sm1_stream_daily_metrics",
-    "sm2_stream_sessions",
-    "sm3_stream_dedup_ingest",
-    "sm4_stream_stream_join",
-    "ts3_rolling_zscore",
-    "st5_welch_t_test",
-    "ml4_ridge_regression",
-    # (t13, x11 and x12, the youngest r4 rows, are displaced by the
-    # three round-13 additions per the rotation note above and lead
-    # the round-14 oldest-first fill)
+    "ev3_token_edit_distance",
+    "sm6_stream_stateful_user_totals",
+    # (c) the last 3 r4-vintage rows (displaced in round 13)
+    "t13_chunk_dedup",
+    "x11_grouped_streaks",
+    "x12_arrow_cents_buckets",
+    # (d) the full 36-row r5 cohort, registry order
+    "f17b_hash_id_generation",
+    "ts4_holt_trend",
+    "mm3_binary_dedup",
+    "sm7_stream_stream_left_outer",
+    "sm8_stream_upsert_parquet_sink",
+    "ml5_kmeans",
+    "ml6_knn_classify",
+    "ml7_gaussian_nb",
+    "ml8_decision_stump",
+    "ml9_logistic_gd",
+    "ml10_pca_2feature",
+    "ml11_lda_2feature",
+    "ml12_svm_subgradient",
+    "ml13_roc_auc",
+    "ml16_qda_2feature",
+    "ml19_poly_regression",
+    "ml20_vif",
+    "km1_survival_curve",
+    "ml22_mallows_cp",
+    "gm1_gram_matrix",
+    "ir1_bm25_topk",
+    "d8_semantic_dedup",
+    "te1_target_encoding",
+    "fh1_feature_hashing",
+    "ml14_cv_ridge",
+    "ml15_gbt_stumps",
+    "ml17_poisson_bootstrap",
+    "ml18_conformal_interval",
+    "fs1_mutual_information",
+    "sh1_balanced_shards",
+    "cal1_reliability_diagram",
+    "dr1_psi_drift",
+    "ec1_revenue_gini",
+    "ab1_cuped_adjustment",
+    "tp1_threshold_tuning",
+    "wp1_weighted_percentiles",
+    # (e) r7-vintage fill, oldest-first in registry order
+    "w10_percent_rank_cume",
+    "w14_session_window_batch",
+    "f1_string_functions",
+    "f8_date_functions",
 ]
 
 

@@ -23,6 +23,7 @@ from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
 from big_data_analytics_spark.caching import register_cache
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
 
@@ -140,9 +141,7 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n-gram extraction amplifies each doc ~2x tokens; the explode
     # stages inherit the scan's split count (2 at the 10x fixture) —
     # the ev3/ev4 under-split hazard. Spread only when under-split.
-    para = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
-        docs = docs.repartition(para)
+    docs = spread_if_undersplit(docs)
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
            .agg(F.count(F.lit(1)).cast("long").alias("c")))
@@ -290,9 +289,7 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n-gram extraction amplifies each doc ~2x tokens; the explode
     # stages inherit the scan's split count (2 at the 10x fixture) —
     # the ev3/ev4 under-split hazard. Spread only when under-split.
-    para = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
-        docs = docs.repartition(para)
+    docs = spread_if_undersplit(docs)
     uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
            .groupBy("doc_id", "tok")
            .agg(F.count(F.lit(1)).cast("long").alias("c")))
@@ -514,9 +511,7 @@ def ev3_token_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3.4 s warm at 10x, the A/B in SCALE.md). No-op whenever the
     # scan already yields >= cores splits (sf0.1 and any production
     # layout).
-    para = spark.sparkContext.defaultParallelism
-    if pairs.rdd.getNumPartitions() < para:
-        pairs = pairs.repartition(para)
+    pairs = spread_if_undersplit(pairs)
     pairs = (pairs
              .withColumn("char_dist",
                          F.levenshtein("rtext", "ctext").cast("long"))
@@ -628,9 +623,7 @@ def ev4_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode stages inherit the scan's split count (2 at the 10x
     # fixture), serializing the map side of both gram counts (es1's
     # under-split hazard). Spread only when under-split.
-    para = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
-        docs = docs.repartition(para)
+    docs = spread_if_undersplit(docs)
 
     def grams(n: int) -> DataFrame:
         return (docs.filter(F.length("s") >= n)

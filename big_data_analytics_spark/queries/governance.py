@@ -149,7 +149,8 @@ _T_CLOSE_Q = 200_000_000  # t = 0.2 on the 1e-9 grid
     ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM customer),
     terms AS (
         SELECT u.c_nationkey, u.bal_band, u.n, t.nt,
-               ABS(COALESCE(s.seg_n, 0) * t.nt - u.g * u.n) AS term
+               ABS(COALESCE(s.seg_n, 0) * CAST(t.nt AS HUGEINT)
+                   - u.g * CAST(u.n AS HUGEINT)) AS term
         FROM (SELECT cls.*, gseg.c_mktsegment, gseg.g
               FROM cls, gseg) u
         LEFT JOIN cls_seg s
@@ -160,9 +161,10 @@ _T_CLOSE_Q = 200_000_000  # t = 0.2 on the 1e-9 grid
     )
     SELECT c_nationkey, bal_band, n,
            CAST((CAST({_RISK_Q} AS HUGEINT) * SUM(term))
-                // (2 * n * nt) AS BIGINT) AS tvd_q,
+                // (2 * CAST(n AS HUGEINT) * nt) AS BIGINT) AS tvd_q,
            (CAST({_RISK_Q} AS HUGEINT) * SUM(term))
-               // (2 * n * nt) <= {_T_CLOSE_Q} AS is_t_close
+               // (2 * CAST(n AS HUGEINT) * nt) <= {_T_CLOSE_Q}
+               AS is_t_close
     FROM terms GROUP BY c_nationkey, bal_band, n, nt
     """,
 )
@@ -179,9 +181,14 @@ def gov3_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces to total variation distance, TVD = (1/2) * sum_s
     |p_class(s) - p_global(s)|. Computed as ONE exact rational per
     class: sum_s |seg_n*N - g*n| / (2*n*N), floor-quantized to the
-    1e-9 grid in 128-bit arithmetic (Spark DECIMAL(38,0) div /
-    DuckDB HUGEINT //, the t17 discipline — the numerator can reach
-    Q*N^2, past int64 once N exceeds ~4e4). Segments ABSENT from a
+    1e-9 grid in 128-bit arithmetic END TO END (Spark DECIMAL(38,0)
+    div / DuckDB HUGEINT //, the t17 discipline): the per-term
+    products seg_n*N and g*n pass int64 once N exceeds ~3e9 rows,
+    the scaled numerator can reach Q*N^2 far earlier, and the
+    DIVISOR 2*n*N passes int64 at the same ~2.1e9-customer mark —
+    so every factor, not just the Q-scaled numerator, is promoted
+    before multiplication (the fs2 per-factor lesson, extended to
+    the divisor per r13 ADVICE). Segments ABSENT from a
     class contribute their full global mass (the left join from the
     class x segment universe), which per-class aggregation alone
     would silently drop. Classes with tvd_q > {T} (t = 0.2) need
@@ -211,13 +218,16 @@ def gov3_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(cls_seg, ["c_nationkey", "bal_band", "c_mktsegment"],
                    "left")
              .select("c_nationkey", "bal_band", "n", "nt",
-                     F.abs(F.coalesce("seg_n", F.lit(0)) * F.col("nt")
-                           - F.col("g") * F.col("n")).alias("term")))
+                     F.abs(F.coalesce("seg_n", F.lit(0))
+                           * F.col("nt").cast("decimal(38,0)")
+                           - F.col("g")
+                           * F.col("n").cast("decimal(38,0)"))
+                     .alias("term")))
     tvd = F.expr(
         f"cast((cast({_RISK_Q} as decimal(38,0)) * term_sum) "
-        f"div (2 * n * nt) as long)")
+        f"div (2 * cast(n as decimal(38,0)) * nt) as long)")
     return (terms.groupBy("c_nationkey", "bal_band", "n", "nt")
-            .agg(F.sum("term").cast("long").alias("term_sum"))
+            .agg(F.sum("term").cast("decimal(38,0)").alias("term_sum"))
             .select("c_nationkey", "bal_band", "n",
                     tvd.alias("tvd_q"),
                     (tvd <= _T_CLOSE_Q).alias("is_t_close")))

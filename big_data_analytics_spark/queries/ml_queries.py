@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 #: Embedding micro-unit quantization scale (matches d2b/v5/v6 lineage:
 #: float32 -> double is exact widening, *1e6 and FLOOR are identical
@@ -1867,9 +1868,7 @@ def gm1_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one file), 1.82 -> 0.79 s at sf0.1; a no-op whenever the scan
     already yields >= cores splits."""
     emb = load_table(spark, sf_dir, "embeddings")
-    para = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < para:
-        emb = emb.repartition(para)
+    emb = spread_if_undersplit(emb)
     v = emb.select(_quantized(F.col("embedding")).alias("vq"))
     seq = F.sequence(F.lit(1), F.lit(_DIM))
 

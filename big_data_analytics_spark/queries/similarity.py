@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.queries import query
 from big_data_analytics_spark.caching import register_cache
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 #: vec_ids below this bound act as the "query set"; the rest are corpus.
 N_QUERY_VECS = 3
@@ -925,9 +926,7 @@ def v11_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast crossJoin keeps the corpus scan's partitioning —
     # the ev3-class under-split hazard (2 splits at the 10x fixture)
     # on the one data-sized stage; spread only when under-split
-    para = spark.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < para:
-        c = c.repartition(para)
+    c = spread_if_undersplit(c)
 
     def cos(a, b):
         return F.round(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 _K = 8  # window length in tokens (Lee et al. use 50 BPE tokens; the
         # fixture docs are 10-100 words, so 8 keeps spans observable)
@@ -40,9 +41,7 @@ def _dup_spans(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     # spread only when under-split (see es1's A/B note)
-    para = spark.sparkContext.defaultParallelism
-    if toks.rdd.getNumPartitions() < para:
-        toks = toks.repartition(para)
+    toks = spread_if_undersplit(toks)
     pos = (toks.filter(F.size("t") >= _K)
            .select("doc_id", "t",
                    F.explode(F.sequence(
@@ -284,9 +283,7 @@ def d10_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count (2 at the 10x fixture — the ev3 hazard); spread only
     # when under-split
     cut_side = docs.select("doc_id", "text")
-    para = spark.sparkContext.defaultParallelism
-    if cut_side.rdd.getNumPartitions() < para:
-        cut_side = cut_side.repartition(para)
+    cut_side = spread_if_undersplit(cut_side)
     return (cut_side.select(
         "doc_id",
         F.expr("transform(split(text, ' '), "

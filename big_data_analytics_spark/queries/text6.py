@@ -27,6 +27,7 @@ from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.graph import pagerank
 from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 _ZIPF_TOP = 64          # fit over the top-R tokens per language
 _ZIPF_Q = 1_000_000.0   # element-level ln() quantization grid
@@ -299,9 +300,7 @@ def t18_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration cost is independent of corpus size."""
     docs = load_table(spark, sf_dir, "documents").select(
         F.split(F.col("text"), " ").alias("ts"))
-    para = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
-        docs = docs.repartition(para)
+    docs = spread_if_undersplit(docs)
 
     def offs(o: int) -> DataFrame:
         return (docs.filter(F.size("ts") > o)
@@ -419,9 +418,7 @@ def fs2_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = raw.select(
         "doc_id", "lang",
         F.array_distinct(F.split(F.col("text"), " ")).alias("ts"))
-    para = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < para:
-        docs = docs.repartition(para)
+    docs = spread_if_undersplit(docs)
     n_total = raw.count()
     nc = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_lang"))
@@ -536,7 +533,13 @@ def t19_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile roll up cumulatively, and the OLS slope of ln V on ln n
     over the {D} points is the closed-form Sxy/Sxx rational on exact
     integer sums (element-level ln floor-quantized to the 1e-6 grid
-    — the t16 portability discipline; beta_q is beta * 1e6).
+    — the t16 portability discipline; beta_q is beta * 1e6). As with
+    t16/t20, the ln arguments are data-dependent exact-integer
+    doubles, so cross-engine agreement is overwhelmingly likely but
+    not guaranteed — a last-ulp JVM-vs-libm log divergence within 1
+    ulp of a floor boundary would flip one grid cell; precomputation
+    is impossible for data-dependent arguments, so the residual risk
+    is documented rather than claimed away.
 
     Scale shape: ONE token explode, combined map-side straight into
     per-(lang, decile, token) counts — the t7 vocabulary exchange
@@ -659,9 +662,15 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI is degenerate on hapax pairs). Expanded to ln c12 + 2 ln N -
     ln B - ln c1 - ln c2 with EVERY term floor-quantized to the 1e-6
     grid before the signed sum (the ds1 sum-of-quantized-logs recipe:
-    each ln sees an exact-integer-valued double, so both engines hash
-    identically and no product can overflow — c12 * N^2 would pass
-    int64 at ~3e9 tokens if computed as a ratio).
+    each ln sees an exact-integer-valued double, so no product can
+    overflow — c12 * N^2 would pass int64 at ~3e9 tokens if computed
+    as a ratio — and cross-engine agreement is overwhelmingly likely,
+    NOT guaranteed: JVM Math.log and DuckDB's libm can still differ
+    in the last ulp, and a data-dependent ln(k) landing within 1 ulp
+    of a 1e-6 floor boundary would flip one quantized term. The dq5
+    precompute trick is unavailable here (the ln arguments are
+    data-dependent counts), so the residual risk is accepted and
+    documented, per r13 ADVICE.
 
     Scale shape: one token count (map-side combined) and one bigram
     count (the t17 pair exchange) — both vocabulary-keyed relations;

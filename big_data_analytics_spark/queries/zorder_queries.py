@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from big_data_analytics_spark.catalog import load_table
 from big_data_analytics_spark.operators.zorder import morton2, with_hilbert2
 from big_data_analytics_spark.queries import query
+from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 #: The operator's bit-spread doubling steps, mirrored into SQL.
 _SPREAD_STEPS = (
@@ -159,9 +160,7 @@ def z2_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row-heavy work that serializes on the scan's few splits
     # (the ev3 under-split hazard; 3 tasks at sf0.1); spread only
     # when under-split
-    para = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < para:
-        li = li.repartition(para)
+    li = spread_if_undersplit(li)
     coded = with_hilbert2(li, "l_partkey", "l_suppkey", out="h",
                           bits=_H_BITS)
     return (coded

@@ -1455,3 +1455,27 @@ def test_t20_takeordered_pinned_joins_no_smj_fallback(spark):
     assert "TakeOrderedAndProject" in plan
     assert "ExistingRDD" in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_t20_no_spread_repartition_below_scan(spark):
+    """t20 is the measured NEGATIVE datapoint for the under-split
+    spread guard (operators/partitioning.py: +3.3 s at sf0.1 for a
+    0.35 s 10x gain — cheap per-row explode feeding a map-side
+    combine does not qualify), so its plan must contain NO
+    round-robin repartition anywhere below the scan. A
+    RoundRobinPartitioning exchange appearing here means someone
+    re-applied the guard that round 13 measured and reverted."""
+    plan = _plan(spark, "t20_pmi_collocations")
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_spread_guard_fires_where_opted_in(spark):
+    """The flip side of the t20 guard: ev3 is the measured POSITIVE
+    datapoint (heavy per-row token-edit-distance work; 4-7x at the
+    10x fixture), so on the single-file test fixture — where the scan
+    arrives under-split — the shared spread_if_undersplit helper must
+    still plan its round-robin exchange. Guards the helper migration:
+    a silent no-op regression in the shared helper would pass every
+    correctness test and only show up as a 10x-fixture slowdown."""
+    plan = _plan(spark, "ev3_token_edit_distance")
+    assert "RoundRobinPartitioning" in plan

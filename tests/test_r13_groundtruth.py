@@ -99,7 +99,18 @@ def test_t19_matches_pure_python_heaps(spark):
         den = n * sxx - sx * sx
         beta_q = (0 if den == 0 else
                   math.floor(_HEAPS_Q * ((n * sxy - sx * sy) / den)))
-        last = by_dec[max(by_dec)]
+        # Both engines read total_tokens/vocab_size from decile D-1
+        # specifically (MAX(CASE WHEN dec = D-1 ...)), not from the
+        # last PRESENT decile — a language absent from the final
+        # decile gets NULLs there. Assert the fixture satisfies the
+        # query's premise explicitly so a skewed fixture fails HERE
+        # with a readable message instead of int(None) below (r13
+        # ADVICE), then mirror the engines' dec = D-1 read.
+        assert _HEAPS_D - 1 in by_dec, (
+            f"fixture premise violated: lang {lang!r} has no docs in "
+            f"decile {_HEAPS_D - 1}; t19's total_tokens/vocab_size "
+            f"would be NULL for it on both engines")
+        last = by_dec[_HEAPS_D - 1]
         want[lang] = (n, last[0], last[1], beta_q)
 
     got = {r["lang"]: (int(r["n_points"]), int(r["total_tokens"]),
