@@ -449,25 +449,44 @@ def pagerank(
         )
         nodes_c = _ckpt(nodes, checkpoint)
         for _ in range(iterations):
-            contrib = (
-                e_deg.join(ranks, e_deg.src == ranks.node)
-                .select("dst", F.expr(flow_expr).alias("flow"))
-                .groupBy("dst")
-                .agg(F.sum("flow").alias("inflow"))
-            )
-            ranks = _ckpt(
-                nodes_c.join(contrib, nodes_c.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (F.lit(150_000)
-                     + F.expr("85 * coalesce(inflow, 0L) div 100"))
-                    .cast("long").alias("rank"),
-                ),
-                checkpoint,
-            )
+            ranks = _ckpt(_pr_shuffle_step(e_deg, ranks, nodes_c,
+                                           flow_expr), checkpoint)
         return ranks
     finally:
         e.unpersist()
+
+
+def _pr_shuffle_step(e_deg: DataFrame, ranks: DataFrame,
+                     nodes_c: DataFrame, flow_expr: str) -> DataFrame:
+    """One shuffle-path PageRank round: plain (unhinted) joins of the
+    rank table into the degree-annotated edge list and of the inflow
+    aggregate back onto the node universe — past the broadcast
+    ceiling these plan as shuffled joins on the cluster's stats.
+    Module-level (not inlined in the loop) for the same reason as
+    _lpa_step: the per-round checkpoint erases the composed plan, so
+    the SMJ-side plan guard
+    (tests/test_graph.py::test_pr_shuffle_step_no_node_broadcast)
+    needs a raw round to inspect — it pins that with auto-broadcast
+    disabled NO relation in the round plans a BroadcastExchange,
+    i.e. the shuffle path never silently rides a broadcast of the
+    node universe (the r13 30x-probe correction: gr1/lp1 had only
+    ever exercised the broadcast path; this is the guard for the
+    other side)."""
+    contrib = (
+        e_deg.join(ranks, e_deg.src == ranks.node)
+        .select("dst", F.expr(flow_expr).alias("flow"))
+        .groupBy("dst")
+        .agg(F.sum("flow").alias("inflow"))
+    )
+    return (
+        nodes_c.join(contrib, nodes_c.node == contrib.dst, "left")
+        .select(
+            "node",
+            (F.lit(150_000)
+             + F.expr("85 * coalesce(inflow, 0L) div 100"))
+            .cast("long").alias("rank"),
+        )
+    )
 
 
 def _lpa_step(edge_rel: DataFrame, lab: DataFrame,

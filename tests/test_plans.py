@@ -1479,3 +1479,49 @@ def test_spread_guard_fires_where_opted_in(spark):
     correctness test and only show up as a 10x-fixture slowdown."""
     plan = _plan(spark, "ev3_token_edit_distance")
     assert "RoundRobinPartitioning" in plan
+
+
+def test_pr_shuffle_step_no_node_broadcast(spark):
+    """The SMJ-side guard for the graph iterators (VERDICT r13 task
+    4): past the 5M-node broadcast ceiling the shuffle strategy owns
+    the plan, and with auto-broadcast disabled (the at-scale stats
+    shape) ONE raw PageRank round must contain no BroadcastExchange
+    at all — a lingering broadcast of the node universe here is
+    exactly the OOM that kills a 1e9-node deployment. Also pins that
+    the rank/inflow joins really are shuffled joins, so the guard
+    distinguishes the paths rather than passing vacuously."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_spark.operators.graph import (
+        _lpa_step,
+        _pr_shuffle_step,
+    )
+    from big_data_analytics_spark.queries.graph_queries import (
+        _weighted_edges)
+
+    edges = _weighted_edges(spark, SF_CORRECT).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("wsum"))
+    # checkpoint the inputs so the inspected plan is ONE raw round
+    e_deg = edges.join(deg, "src").localCheckpoint()
+    nodes_c = (edges.select(F.col("src").alias("node")).distinct()
+               .localCheckpoint())
+    ranks = nodes_c.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank")
+    ).localCheckpoint()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pr_plan = (_pr_shuffle_step(e_deg, ranks, nodes_c,
+                                    "rank div wsum")
+                   ._jdf.queryExecution().executedPlan().toString())
+        labels = ranks.select("node", F.col("node").alias("label"))
+        lpa_plan = (_lpa_step(e_deg, labels, lambda d: d, fuse=False)
+                    ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for tag, plan in (("pagerank", pr_plan), ("lpa", lpa_plan)):
+        assert "BroadcastExchange" not in plan, (
+            f"{tag} shuffle-path round still broadcasts:\n{plan}")
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), (
+            f"{tag} shuffle-path round plans no shuffled join — the "
+            f"guard would be vacuous:\n{plan}")
