@@ -85,7 +85,13 @@ def query(name: str, oracle: Optional[str] = None):
 #: chained incremental execution, the sm2/sm11 class). Round-13
 #: additions (gov3 exact-Fraction TVD, t19 literal cumulative
 #: vocabulary scan, t20 Counter-based PMI) recount in
-#: tests/test_r13_groundtruth.py.
+#: tests/test_r13_groundtruth.py. Round-14: gov4's oracle SHARES the
+#: generated CASE chain with the Spark side by design (that is what
+#: buys exact cross-engine agreement), so its independent check is
+#: the pure-python inverse-CDF recount in
+#: tests/test_r14_groundtruth.py; sm14's oracle is independent by
+#: construction (batch restatement, the sm2/sm11 class) plus the
+#: sm6-equality + RocksDB-artifact test in tests/test_streaming.py.
 #:
 #: The driver harness grades registry entries head-first (exactly the
 #: first 50 each round), so ordering is the grading policy. With the
@@ -106,14 +112,17 @@ def query(name: str, oracle: Optional[str] = None):
 #: (36 rows).
 #:
 #: Round-14 head-50 (FINISH THE ROTATION, per VERDICT r13 task 1):
-#: 2 canaries + 1 new (sm14 — the RocksDB state-store swap, task 8)
+#: 2 canaries + 2 new (sm14 — the RocksDB state-store swap, task 8;
+#: gov4 — the geometric-mechanism DP count release completing the
+#: governance ladder, additions held at 2 of the allowed 3)
 #: + 4 changed (gov3's 128-bit divisor/term promotion and fs2/ev3's
 #: migration onto the shared spread_if_undersplit helper — both
 #: plan-identical, graded as insurance; sm6's body extraction into
 #: the sm6/sm14-shared _user_totals_stream — sm6 is also r7-vintage,
 #: so its re-grade doubles as rotation) + the LAST 3 r4-vintage rows
 #: (t13, x11, x12) + ALL 36 r5-vintage rows (the ml5-ml22 cohort) +
-#: 4 r7 rows oldest-first in registry order (w10, w14, f1, f8).
+#: 3 r7 rows oldest-first in registry order (w10, w14, f1 — f8
+#: yields its fill slot to gov4 and leads the r15 fill).
 #: t19/t20's round-14 edits are docstring-only (the ADVICE 1-ulp
 #: hedge) and the other spread-helper consumers (t18, es1/d10, gm1,
 #: z2, v11, ev1/ev2/ev4, dq4-class, d3b-class) changed by the same
@@ -127,6 +136,7 @@ GRADE_HEAD = [
     "w7_sessionize_events",
     # (b) round-14 new/changed
     "sm14_stream_user_totals_rocksdb",
+    "gov4_dp_noisy_counts",
     "gov3_t_closeness",
     "fs2_chi2_token_selection",
     "ev3_token_edit_distance",
@@ -176,7 +186,6 @@ GRADE_HEAD = [
     "w10_percent_rank_cume",
     "w14_session_window_batch",
     "f1_string_functions",
-    "f8_date_functions",
 ]
 
 

