@@ -130,62 +130,81 @@ def query(name: str, oracle: Optional[str] = None):
 #: the RoundRobinPartitioning plan guards — not re-graded beyond the
 #: fs2/ev3 representatives and the cohort members already in this
 #: head (gm1, d8). After this round the oldest vintage is r7.
+#:
+#: Round-15 head-50 (RETIRE r7, per VERDICT r14 tasks 1/6/7):
+#: 2 canaries + 0 new (additions held at zero — the 35-row r7
+#: cohort plus two changed rows fills the head; r8's 37 rows are
+#: next, so spending slots on additions now would push the r8
+#: retirement past r16) + 2 changed (t20 — the graded PMI hash
+#: column moved to exact integer cross-multiplication per VERDICT
+#: task 8, closing its data-dependent-ln residual; gr1 — the graph
+#: edge-build path gained the heap pre-flight guard per task 4,
+#: plan-identical, graded as the representative for every
+#: graph-iterator consumer) + ALL 35 r7-vintage rows (f8 leads, as
+#: promised in the r14 note) + 11 r8 rows: the first 10 oldest-first
+#: in registry order (d1, t1–t5, v1, v2, v3_ivf, v3_lsh) plus bj1
+#: out of order per VERDICT task 6 — the storage-layout trio
+#: (bj1/pr1/dsk1) carries the engine's strongest physical-plan
+#: claims and pr1/dsk1 are already in the r7 cohort, so bj1 rides
+#: along to re-grade all three together. After this round the
+#: oldest vintage is r8 (26 rows), then r9 (33).
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-14 new/changed
-    "sm14_stream_user_totals_rocksdb",
-    "gov4_dp_noisy_counts",
-    "gov3_t_closeness",
-    "fs2_chi2_token_selection",
-    "ev3_token_edit_distance",
-    "sm6_stream_stateful_user_totals",
-    # (c) the last 3 r4-vintage rows (displaced in round 13)
-    "t13_chunk_dedup",
-    "x11_grouped_streaks",
-    "x12_arrow_cents_buckets",
-    # (d) the full 36-row r5 cohort, registry order
-    "f17b_hash_id_generation",
-    "ts4_holt_trend",
-    "mm3_binary_dedup",
-    "sm7_stream_stream_left_outer",
-    "sm8_stream_upsert_parquet_sink",
-    "ml5_kmeans",
-    "ml6_knn_classify",
-    "ml7_gaussian_nb",
-    "ml8_decision_stump",
-    "ml9_logistic_gd",
-    "ml10_pca_2feature",
-    "ml11_lda_2feature",
-    "ml12_svm_subgradient",
-    "ml13_roc_auc",
-    "ml16_qda_2feature",
-    "ml19_poly_regression",
-    "ml20_vif",
-    "km1_survival_curve",
-    "ml22_mallows_cp",
-    "gm1_gram_matrix",
-    "ir1_bm25_topk",
-    "d8_semantic_dedup",
-    "te1_target_encoding",
-    "fh1_feature_hashing",
-    "ml14_cv_ridge",
-    "ml15_gbt_stumps",
-    "ml17_poisson_bootstrap",
-    "ml18_conformal_interval",
-    "fs1_mutual_information",
-    "sh1_balanced_shards",
-    "cal1_reliability_diagram",
-    "dr1_psi_drift",
-    "ec1_revenue_gini",
-    "ab1_cuped_adjustment",
-    "tp1_threshold_tuning",
-    "wp1_weighted_percentiles",
-    # (e) r7-vintage fill, oldest-first in registry order
-    "w10_percent_rank_cume",
-    "w14_session_window_batch",
-    "f1_string_functions",
+    # (b) round-15 changed (no new additions this round)
+    "t20_pmi_collocations",
+    "gr1_part_pagerank",
+    # (c) the full 35-row r7 cohort, registry order
+    "f8_date_functions",
+    "j1_revenue_by_nation",
+    "o1_top_orders_by_revenue",
+    "j5_customers_with_urgent_orders",
+    "j6_customers_without_orders",
+    "p4_filter_compound",
+    "p11_part_size_buckets",
+    "a5_monthly_revenue",
+    "a7_order_priority_counts",
+    "a9_quantity_moments",
+    "a10_corr_regression",
+    "a12_event_daily_metrics",
+    "u1_union_distinct",
+    "p16_ordered_limit",
+    "w1_event_lag_delta",
+    "w5_customer_running_spend",
+    "w4_latest_order_per_customer",
+    "wr_rank_functions",
+    "j7_regional_supplier_volume",
+    "a6_forecast_revenue",
+    "a18_large_orders_having",
+    "g1_rollup_revenue",
+    "g2_cube_counts",
+    "pv1_status_pivot",
+    "fn1_session_funnel",
+    "mm6_audio_resample",
+    "ds1_importance_resampling",
+    "sm9_stream_late_data_accounting",
+    "cf1_item_item_cosine",
+    "ts5_acf",
+    "pr1_partition_pruned_scan",
+    "dsk1_minmax_file_skipping",
+    "x13_udtf_chunk_profile",
+    "qn1_quantile_normalize",
+    "oc1_max_concurrency",
+    # (d) r8-vintage fill, oldest-first in registry order …
+    "d1_exact_dedup",
+    "t1_token_counts",
+    "t2_quality_scores",
+    "t3_language_id",
+    "t4_fingerprints",
+    "t5_corpus_stats",
+    "v1_cosine_topk",
+    "v2_label_centroid_norms",
+    "v3_ivf_topk",
+    "v3_lsh_ann_topk",
+    # … plus bj1 out of order (VERDICT r14 task 6: re-grade the
+    # storage-layout trio bj1/pr1/dsk1 together this round)
+    "bj1_bucketed_colocated_join",
 ]
 
 
