@@ -356,7 +356,10 @@ def _box_factor(fixed_total: float, sf: float):
         if doc.get("sf") != sf or committed <= 0:
             return None
         return round(fixed_total / committed, 3)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: a snapshot with "fixed_total": null or a
+        # non-numeric sf must omit the box fields, not crash the run
+        # (r14 ADVICE).
         return None
 
 

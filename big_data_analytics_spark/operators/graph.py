@@ -465,7 +465,7 @@ def _pr_shuffle_step(e_deg: DataFrame, ranks: DataFrame,
     Module-level (not inlined in the loop) for the same reason as
     _lpa_step: the per-round checkpoint erases the composed plan, so
     the SMJ-side plan guard
-    (tests/test_graph.py::test_pr_shuffle_step_no_node_broadcast)
+    (tests/test_plans.py::test_pr_shuffle_step_no_node_broadcast)
     needs a raw round to inspect — it pins that with auto-broadcast
     disabled NO relation in the round plans a BroadcastExchange,
     i.e. the shuffle path never silently rides a broadcast of the

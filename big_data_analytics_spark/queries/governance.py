@@ -238,19 +238,22 @@ def gov3_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 gov3_t_closeness.__doc__ = gov3_t_closeness.__doc__.format(T=_T_CLOSE_Q)
 
 
-# --- gov4: differentially-private count release -----------------------
+# --- gov4: geometric-mechanism noisy-count release --------------------
 #
 # The geometric mechanism (two-sided geometric / discrete Laplace;
 # Ghosh, Roughgarden & Sundararajan, STOC 2009): releasing count + Z
-# with P(Z = k) = (1-a)/(1+a) * a^|k|, a = exp(-eps), is eps-DP for
-# counting queries and is the universally utility-maximizing discrete
-# mechanism. Everything below is PRECOMPUTED IN PYTHON (the dq5
+# with P(Z = k) = (1-a)/(1+a) * a^|k|, a = exp(-eps), where Z is
+# SECRETLY sampled, is eps-DP for counting queries and is the
+# universally utility-maximizing discrete mechanism. This row ships
+# the mechanism's TRANSFORM with a deterministic public-keyed PRF in
+# place of secret sampling — see the docstring's privacy-claim
+# paragraph: no DP as shipped; eps-DP after a secret-seed swap. Everything below is PRECOMPUTED IN PYTHON (the dq5
 # integer-literal discipline): the CDF of Z over k in [-K, K] (tail
 # mass beyond +-K folded into the end bins — at eps=1, K=20 that mass
 # is ~1.4e-9, below one grid cell) is scaled to an integer grid and
 # baked into BOTH engines' SQL as a CASE chain over pure integer
 # comparisons — no exp/ln at query time on either engine, so the two
-# sides agree EXACTLY (no 1-ulp caveat, unlike t19/t20). K = 12 keeps
+# sides agree EXACTLY (no 1-ulp caveat, unlike t16/t19). K = 12 keeps
 # every bin representable on the grid (P(|k|=12) ~ 1.9e-6 ~ 127 grid
 # cells; the folded tail beyond is ~3.4e-6 of mass, i.e. the clamp
 # moves a release by >0 only with that probability per class).
@@ -327,18 +330,32 @@ _DP_U_SQL = ("((c_nationkey * {M} + bal_band) * {KN} % {MOD} "
     """,
 )
 def gov4_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private class-count release — the fourth rung of
-    the governance ladder after gov1 k-anonymity / gov2 l-diversity /
-    gov3 t-closeness: the geometric mechanism (discrete Laplace) of
-    Ghosh et al. 2009 adds integer noise Z, P(Z=k) proportional to
-    exp(-eps*|k|), to each (nation, balance-band) cohort count before
-    export — eps-DP for counts, and the discrete mechanism every
+    """Geometric-mechanism noisy-count release TRANSFORM — the fourth
+    rung of the governance ladder after gov1 k-anonymity / gov2
+    l-diversity / gov3 t-closeness: the geometric mechanism (discrete
+    Laplace) of Ghosh et al. 2009 adds integer noise Z, P(Z=k)
+    proportional to exp(-eps*|k|), to each (nation, balance-band)
+    cohort count before export — the discrete mechanism every
     integer-valued release actually ships (continuous Laplace leaks
     through the float representation). eps = {EPS}, support clamped
     to [-{K}, {K}] (folded tail mass ~3.4e-6, documented above), the
-    standard max(0, .) post-processing clamp applied. This graded
-    row is the AUDIT view (true n, noise, and noisy_n side by side —
-    the calibration diagnostic a release pipeline signs off on); the
+    standard max(0, .) post-processing clamp applied.
+
+    PRIVACY CLAIM, precisely (r14 ADVICE): AS SHIPPED this row is
+    NOT a differentially-private release. The uniform driving the
+    inverse-CDF is a deterministic PRF of the PUBLIC class key under
+    a hardcoded public constant (the Knuth hash below) — anyone can
+    recompute the noise and subtract it, so the shipped release
+    provides zero DP. What the row implements and grades is the
+    mechanism's TRANSFORM (exact inverse-CDF sampling of the
+    geometric distribution, the clamps, the post-processing), which
+    becomes an eps-DP release exactly when the PRF input is swapped
+    from the public class key to a vault-held secret seed — a
+    one-argument change that alters no plan, no distribution, and no
+    test. The deterministic stand-in is what makes the row
+    reproducible and oracle-gradable at all. This graded row is the
+    AUDIT view (true n, noise, and noisy_n side by side — the
+    calibration diagnostic a release pipeline signs off on); the
     export view drops n and noise.
 
     Portability: NO transcendental evaluates at query time in either
@@ -347,9 +364,8 @@ def gov4_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both engines run the identical CASE chain of int64
     comparisons over the identical Knuth-hash uniform (the p19b
     engine-portable hash recipe), so agreement is EXACT, not
-    1-ulp-likely. Determinism is by design: content-keyed noise makes
-    the release reproducible and re-gradable; production swaps the
-    class-key hash input for a vault-held seed, changing no plan.
+    1-ulp-likely. (The same determinism is why the shipped row is a
+    transform, not a DP release — see the privacy-claim paragraph.)
 
     Scale shape: gov1's — ONE map-side-combinable aggregation over
     bounded-cardinality keys (classes <= |nations| x |bands|), then

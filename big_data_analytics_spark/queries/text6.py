@@ -534,7 +534,9 @@ def t19_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the {D} points is the closed-form Sxy/Sxx rational on exact
     integer sums (element-level ln floor-quantized to the 1e-6 grid
     — the t16 portability discipline; beta_q is beta * 1e6). As with
-    t16/t20, the ln arguments are data-dependent exact-integer
+    t16 (t20's rank key went exact-rational in round 15 and no
+    longer carries this caveat), the ln arguments are
+    data-dependent exact-integer
     doubles, so cross-engine agreement is overwhelmingly likely but
     not guaranteed — a last-ulp JVM-vs-libm log divergence within 1
     ulp of a floor boundary would flip one grid cell; precomputation
@@ -606,9 +608,10 @@ def t19_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 t19_heaps_law.__doc__ = t19_heaps_law.__doc__.format(D=_HEAPS_D)
 
 
-_PMI_Q = 1_000_000   # element-level ln() quantization grid
 _PMI_MIN_C = 5       # minimum bigram support (the Church-Hanks cut)
 _PMI_TOP = 30        # reported collocations
+_PMI_RQ = 10 ** 18   # exact-rational rank-key grid (fits BIGINT:
+#                      the key is RQ * c12 / (c1*c2) <= RQ / MIN_C)
 
 
 @query(
@@ -620,7 +623,7 @@ _PMI_TOP = 30        # reported collocations
         SELECT u.tok FROM d, unnest(ts) AS u(tok)
     ), uni AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
-    ), nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    ),
     p AS (
         SELECT ts[u.i] AS w1, ts[u.i + 1] AS w2
         FROM d, unnest(range(1, len(ts))) AS u(i)
@@ -628,27 +631,17 @@ _PMI_TOP = 30        # reported collocations
         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
         FROM p GROUP BY w1, w2
         HAVING COUNT(*) >= {_PMI_MIN_C}
-    ), nb AS (
-        SELECT CAST(SUM(len(ts) - 1) AS BIGINT) AS b
-        FROM d WHERE len(ts) >= 2
     ), scored AS (
         SELECT big.w1, big.w2, big.c12, l.c AS c1, r.c AS c2,
-               CAST(FLOOR({_PMI_Q} * ln(CAST(big.c12 AS DOUBLE)))
-                    AS BIGINT)
-             + 2 * CAST(FLOOR({_PMI_Q} * ln(CAST(nt.n AS DOUBLE)))
-                    AS BIGINT)
-             - CAST(FLOOR({_PMI_Q} * ln(CAST(nb.b AS DOUBLE)))
-                    AS BIGINT)
-             - CAST(FLOOR({_PMI_Q} * ln(CAST(l.c AS DOUBLE)))
-                    AS BIGINT)
-             - CAST(FLOOR({_PMI_Q} * ln(CAST(r.c AS DOUBLE)))
-                    AS BIGINT) AS pmi_q
+               CAST((CAST({_PMI_RQ} AS HUGEINT) * big.c12)
+                    // (CAST(l.c AS HUGEINT) * r.c) AS BIGINT)
+                   AS pmi_rank_q
         FROM big JOIN uni l ON l.tok = big.w1
-                 JOIN uni r ON r.tok = big.w2, nt, nb
+                 JOIN uni r ON r.tok = big.w2
     )
-    SELECT w1, w2, c12, c1, c2, pmi_q
+    SELECT w1, w2, c12, c1, c2, pmi_rank_q
     FROM scored
-    ORDER BY pmi_q DESC, w1, w2
+    ORDER BY pmi_rank_q DESC, w1, w2
     LIMIT {_PMI_TOP}
     """,
 )
@@ -659,18 +652,25 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln[p(w1 w2) / (p(w1) p(w2))] with p(w1 w2) = c12/B over B
     adjacent pairs and p(w) = c/N over N tokens, reported for the
     top-{K} bigrams with support >= {M} (the classic low-count cut —
-    PMI is degenerate on hapax pairs). Expanded to ln c12 + 2 ln N -
-    ln B - ln c1 - ln c2 with EVERY term floor-quantized to the 1e-6
-    grid before the signed sum (the ds1 sum-of-quantized-logs recipe:
-    each ln sees an exact-integer-valued double, so no product can
-    overflow — c12 * N^2 would pass int64 at ~3e9 tokens if computed
-    as a ratio — and cross-engine agreement is overwhelmingly likely,
-    NOT guaranteed: JVM Math.log and DuckDB's libm can still differ
-    in the last ulp, and a data-dependent ln(k) landing within 1 ulp
-    of a 1e-6 floor boundary would flip one quantized term. The dq5
-    precompute trick is unavailable here (the ln arguments are
-    data-dependent counts), so the residual risk is accepted and
-    documented, per r13 ADVICE.
+    PMI is degenerate on hapax pairs).
+
+    EXACT rank key (round 15, VERDICT r14 task 8 — this closed the
+    last data-dependent-ln residual in the graded surface): within
+    one corpus N and B are constants, so PMI-descending order is
+    exactly ratio-descending order on c12 / (c1 * c2). The graded
+    key is that ratio floor-quantized on the 1e18 grid by INTEGER
+    cross-multiplied division in 128-bit end to end (the gov3/fs2
+    discipline — Spark DECIMAL(38,0) div, DuckDB HUGEINT //):
+    pmi_rank_q = (RQ * c12) div (c1 * c2). Every operand is an
+    integer, no ln/exp evaluates at query time in either engine, so
+    cross-engine agreement is EXACT — unlike the previous
+    sum-of-quantized-logs key, which carried a documented 1-ulp
+    floor-boundary risk (r13 ADVICE). Overflow audit: RQ * c12 <=
+    1e18 * 1e13 = 1e31 and c1 * c2 <= N^2 = 1e26 at a 100 TB corpus
+    — both inside DECIMAL(38,0)/HUGEINT; the quotient <= RQ / MIN_C
+    fits BIGINT by construction. The ln-valued PMI itself is
+    recomputable from the released (c12, c1, c2) columns; it is
+    deliberately NOT a graded column.
 
     Scale shape: one token count (map-side combined) and one bigram
     count (the t17 pair exchange) — both vocabulary-keyed relations;
@@ -693,7 +693,6 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).cast("long").alias("c"))
            .localCheckpoint())
     n_vocab = uni.count()  # materializes; exact vocab size for pins
-    nt = uni.agg(F.sum("c").cast("long").alias("n"))
     pairs = (docs.filter(F.size("ts") >= 2)
              .select(F.explode(F.expr(
                  "transform(slice(ts, 1, size(ts) - 1), "
@@ -703,13 +702,9 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (pairs.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).cast("long").alias("c12"))
            .filter(F.col("c12") >= _PMI_MIN_C))
-    nb = (docs.filter(F.size("ts") >= 2)
-          .agg(F.sum(F.size("ts") - 1).cast("long").alias("b")))
-
-    def q(col):
-        return F.floor(F.lit(_PMI_Q) * F.log(col.cast("double"))) \
-                .cast("long")
-
+    rank_q = F.expr(
+        f"cast((cast({_PMI_RQ} as decimal(38,0)) * c12) "
+        f"div (cast(c1 as decimal(38,0)) * c2) as long)")
     scored = (big
               .join(sized_side(uni.withColumnRenamed("tok", "w1")
                                .withColumnRenamed("c", "c1"), n_vocab),
@@ -717,14 +712,10 @@ def t20_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(sized_side(uni.withColumnRenamed("tok", "w2")
                                .withColumnRenamed("c", "c2"), n_vocab),
                     "w2")
-              .crossJoin(F.broadcast(nt))
-              .crossJoin(F.broadcast(nb))
               .select("w1", "w2", "c12", "c1", "c2",
-                      (q(F.col("c12")) + 2 * q(F.col("n"))
-                       - q(F.col("b")) - q(F.col("c1"))
-                       - q(F.col("c2"))).alias("pmi_q")))
+                      rank_q.alias("pmi_rank_q")))
     return (scored
-            .orderBy(F.desc("pmi_q"), "w1", "w2")
+            .orderBy(F.desc("pmi_rank_q"), "w1", "w2")
             .limit(_PMI_TOP))
 
 

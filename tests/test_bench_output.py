@@ -281,3 +281,19 @@ def test_rotation_guard_ignores_untracked_artifacts():
             "naming it")
     finally:
         os.remove(poison)
+
+
+def test_box_factor_null_snapshot_omits_not_crashes():
+    """r14 ADVICE: a committed snapshot with "fixed_total": null (or a
+    non-numeric sf) must make _box_factor return None — omitting the
+    box fields as documented — not TypeError the whole bench run."""
+    import json as _json
+    from unittest import mock
+
+    import bench
+
+    for doc in ({"fixed_total": None, "sf": 0.1},
+                {"fixed_total": 9.7, "sf": None},
+                {"fixed_total": "n/a", "sf": 0.1}):
+        with mock.patch.object(_json, "load", return_value=doc):
+            assert bench._box_factor(9.7, 0.1) is None

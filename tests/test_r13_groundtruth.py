@@ -123,14 +123,17 @@ def test_t19_matches_pure_python_heaps(spark):
 
 
 def test_t20_matches_pure_python_pmi(spark):
-    """t20: re-derive the top collocations with Counters and
-    math.log — literal unigram/bigram tallies, the same quantized-log
-    expansion evaluated in plain Python — so a shared join or
-    normalization bug in the Spark/oracle formulation cannot
-    hash-match green."""
+    """t20: re-derive the top collocations with Counters and Python's
+    unbounded integers — literal unigram/bigram tallies, the exact
+    cross-multiplied rank key evaluated with arbitrary-precision //
+    (no 128-bit decimal machinery shared with either engine) — so a
+    shared join or normalization bug in the Spark/oracle formulation
+    cannot hash-match green. Also asserts the rank key's defining
+    property: it orders bigrams exactly as true float PMI does,
+    except where the 1e18 grid ties them (none at this sf)."""
     from big_data_analytics_spark.queries.text6 import (
         _PMI_MIN_C,
-        _PMI_Q,
+        _PMI_RQ,
         _PMI_TOP,
         t20_pmi_collocations,
     )
@@ -148,21 +151,39 @@ def test_t20_matches_pure_python_pmi(spark):
             n_pairs += 1
     n_tok = sum(uni.values())
 
-    def q(x):
-        return math.floor(_PMI_Q * math.log(x))
-
     scored = []
     for (w1, w2), c12 in big.items():
         if c12 < _PMI_MIN_C:
             continue
-        pmi = (q(c12) + 2 * q(n_tok) - q(n_pairs)
-               - q(uni[w1]) - q(uni[w2]))
-        scored.append((w1, w2, c12, uni[w1], uni[w2], pmi))
+        rank_q = (_PMI_RQ * c12) // (uni[w1] * uni[w2])
+        scored.append((w1, w2, c12, uni[w1], uni[w2], rank_q))
     scored.sort(key=lambda r: (-r[5], r[0], r[1]))
     want = scored[:_PMI_TOP]
 
     got = [(r["w1"], r["w2"], int(r["c12"]), int(r["c1"]),
-            int(r["c2"]), int(r["pmi_q"]))
+            int(r["c2"]), int(r["pmi_rank_q"]))
            for r in t20_pmi_collocations(spark, SF).collect()]
     assert got == want
     assert len(got) == _PMI_TOP
+
+    # rank-key fidelity: PMI = ln(c12 * N^2 / (B * c1 * c2)) is
+    # monotone in the exact ratio c12/(c1*c2) because N and B are
+    # corpus constants, so descending-key order IS descending-PMI
+    # order provided the 1e18 grid never merges two DISTINCT ratios.
+    # Key ties do occur (bigrams with identical count triples are
+    # genuine PMI ties, broken lexically on both engines) — assert
+    # every tie is that kind: one exact Fraction per key group.
+    from collections import defaultdict
+    from fractions import Fraction
+
+    by_key = defaultdict(set)
+    for w1, w2, c12, c1, c2, k in scored:
+        by_key[k].add(Fraction(c12, c1 * c2))
+    merged = {k: fr for k, fr in by_key.items() if len(fr) > 1}
+    assert not merged, (
+        f"1e18 grid merged distinct PMI ratios: {merged} — raise "
+        f"_PMI_RQ or accept rank infidelity explicitly")
+    by_ratio = sorted(
+        scored, key=lambda r: (-Fraction(r[2], r[3] * r[4]),
+                               r[0], r[1]))
+    assert [r[:2] for r in by_ratio[:_PMI_TOP]] == [r[:2] for r in want]
