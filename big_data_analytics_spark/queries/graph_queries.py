@@ -109,6 +109,53 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     return _build_weighted_edges(li).select("src", "dst")
 
 
+#: Pre-flight cost model for the edge build (VERDICT r14 task 4).
+#: Measured datapoints behind the constants (SCALE.md, 100x rung):
+#: 240M pair expansions die on the default 8g local heap with a bare
+#: JVM exit (GCLocker retry pathology), complete cleanly at 32g; 72M
+#: pairs (30x) complete on 8g. 48 bytes per pair row against a 60%
+#: usable-heap fraction puts the 8g refusal boundary at ~100M pairs —
+#: between the measured survive/die points, with margin on both
+#: sides. Deliberately conservative-but-simple: the pre-flight's job
+#: is an ACTIONABLE error naming the knob, not a byte-exact planner.
+_PAIR_BYTES = 48
+_HEAP_USABLE = 0.6
+
+
+def _edge_build_preflight(spark: SparkSession, li: DataFrame,
+                          heap_bytes: int | None = None) -> int:
+    """Estimate the co-purchase pair expansion EXACTLY — pairs =
+    sum over orders of n*(n-1), one map-side-combined order-size
+    count (an n_orders-sized exchange, ~0.5% of the build it guards
+    at 100x) — and raise an actionable error instead of letting the
+    JVM die silently when the expansion cannot fit the local heap
+    (the r14 100x finding: GCLocker retry warning, then a bare JVM
+    exit, no Python traceback). ``heap_bytes`` overrides the
+    Runtime.maxMemory() reading so tests can exercise the refusal
+    without relaunching a capped JVM. Returns the pair count so the
+    caller can log/reuse it."""
+    pairs = (li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+             .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
+             .first()["p"]) or 0
+    if heap_bytes is None:
+        heap_bytes = int(spark.sparkContext._jvm.java.lang.Runtime
+                         .getRuntime().maxMemory())
+    budget = int(heap_bytes * _HEAP_USABLE)
+    need = pairs * _PAIR_BYTES
+    if need > budget:
+        raise RuntimeError(
+            f"co-purchase edge build needs ~{need / 1e9:.1f} GB for "
+            f"{pairs:,} pair expansions but the local JVM heap "
+            f"budget is ~{budget / 1e9:.1f} GB — the build would die "
+            f"with a silent JVM exit (GCLocker pathology), not an "
+            f"exception. Relaunch with SPARK_GRAFT_DRIVER_MEM="
+            f"{max(8, int(need * 2 / 1e9) + 1)}g (in local mode the "
+            f"driver heap IS the executor pool; on a cluster size "
+            f"executor memory instead and bucket lineitem by "
+            f"l_orderkey).")
+    return pairs
+
+
 #: One edge relation per (session, sf_dir), localCheckpoint-cached so
 #: gr1/lp1/gr2/gr3 share a single build instead of four. Keyed by
 #: applicationId so a new session never sees another session's blocks.
@@ -121,6 +168,7 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey")
+        _edge_build_preflight(spark, li)
         df = _build_weighted_edges(li).localCheckpoint()
         _EDGE_CACHE[key] = df
     return df

@@ -623,3 +623,37 @@ def test_star_components_sized_side_flip(spark):
     default = _star_labels(spark, pairs)
     forced_merge = _star_labels(spark, pairs, broadcast_max_nodes=2)
     assert default == forced_merge == _uf_components(pairs)
+
+
+def test_edge_build_preflight_refuses_small_heap(spark):
+    """VERDICT r14 task 4: the 100x probe found the co-purchase edge
+    build dying with a BARE JVM EXIT (GCLocker pathology) on the
+    default 8g heap — no Python traceback, no knob named. The
+    pre-flight must convert that into an actionable error naming
+    SPARK_GRAFT_DRIVER_MEM before any expansion work starts, and must
+    pass silently when the heap fits. The heap_bytes override stands
+    in for a capped JVM (maxMemory() is fixed at launch)."""
+    from big_data_analytics_spark.catalog import load_table
+    from big_data_analytics_spark.queries.graph_queries import (
+        _edge_build_preflight,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey")
+    # generous cap: passes and returns the exact pair-expansion count
+    pairs = _edge_build_preflight(spark, li, heap_bytes=1 << 40)
+    assert pairs > 0
+    # exactness: pairs must equal sum over orders of n*(n-1)
+    from pyspark.sql import functions as F
+    want = (li.groupBy("l_orderkey").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1)))
+            .first()[0])
+    assert pairs == want
+    # artificial small cap: refuses, names the knob and both sizes
+    with pytest.raises(RuntimeError) as err:
+        _edge_build_preflight(spark, li, heap_bytes=10_000)
+    msg = str(err.value)
+    assert "SPARK_GRAFT_DRIVER_MEM" in msg
+    assert f"{pairs:,}" in msg
+    # real heap: the graded fixture must keep fitting the default JVM
+    assert _edge_build_preflight(spark, li) == pairs
