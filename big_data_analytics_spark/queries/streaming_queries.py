@@ -1181,7 +1181,13 @@ def sm14_stream_user_totals_rocksdb(spark: SparkSession,
     snapshot files in the checkpoint, which is what lets a 1000-
     executor deployment hold per-user state for ~1e9 users (state
     size bounded by local disk, not heap) and is the provider every
-    large Structured Streaming deployment actually runs.
+    large Structured Streaming deployment actually runs. Both sides
+    of the trade are MEASURED (SCALE.md r14 + r15,
+    tools/state_explosion_ab.py): below heap-scale state RocksDB is
+    pure commit overhead; at 16M keys on a 2g heap the HDFS
+    provider's in-heap state map OOMs the stream while RocksDB
+    completes the identical aggregation — the crossover this row
+    exists to document.
 
     The swap is CONFIG ONLY — spark.sql.streaming.stateStore
     .providerClass pinned around the stream's first start; the
