@@ -149,10 +149,12 @@ def _edge_build_preflight(spark: SparkSession, li: DataFrame,
             f"budget is ~{budget / 1e9:.1f} GB — the build would die "
             f"with a silent JVM exit (GCLocker pathology), not an "
             f"exception. Relaunch with SPARK_GRAFT_DRIVER_MEM="
-            f"{max(8, int(need * 2 / 1e9) + 1)}g (in local mode the "
-            f"driver heap IS the executor pool; on a cluster size "
-            f"executor memory instead and bucket lineitem by "
-            f"l_orderkey).")
+            f"{max(8, int(need * 2 / 1e9) + 1)}g or more — this is a "
+            f"LOWER bound covering the edge build only; downstream "
+            f"per-node adjacency state (gr7-class) measured ~2x above "
+            f"it at 100x. In local mode the driver heap IS the "
+            f"executor pool; on a cluster size executor memory "
+            f"instead and bucket lineitem by l_orderkey.")
     return pairs
 
 
