@@ -372,29 +372,48 @@ def pagerank(
     # the per-node flow denominator: outdeg when unweighted, Σw when
     # weighted — one name ("wsum") so both paths share the plan shape
     if weight is None:
-        deg = e.groupBy("src").agg(F.count("*").alias("wsum"))
+        src_w = F.lit(1).cast("long")
         flow_expr = "rank div wsum"
         row_bytes = 16
     else:
-        deg = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+        src_w = F.col("w").cast("long")
         flow_expr = "(rank * w) div wsum"
         row_bytes = 24
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
-    n_nodes = nodes.count()
+    # node universe + flow denominator in ONE pass over the edges
+    # (r15: the separate deg aggregate, src∪dst distinct, and repair
+    # join were three passes + a join for the same node-sized result):
+    # each edge emits (src, w) and (dst, 0); per-node Σ is the out-
+    # weight (outdeg when w≡1), 0 for dangling nodes. greatest(·,1)
+    # reproduces the old COALESCE(wsum, 1) dangling repair — a node
+    # with no out-edges never appears as src in the flow join, so its
+    # denominator is never read; any caller-supplied all-zero-weight
+    # source divides to NULL flow under the old form and 0 under this
+    # one, which sum() treats identically.
+    node_info = (
+        e.select(F.explode(F.array(
+            F.struct(F.col("src").alias("node"), src_w.alias("wv")),
+            F.struct(F.col("dst").alias("node"),
+                     F.lit(0).cast("long").alias("wv")))).alias("x"))
+        .select("x.node", "x.wv")
+        .groupBy("node")
+        .agg(F.greatest(F.sum("wv"), F.lit(1).cast("long")).alias("wsum"))
+        .persist())
+    ni_cached = node_info  # unpersist handle (coalesce below derives)
+    n_nodes = node_info.count()
     if strategy == "auto":
         strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
                     else "shuffle")
     try:
         if strategy == "broadcast":
-            # ~16-24 bytes per edge row. Target ~8 MB per task so
-            # small graphs still parallelize across cores, capped so
-            # huge graphs settle near 64 MB tasks instead of a
-            # tiny-task storm.
+            # Partition floor at the session parallelism so small
+            # graphs still use every core (the old ~8 MB/task target
+            # left 27 of 32 cores idle at sf0.1 — r15 A/B); huge
+            # graphs settle near 64 MB tasks. coalesce() cannot raise
+            # the parent partition count, so this never adds a
+            # shuffle.
             para = edges.sparkSession.sparkContext.defaultParallelism
-            n_parts = int(min(n_edges * row_bytes // (8 << 20) + 1,
-                              max(para, n_edges * row_bytes // (64 << 20) + 1)))
+            n_parts = int(max(para,
+                              n_edges * row_bytes // (64 << 20) + 1))
             e_sized = e.coalesce(n_parts)
             # wsum is a *node-sized* attribute: attach it to the
             # broadcast rank table, never to the 100-1000x larger edge
@@ -402,12 +421,8 @@ def pagerank(
             # no per-edge join ever materializes. node_info partitions
             # follow node volume (1 at 20k nodes, a handful at the 5M
             # broadcast ceiling) — never an unconditional coalesce(1).
-            node_info = (nodes.join(deg, nodes.node == deg.src, "left")
-                         .select("node",
-                                 F.coalesce("wsum", F.lit(1))
-                                 .alias("wsum"))
-                         .coalesce(int(n_nodes * 16 // (32 << 20) + 1))
-                         .persist())
+            node_info = node_info.coalesce(
+                int(n_nodes * 16 // (32 << 20) + 1))
             zero = node_info.select(F.col("node").alias("dst"),
                                     F.lit(0).cast("long").alias("flow"))
             ranks = node_info.select(
@@ -437,20 +452,26 @@ def pagerank(
                 return ranks
             # materialize before unpersisting the relations it reads
             ranks = ranks.localCheckpoint()
-            node_info.unpersist()
+            ni_cached.unpersist()
             return ranks
         if strategy != "shuffle":
             raise ValueError(
                 f"strategy must be auto/broadcast/shuffle, got {strategy!r}")
-        e_deg = _ckpt(e.join(deg, "src"), checkpoint)
+        # the cached node_info doubles as the degree relation (wsum is
+        # only ever read for real sources) and the node universe
+        e_deg = _ckpt(
+            e.join(node_info.withColumnRenamed("node", "src"), "src"),
+            checkpoint)
+        nodes_c = _ckpt(node_info.select("node"), checkpoint)
         ranks = _ckpt(
-            nodes.select("node", F.lit(1_000_000).cast("long").alias("rank")),
+            nodes_c.select("node",
+                           F.lit(1_000_000).cast("long").alias("rank")),
             checkpoint,
         )
-        nodes_c = _ckpt(nodes, checkpoint)
         for _ in range(iterations):
             ranks = _ckpt(_pr_shuffle_step(e_deg, ranks, nodes_c,
                                            flow_expr), checkpoint)
+        ni_cached.unpersist()
         return ranks
     finally:
         e.unpersist()
@@ -490,13 +511,14 @@ def _pr_shuffle_step(e_deg: DataFrame, ranks: DataFrame,
 
 
 def _lpa_step(edge_rel: DataFrame, lab: DataFrame,
-              join_hint, fuse: bool = False) -> DataFrame:
+              join_hint, fuse: bool = False,
+              pack_span: int | None = None) -> DataFrame:
     """One LPA round: join labels into edges, then mode-of-neighbor
-    labels per dst with the (count DESC, label ASC) tie-break as one
-    max of a lexicographic struct. Module-level (not a closure) so the
-    plan guard test_lp1_fused_step_single_exchange can inspect a raw
-    round — the broadcast path's localCheckpoint erases the plan of
-    the composed recursion (the gr4/_bfs_hop precedent).
+    labels per dst with the (count DESC, label ASC) tie-break. Module-
+    level (not a closure) so the plan guard
+    test_lp1_fused_step_single_exchange can inspect a raw round — the
+    broadcast path's localCheckpoint erases the plan of the composed
+    recursion (the gr4/_bfs_hop precedent).
 
     ``fuse`` replaces the two aggregation exchanges — (dst, label)
     then dst — with ONE repartition of the raw joined rows on dst:
@@ -504,21 +526,38 @@ def _lpa_step(edge_rel: DataFrame, lab: DataFrame,
     downstream aggregations (partitioning on a subset of the group
     keys), at the price of losing the map-side combine into the first
     exchange (worth nothing in LPA's early near-distinct-label
-    rounds; see label_propagation's docstring for the measurements)."""
+    rounds; see label_propagation's docstring for the measurements).
+
+    ``pack_span`` (r15): with non-negative labels below ``span`` and
+    per-(dst,label) counts bounded so n·span + span stays under 2^63
+    (label_propagation derives both from measured aggregates), the
+    argmax runs over the single packed long n·span + (span−1−label)
+    instead of a lexicographic (n, −label, label) struct — maximizing
+    the pack IS (count DESC, label ASC), exactly, and a long max
+    codegens where the struct max allocates per row (measured 4.9 →
+    3.5 s CPU per round at sf0.1). ``None`` keeps the struct form."""
     joined = edge_rel.join(join_hint(lab), edge_rel.src == lab.node)
     if fuse:
         joined = joined.repartition("dst")
-    return (
-        joined
-        .groupBy(F.col("dst").alias("node2"), "label")
-        .agg(F.count("*").alias("n"))
-        .groupBy("node2")
-        .agg(F.max(F.struct(
-            F.col("n"), (-F.col("label")).alias("neg"),
-            F.col("label"))).alias("best"))
-        .select(F.col("node2").alias("node"),
-                F.col("best.label").alias("label"))
-    )
+    cnt = (joined
+           .groupBy(F.col("dst").alias("node2"), "label")
+           .agg(F.count("*").alias("n")))
+    if pack_span is not None:
+        span = F.lit(int(pack_span)).cast("long")
+        return (cnt
+                .groupBy("node2")
+                .agg(F.max(F.col("n") * span
+                           + (span - 1 - F.col("label"))).alias("p"))
+                .select(F.col("node2").alias("node"),
+                        (span - 1 - F.col("p") % span).cast("long")
+                        .alias("label")))
+    return (cnt
+            .groupBy("node2")
+            .agg(F.max(F.struct(
+                F.col("n"), (-F.col("label")).alias("neg"),
+                F.col("label"))).alias("best"))
+            .select(F.col("node2").alias("node"),
+                    F.col("best.label").alias("label")))
 
 
 def label_propagation(
@@ -575,7 +614,19 @@ def label_propagation(
     e = e.persist()
     n_edges = e.count()
     nodes = e.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()
+    # one aggregate pin instead of a bare count: node count picks the
+    # strategy, the id range decides whether the mode argmax may run
+    # on a packed long (labels are always node ids, so max(label) ≤
+    # max node id in every round; counts are bounded by n_edges)
+    nstats = nodes.agg(F.count(F.lit(1)).alias("n"),
+                       F.min("node").alias("lo"),
+                       F.max("node").alias("hi")).first()
+    n_nodes = int(nstats["n"])
+    pack_span = None
+    if n_nodes and int(nstats["lo"]) >= 0:
+        span = int(nstats["hi"]) + 1
+        if n_edges <= (1 << 63) // span - 1:
+            pack_span = span
     if strategy == "auto":
         strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
                     else "shuffle")
@@ -585,13 +636,16 @@ def label_propagation(
 
     try:
         if strategy == "broadcast":
+            # partition floor at the session parallelism (pagerank's
+            # r15 rule — the 8 MB/task target under-parallelized small
+            # graphs); coalesce never adds a shuffle
             para = edges.sparkSession.sparkContext.defaultParallelism
-            n_parts = int(min(n_edges * 16 // (8 << 20) + 1,
-                              max(para, n_edges * 16 // (64 << 20) + 1)))
+            n_parts = int(max(para, n_edges * 16 // (64 << 20) + 1))
             e_sized = e.coalesce(n_parts)
             for _ in range(iterations):
                 labels = _lpa_step(e_sized, labels, F.broadcast,
-                                   fuse=fuse_exchanges)
+                                   fuse=fuse_exchanges,
+                                   pack_span=pack_span)
             return labels.localCheckpoint()
         if strategy != "shuffle":
             raise ValueError(
@@ -599,7 +653,8 @@ def label_propagation(
         labels = _ckpt(labels, checkpoint)
         for _ in range(iterations):
             labels = _ckpt(_lpa_step(e, labels, lambda d: d,
-                                     fuse=fuse_exchanges), checkpoint)
+                                     fuse=fuse_exchanges,
+                                     pack_span=pack_span), checkpoint)
         return labels
     finally:
         e.unpersist()

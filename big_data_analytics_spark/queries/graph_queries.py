@@ -522,6 +522,12 @@ def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_CAP = 50
 _AA_Q = 1_000_000_000
 
+#: Largest node id for which the (a, b) pair packs into one int64
+#: (a*(id+1)+b needs (id+1)^2 < 2^63): isqrt(2^63) - 1. Above it gr5
+#: falls back to the two-column pair key — same semantics, bigger
+#: shuffle rows (tests monkeypatch this to force the fallback).
+_PACK_MAX_KEY = 3_037_000_498
+
 
 def _linkpred_oracle() -> str:
     return f"""
@@ -608,18 +614,27 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("rn") <= _LP_CAP)
            .select("src", "dst"))
     # nbrs arrays are bounded by the cap (<= _LP_CAP elements), so the
-    # O(d^2) combination expression is a constant-bounded per-row cost
+    # O(d^2) combination expansion is a constant-bounded per-row cost
     nbr = cap.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs"))
     nbr = nbr.select(
         # per-z AA term: pure function of capped degree — no join
         F.floor(_AA_Q / F.log(F.size("nbrs").cast("double")))
-        .cast("long").alias("aa_t"),
-        F.expr("flatten(transform(nbrs, (x, i) -> "
-               "transform(slice(nbrs, i + 2, size(nbrs) - i - 1), "
-               "y -> struct(x AS a, y AS b))))").alias("pairs"))
+        .cast("long").alias("aa_t"), "nbrs")
+    # i<j pair expansion as two CHAINED explodes — each a codegen
+    # Generate — instead of one interpreted nested
+    # transform×transform×struct array build (higher-order lambdas are
+    # CodegenFallback, evaluated per element on the heap). Same move
+    # as _build_weighted_edges, same reason; r15 A/B on the pair
+    # stage: 108 s of executor CPU for the interpreted generator vs
+    # 23 s chained (this box, sf0.1 — OPTIMIZATION_r15.md).
+    p2 = (nbr.select("aa_t", "nbrs", F.posexplode("nbrs").alias("i", "a"))
+          .select("aa_t", "a",
+                  F.explode(F.expr(
+                      "slice(nbrs, i + 2, size(nbrs) - i - 1)"))
+                  .alias("b")))
     # The pair stream is up to n_edges * (cap-1)/2 rows; at the session
-    # default of cores-many shuffle partitions the (a, b) aggregate AND
+    # default of cores-many shuffle partitions the pair aggregate AND
     # the anti-join's per-partition edge hash maps stop fitting memory
     # once edges grow ~10x (measured: SparkOutOfMemoryError building
     # the SHUFFLE_HASH map at 24M edges / 32 partitions — the build map
@@ -629,15 +644,49 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build rows stay ~n_edges/n_parts regardless of scale. At sf0.1
     # this degenerates to defaultParallelism — the plan is unchanged
     # where it already fit (A/B: 3.92 vs 3.89 s; at 10x edges: 46 s vs
-    # OOM). The count is a cached-scan job (e is localCheckpointed).
-    n_edges = e.count()
-    pair_bytes = n_edges * ((_LP_CAP - 1) // 2) * 24
+    # OOM). n_edges and the max node id come from ONE cached-scan
+    # aggregate (e is localCheckpointed; max(src) = max node on this
+    # symmetric graph).
+    stats = e.agg(F.count(F.lit(1)).alias("n"),
+                  F.max("src").alias("mx")).first()
+    n_edges, max_key = int(stats["n"]), int(stats["mx"] or 0)
+    # Pack the (a, b) pair into ONE long while the measured key bound
+    # allows (a*(mx+1)+b is injective and order-preserving; needs
+    # (mx+1)^2 < 2^63, i.e. keys below ~3e9): halves the shuffled pair
+    # row (16 vs 24 bytes) and makes the aggregate/anti-join hash a
+    # single-long key. Past the bound the unpacked two-column path is
+    # used — identical semantics, measured-bound-guarded like every
+    # sized_side pin.
+    packed = max_key <= _PACK_MAX_KEY
+    pair_bytes = n_edges * ((_LP_CAP - 1) // 2) * (16 if packed else 24)
     n_parts = int(max(spark.sparkContext.defaultParallelism,
                       min(pair_bytes // (64 << 20) + 1, 4096)))
-    scored = (nbr.select("aa_t", F.explode("pairs").alias("p"))
-              .select("aa_t", F.col("p.a").alias("a"),
-                      F.col("p.b").alias("b"))
-              .repartition(n_parts, "a", "b")
+    if packed:
+        kspan = F.lit(max_key + 1).cast("long")
+        pairs = p2.select(
+            "aa_t", (F.col("a") * kspan + F.col("b")).alias("ab"))
+        edge_keys = e.select(
+            (F.col("src") * kspan + F.col("dst")).alias("ab"))
+        scored = (pairs.repartition(n_parts, "ab")
+                  .groupBy("ab")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("common_neighbors"),
+                       F.sum("aa_t").cast("long").alias("aa_q")))
+        pred = scored.join(edge_keys.hint("SHUFFLE_HASH"),
+                           ["ab"], "left_anti")
+        # ab order == (a, b) lexicographic order (both non-negative,
+        # b <= mx < span), so the top-k sort key is unchanged
+        return (pred.orderBy(F.desc("common_neighbors"), F.desc("aa_q"),
+                             "ab")
+                .limit(_TOPK)
+                # integer div/mod — a double division would lose
+                # precision above 2^53
+                .select(F.expr(f"ab div {max_key + 1}L").cast("long")
+                        .alias("part_a"),
+                        F.expr(f"ab % {max_key + 1}L").cast("long")
+                        .alias("part_b"),
+                        "common_neighbors", "aa_q"))
+    scored = (p2.repartition(n_parts, "a", "b")
               .groupBy("a", "b")
               .agg(F.count(F.lit(1)).cast("long")
                    .alias("common_neighbors"),

@@ -545,6 +545,21 @@ def test_gr5_matches_pure_python_reference(spark):
     assert got == want
 
 
+def test_gr5_unpacked_fallback_matches_packed(spark, monkeypatch):
+    """gr5's single-long pair packing is guarded by the measured max
+    node id (keys past ~3e9 would overflow a*(mx+1)+b); the unpacked
+    two-column path must produce the identical top-k. Forced here by
+    shrinking the pack threshold to 0 (r15 optimization: the packed
+    key halves the pair-shuffle row)."""
+    from big_data_analytics_spark.queries import graph_queries as gq
+
+    sf = "/root/testdata/sf0.001"
+    packed = [tuple(r) for r in gq.gr5_link_prediction(spark, sf).collect()]
+    monkeypatch.setattr(gq, "_PACK_MAX_KEY", -1)
+    unpacked = [tuple(r) for r in gq.gr5_link_prediction(spark, sf).collect()]
+    assert packed == unpacked
+
+
 # ---------------------------------------------------------------------------
 # connected_components_star (large-star/small-star contraction)
 # ---------------------------------------------------------------------------
