@@ -125,14 +125,26 @@ def lloyd_assign(spark: SparkSession, sf_dir: str, k: int,
                  iters: int) -> tuple[DataFrame, DataFrame]:
     """Spark-side twin of ``lloyd_cte_sql``: `iters` exact Lloyd
     iterations, returning (assigned, centroids) where assigned =
-    (vec_id, vq, cluster_id, d) and centroids = (cluster_id, c).
-    ASSIGN broadcasts the K centroids as one array row (map-only,
-    per-row argmin fold); UPDATE is a K*dims-group mergeable agg."""
+    (vec_id, vq, cluster_id, d) and centroids = (cluster_id, c,
+    n_members, ss_err). ASSIGN broadcasts the K centroids as one
+    array row (map-only, per-row argmin fold); UPDATE is the
+    posexplode → (cluster, dim) → cluster two-level mergeable agg.
+    r15: the UPDATE aggs additionally carry the member count and Σd
+    (exact: every member contributes its d to each of its {D} dim
+    rows, so per-(cluster, dim) Σd IS the per-cluster Σd — read back
+    with max), so consumers (ml5) take per-cluster stats off the
+    centroid relation instead of re-scanning the assignment. (A
+    {D}-wide unrolled element_at aggregate was tried first: one
+    exchange fewer but ~3 s of extra driver-side analysis per call on
+    the 64×3-iteration nested plan — net 2.7× slower. Analysis cost
+    is part of the plan budget.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", _quantized(F.col("embedding")).alias("vq"))
     cents = (v.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("cluster_id"),
-                     F.col("vq").alias("c")))
+                     F.col("vq").alias("c"),
+                     F.lit(None).cast("long").alias("n_members"),
+                     F.lit(None).cast("long").alias("ss_err")))
 
     assigned = None
     for _ in range(iters):
@@ -158,16 +170,21 @@ def lloyd_assign(spark: SparkSession, sf_dir: str, k: int,
             .select("vec_id", "vq", F.col("best.cid").alias("cluster_id"),
                     F.col("best.d").alias("d")))
         cents = (
-            assigned.select("cluster_id",
+            assigned.select("cluster_id", "d",
                             F.posexplode("vq").alias("dim", "x"))
             .groupBy("cluster_id", "dim")
             .agg(F.floor(F.sum("x").cast("double") / F.count("*"))
-                 .cast("long").alias("cd"))
+                 .cast("long").alias("cd"),
+                 F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("d").cast("long").alias("sd"))
             .groupBy("cluster_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "cd")))
-                 .alias("s"))
+                 .alias("s"),
+                 F.max("n").alias("n_members"),
+                 F.max("sd").alias("ss_err"))
             .select("cluster_id",
-                    F.transform("s", lambda t: t["cd"]).alias("c")))
+                    F.transform("s", lambda t: t["cd"]).alias("c"),
+                    "n_members", "ss_err"))
     return assigned, cents
 
 
@@ -188,18 +205,18 @@ def ml5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids collapse to a single-row array that is broadcast-cross-
     joined; argmin is a per-row fold — no shuffle, no window);
     UPDATE is posexplode -> groupBy(cluster, dim) partial-aggregated
-    sum with K*{D} groups. At 100 TB that is the canonical k-means||
+    sum with K*{D} groups (carrying member count and Σd, so the final
+    stats need no extra pass over the assignment). At 100 TB that is the canonical k-means||
     shape: per-iteration cost = one scan + one tiny mergeable agg;
     centroid state is O(K*{D}) and never leaves the plan. (At BIGINT
     corpus scale the per-(cluster,dim) sums would move to
     decimal(38,0) accumulators — at the tested scales the long sum
     is exact by a wide margin.)"""
-    assigned, cents = lloyd_assign(spark, sf_dir, _KM_K, _KM_ITERS)
-    stats = assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members"),
-        F.sum("d").alias("ss_err"))
+    _assigned, cents = lloyd_assign(spark, sf_dir, _KM_K, _KM_ITERS)
+    # n_members / ss_err ride the centroid aggregate (r15): no second
+    # pass over the assignment, no K-row join
     return (
-        stats.join(cents, "cluster_id")
+        cents
         .select("cluster_id", F.posexplode("c").alias("dim", "c_micro"),
                 "n_members", "ss_err")
         .select("cluster_id", "dim", "c_micro", "n_members", "ss_err")
