@@ -287,6 +287,27 @@ def dedup_by_components(
     return df.join(losers, id_col, "left_anti")
 
 
+def build_node_info(e: DataFrame, weighted: bool) -> DataFrame:
+    """(node, wsum) for every node of the unique-(src, dst) edge
+    relation ``e`` in ONE pass: each edge emits (src, w) and (dst, 0);
+    the per-node Σ is the flow denominator (outdeg when unweighted),
+    and greatest(·, 1) repairs dangling nodes — their denominator is
+    never read (they never appear as src in the flow join), so the
+    repair only keeps the division total. Shared by :func:`pagerank`
+    and the query layer's session node-info cache so both build the
+    bit-identical relation."""
+    src_w = (F.col("w").cast("long") if weighted
+             else F.lit(1).cast("long"))
+    return (
+        e.select(F.explode(F.array(
+            F.struct(F.col("src").alias("node"), src_w.alias("wv")),
+            F.struct(F.col("dst").alias("node"),
+                     F.lit(0).cast("long").alias("wv")))).alias("x"))
+        .select("x.node", "x.wv")
+        .groupBy("node")
+        .agg(F.greatest(F.sum("wv"), F.lit(1).cast("long")).alias("wsum")))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -298,6 +319,9 @@ def pagerank(
     assume_distinct: bool = False,
     materialize: bool = True,
     weight: str | None = None,
+    node_info: DataFrame | None = None,
+    n_nodes: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in *integer
     micro-units* so the result is bit-identical on any engine and any
@@ -354,11 +378,24 @@ def pagerank(
     (or checkpoint) the result, then ``spark.catalog.clearCache()`` or
     re-call with materialize=True; repeated materialize=False calls in
     a long session accumulate cached node-sized relations.
+
+    ``node_info`` / ``n_nodes`` / ``n_edges`` (r15): a caller that
+    keeps the graph for a session (graph_queries' cached co-purchase
+    relation) may pass the MATERIALIZED (node, wsum) relation built by
+    :func:`build_node_info` with its measured counts — the internal
+    persist-count pass and node-info aggregate are then skipped (they
+    are the persisted side tables you'd keep next to a 100 TB edge
+    list, not per-query work). With ``n_edges`` given the input edge
+    relation must already be unique-(src, dst) and materialized
+    (``assume_distinct`` edges from a checkpoint); with ``node_info``
+    given, ``n_nodes`` is required and the relation is the caller's to
+    unpersist.
     """
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
         cols.append(F.col(weight).cast("long").alias("w"))
     e = edges.select(*cols)
+    own_input = n_edges is None
     if not assume_distinct:
         # flow correctness requires unique (src, dst); callers whose
         # edge build already ends in a distinct/groupBy pass the flag
@@ -367,39 +404,27 @@ def pagerank(
             e = e.distinct()
         else:
             e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
-    e = e.persist()
-    n_edges = e.count()
+    if own_input:
+        e = e.persist()
+        n_edges = e.count()
     # the per-node flow denominator: outdeg when unweighted, Σw when
     # weighted — one name ("wsum") so both paths share the plan shape
     if weight is None:
-        src_w = F.lit(1).cast("long")
         flow_expr = "rank div wsum"
         row_bytes = 16
     else:
-        src_w = F.col("w").cast("long")
         flow_expr = "(rank * w) div wsum"
         row_bytes = 24
     # node universe + flow denominator in ONE pass over the edges
     # (r15: the separate deg aggregate, src∪dst distinct, and repair
-    # join were three passes + a join for the same node-sized result):
-    # each edge emits (src, w) and (dst, 0); per-node Σ is the out-
-    # weight (outdeg when w≡1), 0 for dangling nodes. greatest(·,1)
-    # reproduces the old COALESCE(wsum, 1) dangling repair — a node
-    # with no out-edges never appears as src in the flow join, so its
-    # denominator is never read; any caller-supplied all-zero-weight
-    # source divides to NULL flow under the old form and 0 under this
-    # one, which sum() treats identically.
-    node_info = (
-        e.select(F.explode(F.array(
-            F.struct(F.col("src").alias("node"), src_w.alias("wv")),
-            F.struct(F.col("dst").alias("node"),
-                     F.lit(0).cast("long").alias("wv")))).alias("x"))
-        .select("x.node", "x.wv")
-        .groupBy("node")
-        .agg(F.greatest(F.sum("wv"), F.lit(1).cast("long")).alias("wsum"))
-        .persist())
-    ni_cached = node_info  # unpersist handle (coalesce below derives)
-    n_nodes = node_info.count()
+    # join were three passes + a join for the same node-sized result)
+    own_ni = node_info is None
+    if own_ni:
+        node_info = build_node_info(e, weight is not None).persist()
+        ni_cached = node_info  # unpersist handle (coalesce derives)
+        n_nodes = node_info.count()
+    elif n_nodes is None:
+        raise ValueError("node_info requires its measured n_nodes")
     if strategy == "auto":
         strategy = ("broadcast" if n_nodes <= broadcast_max_nodes
                     else "shuffle")
@@ -421,8 +446,10 @@ def pagerank(
             # no per-edge join ever materializes. node_info partitions
             # follow node volume (1 at 20k nodes, a handful at the 5M
             # broadcast ceiling) — never an unconditional coalesce(1).
-            node_info = node_info.coalesce(
-                int(n_nodes * 16 // (32 << 20) + 1))
+            # (caller-provided node_info arrives already sized)
+            if own_ni:
+                node_info = node_info.coalesce(
+                    int(n_nodes * 16 // (32 << 20) + 1))
             zero = node_info.select(F.col("node").alias("dst"),
                                     F.lit(0).cast("long").alias("flow"))
             ranks = node_info.select(
@@ -452,7 +479,8 @@ def pagerank(
                 return ranks
             # materialize before unpersisting the relations it reads
             ranks = ranks.localCheckpoint()
-            ni_cached.unpersist()
+            if own_ni:
+                ni_cached.unpersist()
             return ranks
         if strategy != "shuffle":
             raise ValueError(
@@ -471,10 +499,12 @@ def pagerank(
         for _ in range(iterations):
             ranks = _ckpt(_pr_shuffle_step(e_deg, ranks, nodes_c,
                                            flow_expr), checkpoint)
-        ni_cached.unpersist()
+        if own_ni:
+            ni_cached.unpersist()
         return ranks
     finally:
-        e.unpersist()
+        if own_input:
+            e.unpersist()
 
 
 def _pr_shuffle_step(e_deg: DataFrame, ranks: DataFrame,
@@ -570,9 +600,20 @@ def label_propagation(
     broadcast_max_nodes: int = 5_000_000,
     assume_distinct: bool = False,
     fuse_exchanges: bool | None = None,
+    nodes: DataFrame | None = None,
+    node_stats: tuple[int, int, int] | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation (fixed iteration count) over a
     directed edge list; returns (node, label).
+
+    ``nodes`` / ``node_stats`` / ``n_edges`` (r15): a session-cached
+    caller may pass the materialized distinct node relation (MUST
+    equal the distinct ``src`` set — on the symmetric graphs LPA is
+    meant for that is src∪dst), its measured (count, min id, max id),
+    and the unique edge count; the internal persist-count and
+    node-stats aggregate are then skipped. With ``n_edges`` given the
+    edge relation must already be unique and materialized.
 
     Labels start as the node's own id (over the distinct ``src`` set —
     on the symmetric graphs LPA is meant for, src and dst sets are
@@ -609,22 +650,30 @@ def label_propagation(
     shuffle path's per-round join is exchange-free on the edge side.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    own_input = n_edges is None
     if not assume_distinct:
         e = e.distinct()
-    e = e.persist()
-    n_edges = e.count()
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    # one aggregate pin instead of a bare count: node count picks the
-    # strategy, the id range decides whether the mode argmax may run
-    # on a packed long (labels are always node ids, so max(label) ≤
-    # max node id in every round; counts are bounded by n_edges)
-    nstats = nodes.agg(F.count(F.lit(1)).alias("n"),
-                       F.min("node").alias("lo"),
-                       F.max("node").alias("hi")).first()
-    n_nodes = int(nstats["n"])
+    if own_input:
+        e = e.persist()
+        n_edges = e.count()
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        # one aggregate pin instead of a bare count: node count picks
+        # the strategy, the id range decides whether the mode argmax
+        # may run on a packed long (labels are always node ids, so
+        # max(label) ≤ max node id in every round; counts are bounded
+        # by n_edges)
+        row = nodes.agg(F.count(F.lit(1)).alias("n"),
+                        F.min("node").alias("lo"),
+                        F.max("node").alias("hi")).first()
+        node_stats = (int(row["n"]), int(row["lo"] or 0),
+                      int(row["hi"] or 0))
+    elif node_stats is None:
+        raise ValueError("nodes requires its measured node_stats")
+    n_nodes, lo, hi = node_stats
     pack_span = None
-    if n_nodes and int(nstats["lo"]) >= 0:
-        span = int(nstats["hi"]) + 1
+    if n_nodes and lo >= 0:
+        span = hi + 1
         if n_edges <= (1 << 63) // span - 1:
             pack_span = span
     if strategy == "auto":
@@ -657,4 +706,5 @@ def label_propagation(
                                      pack_span=pack_span), checkpoint)
         return labels
     finally:
-        e.unpersist()
+        if own_input:
+            e.unpersist()

@@ -192,6 +192,46 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: Session-cached derived side tables of the co-purchase graph (r15):
+#: the (node, wsum) flow-denominator relation per weighted flag plus
+#: the measured stats every graph query re-derived per call (edge
+#: count, node count, id range). Same lifetime/eviction contract as
+#: _EDGE_CACHE — at 100 TB these are the persisted companions of the
+#: edge table, not per-query work; bench --isolate-families evicts
+#: them so no reading depends on sibling order.
+_NODE_INFO_CACHE: dict[tuple, tuple[DataFrame, dict]] = register_cache({})
+
+
+def _graph_inputs(spark: SparkSession, sf_dir: str,
+                  weighted: bool) -> tuple[DataFrame, dict]:
+    """(node_info, stats) for the session edge relation: node_info is
+    the localCheckpoint'd (node, wsum) table built by the SAME
+    operators.graph.build_node_info the operator would run internally;
+    stats carries {'n_edges', 'n_nodes', 'min_node', 'max_node'}. The
+    graph is symmetric by construction (both directions of every
+    co-purchase pair), so the node set equals the distinct src set —
+    the contract label_propagation's ``nodes`` parameter requires."""
+    from big_data_analytics_spark.operators.graph import build_node_info
+
+    key = (spark.sparkContext.applicationId, sf_dir, weighted)
+    hit = _NODE_INFO_CACHE.get(key)
+    if hit is None:
+        e = _weighted_edges(spark, sf_dir)
+        if not weighted:
+            e = e.select("src", "dst")
+        ni = build_node_info(e, weighted).localCheckpoint()
+        row = ni.agg(F.count(F.lit(1)).alias("n"),
+                     F.min("node").alias("lo"),
+                     F.max("node").alias("hi")).first()
+        n_edges = e.count()  # cached-scan job
+        stats = {"n_edges": int(n_edges), "n_nodes": int(row["n"]),
+                 "min_node": int(row["lo"] or 0),
+                 "max_node": int(row["hi"] or 0)}
+        hit = (ni, stats)
+        _NODE_INFO_CACHE[key] = hit
+    return hit
+
+
 #: LPA community labels per (session, sf_dir) — the same derived-
 #: relation caching as _EDGE_CACHE one level up: communities are
 #: computed once and every consumer (gr6 modularity today; any future
@@ -213,8 +253,12 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _LABEL_CACHE.get(key)
     if df is None:
         edges = _weighted_edges(spark, sf_dir).select("src", "dst")
-        df = label_propagation(edges, iterations=_LPA_ITER,
-                               assume_distinct=True).localCheckpoint()
+        ni, st = _graph_inputs(spark, sf_dir, weighted=False)
+        df = label_propagation(
+            edges, iterations=_LPA_ITER, assume_distinct=True,
+            nodes=ni.select("node"),
+            node_stats=(st["n_nodes"], st["min_node"], st["max_node"]),
+            n_edges=st["n_edges"]).localCheckpoint()
         _LABEL_CACHE[key] = df
     return df
 
@@ -248,7 +292,10 @@ def gr1_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; for node sets beyond broadcast reach the operator
     falls back to the checkpointed shuffle-join path."""
     edges = _weighted_edges(spark, sf_dir).select("src", "dst")
-    ranks = pagerank(edges, iterations=_ITER, assume_distinct=True)
+    ni, st = _graph_inputs(spark, sf_dir, weighted=False)
+    ranks = pagerank(edges, iterations=_ITER, assume_distinct=True,
+                     node_info=ni, n_nodes=st["n_nodes"],
+                     n_edges=st["n_edges"])
     return (
         ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(_TOPK)
@@ -314,8 +361,12 @@ def lp1_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels are node ids (integers), so no per-iteration state beyond
     (node, label)."""
     edges = _weighted_edges(spark, sf_dir).select("src", "dst")
-    labels = label_propagation(edges, iterations=_LPA_ITER,
-                               assume_distinct=True)
+    ni, st = _graph_inputs(spark, sf_dir, weighted=False)
+    labels = label_propagation(
+        edges, iterations=_LPA_ITER, assume_distinct=True,
+        nodes=ni.select("node"),
+        node_stats=(st["n_nodes"], st["min_node"], st["max_node"]),
+        n_edges=st["n_edges"])
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count("*").alias("n_parts"))
@@ -437,8 +488,10 @@ def gr3_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src set == dst set), so the operator's src∪dst node set equals
     the oracle's distinct-src set."""
     edges = _weighted_edges(spark, sf_dir)
+    ni, st = _graph_inputs(spark, sf_dir, weighted=True)
     ranks = pagerank(edges, weight="w", iterations=_WPR_ITER,
-                     assume_distinct=True)
+                     assume_distinct=True, node_info=ni,
+                     n_nodes=st["n_nodes"], n_edges=st["n_edges"])
     return (ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
             .limit(20)
             .select(F.col("node").alias("l_partkey"),
@@ -644,12 +697,10 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build rows stay ~n_edges/n_parts regardless of scale. At sf0.1
     # this degenerates to defaultParallelism — the plan is unchanged
     # where it already fit (A/B: 3.92 vs 3.89 s; at 10x edges: 46 s vs
-    # OOM). n_edges and the max node id come from ONE cached-scan
-    # aggregate (e is localCheckpointed; max(src) = max node on this
-    # symmetric graph).
-    stats = e.agg(F.count(F.lit(1)).alias("n"),
-                  F.max("src").alias("mx")).first()
-    n_edges, max_key = int(stats["n"]), int(stats["mx"] or 0)
+    # OOM). n_edges and the max node id come from the session stats
+    # cache (one aggregate per session, shared with gr1/gr3/lp1).
+    _ni, st = _graph_inputs(spark, sf_dir, weighted=False)
+    n_edges, max_key = st["n_edges"], st["max_node"]
     # Pack the (a, b) pair into ONE long while the measured key bound
     # allows (a*(mx+1)+b is injective and order-preserving; needs
     # (mx+1)^2 < 2^63, i.e. keys below ~3e9): halves the shuffled pair
@@ -1191,7 +1242,7 @@ def gr10_harmonic_centrality(spark: SparkSession,
     100 TB: {H} bounded supersteps, each edge-partitioned — the gr4
     cost times the landmark count."""
     edges = _weighted_edges(spark, sf_dir).select("src", "dst")
-    n_nodes = edges.select("src").distinct().count()
+    n_nodes = _graph_inputs(spark, sf_dir, weighted=False)[1]["n_nodes"]
     seeds = (edges.select(F.col("src").alias("seed")).distinct()
              .filter(F.col("seed") < 10))
     known = seeds.select(
