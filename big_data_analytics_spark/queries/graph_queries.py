@@ -202,6 +202,29 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NODE_INFO_CACHE: dict[tuple, tuple[DataFrame, dict]] = register_cache({})
 
 
+#: Session-cached src-hash-partitioned copy of the distinct edge set
+#: (r15): the in-session realization of "pre-bucket the edges by src"
+#: that gr4/gr10's docstrings prescribe for 100 TB — .persist()
+#: (NOT localCheckpoint: a checkpoint scan forgets its partitioning)
+#: so every per-hop frontier join reuses the edge side's
+#: HashPartitioning and only the bounded frontier shuffles.
+_EDGE_BY_SRC_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _edges_by_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EDGE_BY_SRC_CACHE.get(key)
+    if df is None:
+        e = _weighted_edges(spark, sf_dir).select("src", "dst")
+        n_edges = _graph_inputs(spark, sf_dir, weighted=False)[1]["n_edges"]
+        para = spark.sparkContext.defaultParallelism
+        n_parts = int(max(para, n_edges * 16 // (64 << 20) + 1))
+        df = e.repartition(n_parts, "src").persist()
+        df.count()  # materialize so hop timings measure hops
+        _EDGE_BY_SRC_CACHE[key] = df
+    return df
+
+
 def _graph_inputs(spark: SparkSession, sf_dir: str,
                   weighted: bool) -> tuple[DataFrame, dict]:
     """(node_info, stats) for the session edge relation: node_info is
@@ -558,9 +581,13 @@ def gr4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the reachable-node set; its per-partition hash build
     is |frontier|/n_parts). Measured: 3.52 -> 1.65 s warm at sf0.1,
     and the 10x run completes in 3.6 s where the stats-driven plan
-    OOM'd (SCALE.md round-8 audit). At 100 TB, pre-bucket the edges
-    by src and the per-hop exchange disappears on the edge side."""
-    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    OOM'd (SCALE.md round-8 audit). The edge side is the session's
+    src-hash-partitioned cached copy (r15, :func:`_edges_by_src` —
+    the in-session "pre-bucket by src"), so each hop's join reuses
+    its partitioning and ONLY the frontier shuffles (plan-guarded:
+    tests/test_plans.py::test_gr4_frontier_join_is_shuffled_hash now
+    also pins the exchange-free edge side)."""
+    edges = _edges_by_src(spark, sf_dir)
     seed = (edges.select(F.col("src").alias("node")).distinct()
             .filter(F.col("node") < 10))
     known = seed.select("node", F.lit(0).alias("hops")).localCheckpoint()
@@ -1240,8 +1267,10 @@ def gr10_harmonic_centrality(spark: SparkSession,
     count bound, and per-hop localCheckpoints keep lineage flat. The
     final rollup is one map-side-combinable aggregate on node. At
     100 TB: {H} bounded supersteps, each edge-partitioned — the gr4
-    cost times the landmark count."""
-    edges = _weighted_edges(spark, sf_dir).select("src", "dst")
+    cost times the landmark count. The edge side rides the session's
+    src-partitioned cache (r15, gr4's move), so per hop only the
+    (seed, node) frontier shuffles."""
+    edges = _edges_by_src(spark, sf_dir)
     n_nodes = _graph_inputs(spark, sf_dir, weighted=False)[1]["n_nodes"]
     seeds = (edges.select(F.col("src").alias("seed")).distinct()
              .filter(F.col("seed") < 10))

@@ -966,9 +966,9 @@ def test_gr4_frontier_join_is_shuffled_hash(spark):
     from pyspark.sql import functions as F
 
     from big_data_analytics_spark.queries.graph_queries import (
-        _bfs_hop, _weighted_edges)
+        _bfs_hop, _edges_by_src)
 
-    edges = _weighted_edges(spark, SF_CORRECT).select("src", "dst")
+    edges = _edges_by_src(spark, SF_CORRECT)
     seed = (edges.select(F.col("src").alias("node")).distinct()
             .filter(F.col("node") < 10))
     known = seed.select("node", F.lit(0).alias("hops"))
@@ -979,6 +979,15 @@ def test_gr4_frontier_join_is_shuffled_hash(spark):
     # node-sized anti-join may do as it likes
     inner = plan.split("LeftAnti")[-1]
     assert "BroadcastHashJoin" not in inner, plan
+    # r15: the edge side rides the session's src-hash-partitioned
+    # cached relation, so the planner must not insert a NEW exchange
+    # on src anywhere in the hop (the cached relation's own
+    # REPARTITION_BY_NUM lives inside the InMemoryRelation text and
+    # does not match the live ENSURE_REQUIREMENTS tag)
+    import re
+    live_src_ex = re.findall(
+        r"Exchange hashpartitioning\(src#[^\n]*ENSURE_REQUIREMENTS", plan)
+    assert not live_src_ex, plan
 
 
 def test_cf1_pair_stage_is_joinless(spark):
