@@ -70,19 +70,22 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_id key-space after per-partition pruning by Catalyst's
     WindowGroupLimit).
 
-    Deliberate: norms are recomputed inside each pair expression to
-    stay bit-parallel with the oracle SQL's per-pair form (~3× scoring
-    constant on this brute-force path only). The production operator
-    (operators/similarity.py:cosine_topk) caches per-row norms; the
-    scale path (v3) does too."""
+    Norms are computed ONCE per row (r15; previously re-folded inside
+    every pair expression, 3× the fold work per corpus row): the pair
+    value sqrt(dot(x,x)) is a pure function of the row, so caching it
+    in a projected column leaves every IEEE operation and therefore
+    every cosine BIT-IDENTICAL to the oracle's per-pair form — only
+    the evaluation count changes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn")
     )
     c = emb.filter(F.col("vec_id") >= N_QUERY_VECS).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cn")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -90,8 +93,7 @@ def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id",
             F.round(
                 _dot(F.col("qv"), F.col("cv"))
-                / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                   * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+                / (F.col("qn") * F.col("cn")),
                 6,
             ).alias("cosine"),
         )

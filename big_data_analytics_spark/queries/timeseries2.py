@@ -96,8 +96,20 @@ def ts2_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
              .alias("vc")))
-    span = known.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # The hour-grid explode AMPLIFIES each user row to their whole
+    # span, and the two bracketing windows run on that amplified
+    # relation — but AQE sizes the span aggregate's exchange by its
+    # (tiny) INPUT bytes and coalesced it to ONE task at sf0.1, so
+    # the explode + join + windows all serialized (the v3/cf1
+    # fan-out-blindness class; measured: the final window stage ran
+    # 1 task for 0.87 s on 32 idle cores). An explicit volume-sized
+    # repartition pins the width; groupBy/explode/join/windows all
+    # reuse the one user_id exchange as before.
+    para = spark.sparkContext.defaultParallelism
+    n_parts = int(max(para, n_ev * 24 // (64 << 20) + 1))
+    span = (known.repartition(n_parts, "user_id")
+            .groupBy("user_id").agg(
+                F.min("h").alias("h0"), F.max("h").alias("h1")))
     grid = span.select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
