@@ -563,9 +563,12 @@ def _lpa_step(edge_rel: DataFrame, lab: DataFrame,
     (label_propagation derives both from measured aggregates), the
     argmax runs over the single packed long n·span + (span−1−label)
     instead of a lexicographic (n, −label, label) struct — maximizing
-    the pack IS (count DESC, label ASC), exactly, and a long max
-    codegens where the struct max allocates per row (measured 4.9 →
-    3.5 s CPU per round at sf0.1). ``None`` keeps the struct form."""
+    the pack IS (count DESC, label ASC), exactly. The long max avoids
+    a per-group struct allocation and shrinks the second aggregate's
+    row; an interleaved packed-vs-struct A/B at sf0.1 read parity
+    within box noise (the measured lp1 win came from the combined r15
+    changes), so the pack is kept for its smaller rows, not a claimed
+    CPU cut. ``None`` keeps the struct form."""
     joined = edge_rel.join(join_hint(lab), edge_rel.src == lab.node)
     if fuse:
         joined = joined.repartition("dst")
