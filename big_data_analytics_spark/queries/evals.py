@@ -20,43 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_analytics_spark.catalog import load_table
-from big_data_analytics_spark.operators.joins import sized_side
 from big_data_analytics_spark.queries import query
-from big_data_analytics_spark.caching import register_cache
 from big_data_analytics_spark.operators.partitioning import spread_if_undersplit
 
 _ROUGE_Q = 1_000_000_000.0  # recall quantization grid
 
-
-#: (applicationId, sf_dir, kind) -> measured bound. The bound scans
-#: are cheap (~0.1 s warm: one int64 column) but eager — they run on
-#: EVERY execution of ev1/ev2/ev4, and the fixture is immutable for a
-#: session's lifetime, so memoize like the graph-family edge caches
-#: (VERDICT r12 task 3). Keyed by applicationId so a new session (new
-#: JVM, possibly regenerated fixtures) never reads a stale bound.
-_BOUND_CACHE: dict = register_cache({})
-
-
-def _cached_bound(spark: SparkSession, sf_dir: str, kind: str,
-                  compute) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _BOUND_CACHE:
-        _BOUND_CACHE[key] = compute()
-    return _BOUND_CACHE[key]
-
-
-def _ngram_row_bound(docs_raw: DataFrame) -> int:
-    """Measured upper bound on the per-doc n-gram COUNT relations'
-    row count, from the documents table's n_chars column (verified
-    n_chars == length(text) by the fixture): every token is >= 1
-    char + a separator, so tokens <= (chars + 1) / 2 per doc, and
-    distinct (doc, ngram) rows <= token count for unigrams AND
-    bigrams. One column-pruned scan of a single int64 column — the
-    cheap measurement the sized_side discipline requires for derived
-    relations (operators/joins.py)."""
-    row = docs_raw.agg(
-        F.sum("n_chars").alias("c"), F.count("*").alias("n")).collect()[0]
-    return (int(row["c"]) + int(row["n"])) // 2 + 1
+# (r15: the _BOUND_CACHE measured-pin machinery that sized the old
+# (pair_id, ngram) overlap JOINS is gone with the joins themselves —
+# the clipped overlap now rides one side-conditional aggregation; see
+# ev1's overlap().)
 
 
 @query(
@@ -120,46 +92,48 @@ def ev1_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ir2/ir3 discipline). Candidates with no bigrams (single-token
     references) report rouge2_q = 0 by convention.
 
-    Scale shape: per-doc n-gram counting is one explode (bigrams via
-    the in-array transform — JVM-side, no self-join) with map-side
-    combine on (doc_id, ngram); the overlap join is keyed
-    (pair_id, ngram) — shuffle volume proportional to the n-gram
-    postings, never |docs|² (the pairing is an id equi-join, NOT a
-    similarity cross-join). The final per-pair rollup partial-
-    aggregates on pair_id. At 100 TB this is two token-proportional
-    exchanges plus the pair rollup — embarrassingly parallel across
-    pairs."""
+    Scale shape: per-doc n-gram extraction is one explode (bigrams via
+    the in-array transform — JVM-side, no self-join); the clipped
+    overlap is ONE side-conditional aggregation keyed (pair_id, ngram)
+    with map-side combine (r15 — the former per-doc count + ref/cand
+    split + (pair_id, ngram) equi-join paid three postings-sized
+    exchanges per n-gram level for the same numbers). Shuffle volume
+    stays postings-proportional, never |docs|². The final per-pair
+    rollup partial-aggregates on pair_id. At 100 TB this is one
+    token-proportional exchange per n-gram level plus the pair rollup
+    — embarrassingly parallel across pairs."""
     raw = load_table(spark, sf_dir, "documents")
-    # measured pin bound for the overlap joins (sized_side class:
-    # both join sides are corpus-proportional n-gram count relations,
-    # and plan-time stats UNDERESTIMATE post-explode aggregates — the
-    # 10x probe showed a ~4.5M-row relation still planning broadcast)
-    n_bound = _cached_bound(spark, sf_dir, "ngram",
-                            lambda: _ngram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     # n-gram extraction amplifies each doc ~2x tokens; the explode
     # stages inherit the scan's split count (2 at the 10x fixture) —
     # the ev3/ev4 under-split hazard. Spread only when under-split.
     docs = spread_if_undersplit(docs)
-    uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
-           .groupBy("doc_id", "tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    uni = docs.select("doc_id", F.explode("ts").alias("tok"))
     bi = (docs.filter(F.size("ts") >= 2)
           .select("doc_id", F.explode(F.expr(
               "transform(slice(ts, 1, size(ts) - 1), "
-              "(x, i) -> concat(x, ' ', ts[i + 1]))")).alias("tok"))
-          .groupBy("doc_id", "tok")
-          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+              "(x, i) -> concat(x, ' ', ts[i + 1]))")).alias("tok")))
 
     def overlap(rel: DataFrame, out: str) -> DataFrame:
-        ref = (rel.filter(F.col("doc_id") % 2 == 0)
-               .select(F.col("doc_id").alias("pair_id"), "tok",
-                       F.col("c").alias("cr")))
-        cand = (rel.filter(F.col("doc_id") % 2 == 1)
-                .select((F.col("doc_id") - 1).alias("pair_id"), "tok",
-                        F.col("c").alias("cc")))
-        return (cand.join(sized_side(ref, n_bound), ["pair_id", "tok"])
+        # clipped overlap WITHOUT the (pair_id, tok) join (r15): both
+        # pair members group under pair_id = doc_id - doc_id%2 with
+        # side-conditional counts, so ONE (pair_id, tok) aggregation
+        # yields min(count_ref, count_cand) per n-gram. The old shape
+        # counted per (doc_id, tok), split ref/cand, and re-exchanged
+        # BOTH sides onto (pair_id, tok) for an equi-join — three
+        # postings-sized exchanges and a measured-pin join per n-gram
+        # level; now one exchange, no join, no pin. least(cr, cc) is
+        # 0 whenever a token is absent from either side — exactly the
+        # inner join's contribution. Unpaired docs survive to here but
+        # the final pairs join (both members required) drops them,
+        # as before.
+        return (rel.groupBy((F.col("doc_id") - F.col("doc_id") % 2)
+                            .alias("pair_id"), "tok")
+                .agg(F.sum((F.col("doc_id") % 2 == 0).cast("long"))
+                     .alias("cr"),
+                     F.sum((F.col("doc_id") % 2 == 1).cast("long"))
+                     .alias("cc"))
                 .groupBy("pair_id")
                 .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out)))
 
@@ -271,43 +245,44 @@ def ev2_bleu_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds on. Single-token candidates report the bigram columns as 0
     by convention (matching ev1's rouge2 convention).
 
-    Scale shape: identical to ev1 — per-doc n-gram counting is one
-    explode with map-side combine, the overlap joins are keyed
-    (pair_id, ngram) so shuffle volume is postings-proportional
-    (never |docs|²), and the per-pair rollup partial-aggregates on
-    pair_id. o1·o2 ≤ len² ≤ 2^40 at any plausible document length, so
-    the rational stays in exact int64/double-integer range."""
+    Scale shape: identical to ev1 — one explode per n-gram level and
+    the joinless side-conditional clipped-overlap aggregation (r15),
+    postings-proportional shuffles (never |docs|²), per-pair rollup
+    partial-aggregated on pair_id. o1·o2 ≤ len² ≤ 2^40 at any
+    plausible document length, so the rational stays in exact
+    int64/double-integer range."""
     raw = load_table(spark, sf_dir, "documents")
-    # measured pin bound for the overlap joins (sized_side class:
-    # both join sides are corpus-proportional n-gram count relations,
-    # and plan-time stats UNDERESTIMATE post-explode aggregates — the
-    # 10x probe showed a ~4.5M-row relation still planning broadcast)
-    n_bound = _cached_bound(spark, sf_dir, "ngram",
-                            lambda: _ngram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.split(F.col("text"), " ").alias("ts"))
     # n-gram extraction amplifies each doc ~2x tokens; the explode
     # stages inherit the scan's split count (2 at the 10x fixture) —
     # the ev3/ev4 under-split hazard. Spread only when under-split.
     docs = spread_if_undersplit(docs)
-    uni = (docs.select("doc_id", F.explode("ts").alias("tok"))
-           .groupBy("doc_id", "tok")
-           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    uni = docs.select("doc_id", F.explode("ts").alias("tok"))
     bi = (docs.filter(F.size("ts") >= 2)
           .select("doc_id", F.explode(F.expr(
               "transform(slice(ts, 1, size(ts) - 1), "
-              "(x, i) -> concat(x, ' ', ts[i + 1]))")).alias("tok"))
-          .groupBy("doc_id", "tok")
-          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+              "(x, i) -> concat(x, ' ', ts[i + 1]))")).alias("tok")))
 
     def overlap(rel: DataFrame, out: str) -> DataFrame:
-        ref = (rel.filter(F.col("doc_id") % 2 == 0)
-               .select(F.col("doc_id").alias("pair_id"), "tok",
-                       F.col("c").alias("cr")))
-        cand = (rel.filter(F.col("doc_id") % 2 == 1)
-                .select((F.col("doc_id") - 1).alias("pair_id"), "tok",
-                        F.col("c").alias("cc")))
-        return (cand.join(sized_side(ref, n_bound), ["pair_id", "tok"])
+        # clipped overlap WITHOUT the (pair_id, tok) join (r15): both
+        # pair members group under pair_id = doc_id - doc_id%2 with
+        # side-conditional counts, so ONE (pair_id, tok) aggregation
+        # yields min(count_ref, count_cand) per n-gram. The old shape
+        # counted per (doc_id, tok), split ref/cand, and re-exchanged
+        # BOTH sides onto (pair_id, tok) for an equi-join — three
+        # postings-sized exchanges and a measured-pin join per n-gram
+        # level; now one exchange, no join, no pin. least(cr, cc) is
+        # 0 whenever a token is absent from either side — exactly the
+        # inner join's contribution. Unpaired docs survive to here but
+        # the final pairs join (both members required) drops them,
+        # as before.
+        return (rel.groupBy((F.col("doc_id") - F.col("doc_id") % 2)
+                            .alias("pair_id"), "tok")
+                .agg(F.sum((F.col("doc_id") % 2 == 0).cast("long"))
+                     .alias("cr"),
+                     F.sum((F.col("doc_id") % 2 == 1).cast("long"))
+                     .alias("cc"))
                 .groupBy("pair_id")
                 .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out)))
 
@@ -530,16 +505,6 @@ def ev3_token_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("ref_chars")).cast("long").alias("cer_q"))
 
 
-def _chargram_row_bound(docs_raw: DataFrame) -> int:
-    """Measured upper bound on the per-doc char n-gram COUNT
-    relations' row count: distinct (doc, gram) rows <= chars per doc
-    for any n >= 1 (grams of the space-stripped text are a subset of
-    positions). Same single-column scan discipline as
-    _ngram_row_bound."""
-    row = docs_raw.agg(F.sum("n_chars").alias("c")).collect()[0]
-    return int(row["c"]) + 1
-
-
 @query(
     "ev4_chrf",
     oracle=f"""
@@ -606,17 +571,13 @@ def ev4_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an n-gram on BOTH sides report 0 by ev1's convention.
 
     Scale shape: identical to ev1 — char n-gram extraction is an
-    in-array transform + one explode (no self-join), counts partial-
-    aggregate on (doc, gram), the overlap joins key on (pair_id, gram)
-    with the ref side measured-pinned (char-count bound: gram rows per
-    doc <= chars — plan-time stats on post-explode aggregates are the
-    audited unreliable class), and the per-pair rollup is map-side
-    combinable. Postings-proportional shuffles throughout; char grams
-    are ~5x token grams in row count but each row is 2-3 bytes of
-    key."""
+    in-array transform + one explode (no self-join), and the clipped
+    overlap is the joinless side-conditional (pair_id, gram)
+    aggregation (r15; the former per-doc count + equi-join and its
+    measured pin are gone), per-pair rollup map-side combinable.
+    Postings-proportional shuffles throughout; char grams are ~5x
+    token grams in row count but each row is 2-3 bytes of key."""
     raw = load_table(spark, sf_dir, "documents")
-    n_bound = _cached_bound(spark, sf_dir, "chargram",
-                            lambda: _chargram_row_bound(raw))
     docs = raw.select(
         "doc_id", F.regexp_replace("text", " ", "").alias("s"))
     # char-gram extraction amplifies each doc ~n_chars x 2; the
@@ -629,18 +590,17 @@ def ev4_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (docs.filter(F.length("s") >= n)
                 .select("doc_id", F.explode(F.expr(
                     f"transform(sequence(1, length(s) - {n - 1}), "
-                    f"i -> substring(s, i, {n}))")).alias("gram"))
-                .groupBy("doc_id", "gram")
-                .agg(F.count(F.lit(1)).cast("long").alias("c")))
+                    f"i -> substring(s, i, {n}))")).alias("gram")))
 
     def overlap(rel: DataFrame, out: str) -> DataFrame:
-        ref = (rel.filter(F.col("doc_id") % 2 == 0)
-               .select(F.col("doc_id").alias("pair_id"), "gram",
-                       F.col("c").alias("cr")))
-        cand = (rel.filter(F.col("doc_id") % 2 == 1)
-                .select((F.col("doc_id") - 1).alias("pair_id"), "gram",
-                        F.col("c").alias("cc")))
-        return (cand.join(sized_side(ref, n_bound), ["pair_id", "gram"])
+        # joinless clipped overlap — the ev1/ev2 r15 rewrite, char
+        # flavor (see ev1's overlap for the derivation)
+        return (rel.groupBy((F.col("doc_id") - F.col("doc_id") % 2)
+                            .alias("pair_id"), "gram")
+                .agg(F.sum((F.col("doc_id") % 2 == 0).cast("long"))
+                     .alias("cr"),
+                     F.sum((F.col("doc_id") % 2 == 1).cast("long"))
+                     .alias("cc"))
                 .groupBy("pair_id")
                 .agg(F.sum(F.least("cr", "cc")).cast("long").alias(out)))
 
