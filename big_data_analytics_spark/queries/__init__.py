@@ -148,63 +148,76 @@ def query(name: str, oracle: Optional[str] = None):
 #: claims and pr1/dsk1 are already in the r7 cohort, so bj1 rides
 #: along to re-grade all three together. After this round the
 #: oldest vintage is r8 (26 rows), then r9 (33).
+#:
+#: Round-16 head-50 (RETIRE r8 + GRADE THE r15 SLIP, per VERDICT r15
+#: tasks 3 and "what's wrong" #5): 2 canaries + the 11 r15-changed
+#: rows that missed the r15 head because it was pinned before the
+#: optimization commits landed (lp1, ml5, d8, cf1, ts2, v1, ev1, ev2,
+#: ev4 — gr5/gr4/v7 are also r15-changed but ride in the r8 cohort
+#: below) + ALL 26 r8-vintage rows (registry order) + 13 r9 rows
+#: oldest-first in registry order. Queries changed during round 16
+#: displace the r9 fill tail (rule b) — the head is re-checked at
+#: round end against the round's diff, the r15 lesson. After this
+#: round the oldest vintage is r9 (20 rows), then r11.
 GRADE_HEAD = [
     # (a) standing canaries — driver-green every round since r1
     "a1_pricing_summary",
     "w7_sessionize_events",
-    # (b) round-15 changed (no new additions this round)
-    "t20_pmi_collocations",
-    "gr1_part_pagerank",
-    # (c) the full 35-row r7 cohort, registry order
-    "f8_date_functions",
-    "j1_revenue_by_nation",
-    "o1_top_orders_by_revenue",
-    "j5_customers_with_urgent_orders",
-    "j6_customers_without_orders",
-    "p4_filter_compound",
-    "p11_part_size_buckets",
-    "a5_monthly_revenue",
-    "a7_order_priority_counts",
-    "a9_quantity_moments",
-    "a10_corr_regression",
-    "a12_event_daily_metrics",
-    "u1_union_distinct",
-    "p16_ordered_limit",
-    "w1_event_lag_delta",
-    "w5_customer_running_spend",
-    "w4_latest_order_per_customer",
-    "wr_rank_functions",
-    "j7_regional_supplier_volume",
-    "a6_forecast_revenue",
-    "a18_large_orders_having",
-    "g1_rollup_revenue",
-    "g2_cube_counts",
-    "pv1_status_pivot",
-    "fn1_session_funnel",
-    "mm6_audio_resample",
-    "ds1_importance_resampling",
-    "sm9_stream_late_data_accounting",
+    # (b) round-15 changed rows that missed the r15 head (VERDICT r15
+    # "what's wrong" #5) — graded now; r16-changed rows join here as
+    # the round progresses, displacing the r9 fill tail
+    "lp1_part_communities",
+    "ml5_kmeans",
+    "d8_semantic_dedup",
     "cf1_item_item_cosine",
-    "ts5_acf",
-    "pr1_partition_pruned_scan",
-    "dsk1_minmax_file_skipping",
-    "x13_udtf_chunk_profile",
-    "qn1_quantile_normalize",
-    "oc1_max_concurrency",
-    # (d) r8-vintage fill, oldest-first in registry order …
-    "d1_exact_dedup",
-    "t1_token_counts",
-    "t2_quality_scores",
-    "t3_language_id",
-    "t4_fingerprints",
-    "t5_corpus_stats",
+    "ts2_hourly_gap_fill",
     "v1_cosine_topk",
-    "v2_label_centroid_norms",
-    "v3_ivf_topk",
-    "v3_lsh_ann_topk",
-    # … plus bj1 out of order (VERDICT r14 task 6: re-grade the
-    # storage-layout trio bj1/pr1/dsk1 together this round)
-    "bj1_bucketed_colocated_join",
+    "ev1_rouge_n",
+    "ev2_bleu_precision",
+    "ev4_chrf",
+    # (c) the full 26-row r8 cohort, registry order (gr4/gr5/v7 are
+    # also r15-changed; their slots do double duty)
+    "a8_percentiles",
+    "p8_null_handling",
+    "p13_cast_coercion",
+    "f18_array_ops",
+    "a15_exists_over_array",
+    "f19_map_ops",
+    "p6_membership_and_regex",
+    "u3_intersect_except",
+    "u3b_intersect_all",
+    "f11_date_sequence",
+    "j5b_rowkey_decompose_join",
+    "a19_median_mode",
+    "q4_priority_with_late_items",
+    "q12_priority_shipping",
+    "q17_below_avg_quantity",
+    "q15_top_suppliers",
+    "q22_idle_rich_customers",
+    "gr4_bfs_hops",
+    "gr5_link_prediction",
+    "mm4_resize_pipeline",
+    "mm5_png_roundtrip",
+    "mm7_dhash_neardup",
+    "bp1_partitioned_bucketed_rollup",
+    "cm1_compaction_rollup",
+    "se1_schema_evolution_rollup",
+    "v7_ann_recall",
+    # (d) r9-vintage fill, oldest-first in registry order (lp1 above
+    # is also r9 — its rule-(b) slot does double duty)
+    "ecom_product_daily_metrics",
+    "ecom_monthly_sales",
+    "ecom_products_enriched",
+    "ecom_dwell_times",
+    "ecom_page_transitions",
+    "aj1_asof_purchase_view",
+    "aj2_forward_asof_tolerance",
+    "rj1_value_band_join",
+    "ij1_view_purchase_pairs",
+    "scd1_user_state_history",
+    "f13_math_functions",
+    "f20_json_extract",
+    "q3_shipping_priority",
 ]
 
 
