@@ -26,12 +26,37 @@ def register_cache(cache: dict) -> dict:
     return cache
 
 
+def _unpersist(obj) -> None:
+    """Best-effort unpersist of a cache value: ``.persist()``'d
+    DataFrames (e.g. the src-partitioned edge copy) hold executor
+    storage through the CacheManager until explicitly released —
+    clearing the dict alone leaves the blocks live until the Python/
+    JVM references happen to be GC'd, so repeated --isolate-families
+    cycles would accumulate edge copies (r15 ADVICE).
+    localCheckpoint'd relations report is_cached=False here and stay
+    on the existing ContextCleaner GC path."""
+    from pyspark.sql import DataFrame
+
+    if isinstance(obj, DataFrame):
+        try:
+            if obj.is_cached:
+                obj.unpersist()
+        except Exception:
+            pass  # a dead session's DataFrame: nothing to release
+    elif isinstance(obj, (tuple, list)):
+        for member in obj:
+            _unpersist(member)
+
+
 def evict_all() -> int:
-    """Clear every registered cache (checkpointed relations are then
-    unreferenced and GC'd by the ContextCleaner). Returns the number
-    of evicted entries."""
+    """Clear every registered cache — ``.persist()``'d values are
+    unpersisted first; checkpointed relations are then unreferenced
+    and GC'd by the ContextCleaner. Returns the number of evicted
+    entries."""
     n = 0
     for cache in _REGISTRY:
         n += len(cache)
+        for value in cache.values():
+            _unpersist(value)
         cache.clear()
     return n

@@ -396,6 +396,15 @@ def pagerank(
         cols.append(F.col(weight).cast("long").alias("w"))
     e = edges.select(*cols)
     own_input = n_edges is None
+    if not own_input and not assume_distinct:
+        # a caller-supplied n_edges skips the internal persist, so a
+        # dedup here would be silently recomputed by node_info and
+        # every iteration scan — the "must already be unique and
+        # materialized" contract, enforced instead of docstring-only
+        # (r15 ADVICE).
+        raise ValueError("n_edges requires assume_distinct=True: the "
+                         "caller's edge relation must already be "
+                         "unique-(src, dst) and materialized")
     if not assume_distinct:
         # flow correctness requires unique (src, dst); callers whose
         # edge build already ends in a distinct/groupBy pass the flag
@@ -654,6 +663,12 @@ def label_propagation(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     own_input = n_edges is None
+    if not own_input and not assume_distinct:
+        # same contract as pagerank: caller-supplied n_edges implies a
+        # unique, materialized edge relation (r15 ADVICE)
+        raise ValueError("n_edges requires assume_distinct=True: the "
+                         "caller's edge relation must already be "
+                         "unique-(src, dst) and materialized")
     if not assume_distinct:
         e = e.distinct()
     if own_input:

@@ -730,12 +730,14 @@ def gr5_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges, max_key = st["n_edges"], st["max_node"]
     # Pack the (a, b) pair into ONE long while the measured key bound
     # allows (a*(mx+1)+b is injective and order-preserving; needs
-    # (mx+1)^2 < 2^63, i.e. keys below ~3e9): halves the shuffled pair
-    # row (16 vs 24 bytes) and makes the aggregate/anti-join hash a
-    # single-long key. Past the bound the unpacked two-column path is
-    # used — identical semantics, measured-bound-guarded like every
-    # sized_side pin.
-    packed = max_key <= _PACK_MAX_KEY
+    # 0 <= keys and (mx+1)^2 < 2^63, i.e. keys below ~3e9): halves the
+    # shuffled pair row (16 vs 24 bytes) and makes the aggregate/
+    # anti-join hash a single-long key. Past the bound (or with any
+    # negative id, which would break injectivity/order — r15 ADVICE,
+    # the same lo >= 0 guard LPA's pack path carries) the unpacked
+    # two-column path is used — identical semantics, measured-bound-
+    # guarded like every sized_side pin.
+    packed = st["min_node"] >= 0 and max_key <= _PACK_MAX_KEY
     pair_bytes = n_edges * ((_LP_CAP - 1) // 2) * (16 if packed else 24)
     n_parts = int(max(spark.sparkContext.defaultParallelism,
                       min(pair_bytes // (64 << 20) + 1, 4096)))

@@ -133,7 +133,13 @@ def lloyd_assign(spark: SparkSession, sf_dir: str, k: int,
     (exact: every member contributes its d to each of its {D} dim
     rows, so per-(cluster, dim) Σd IS the per-cluster Σd — read back
     with max), so consumers (ml5) take per-cluster stats off the
-    centroid relation instead of re-scanning the assignment. (A
+    centroid relation instead of re-scanning the assignment.
+    FIXED-WIDTH ASSUMPTION (r15 ADVICE): that read-back is exact only
+    because every vq is a non-empty fixed-{D}-wide array (enforced by
+    ``_quantized`` over the {D}-d embedding fixture); a ragged or
+    empty row would contribute to fewer dim groups and silently skew
+    n_members/ss_err. tests/test_ml_queries.py pins the fixture's
+    fixed width so a future fixture change fails loudly instead. (A
     {D}-wide unrolled element_at aggregate was tried first: one
     exchange fewer but ~3 s of extra driver-side analysis per call on
     the 64×3-iteration nested plan — net 2.7× slower. Analysis cost
